@@ -1,0 +1,67 @@
+"""Fixture-table catalog.
+
+The reference locates datasets as file-system paths handed to
+FileInputFormat.setInputPaths (mapred/FileInputFormat.java:282-327); we
+expose the same idea as a tiny catalog over a parquet directory, plus
+temp-view registration so Spark SQL can address tables by name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixture parquet stores TIMESTAMP(NANOS,false); with
+# spark.sql.legacy.parquet.nanosAsLong these arrive as long nanos and we
+# rebuild a micros timestamp (floor division — matches DuckDB's TIMESTAMP_NS
+# -> TIMESTAMP truncation, keeping the oracle comparable).
+_TS_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Parquet scan == SequenceFileInputFormat
+    (mapred/SequenceFileInputFormat.java:36) in the reference's role of
+    'the container format scan'; Catalyst gives pushdown/pruning on top.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in _TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the frames."""
+    out = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,180 @@
+"""Deduplication ops for large-scale training-data pipelines.
+
+No reference counterpart (the reference's only dedup is reduce-emitting a
+key once, UniqValueCount.java:30) — these are the engine extras the
+100 TB pipeline needs: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for scale:
+  - Exact dedup: hash-groupBy on a normalized key — one shuffle, map-side
+    partial dedup.
+  - MinHash+LSH: per-row signature with higher-order functions (all
+    JVM-side, no UDF), banding, then a self-join ON (band, band_hash) —
+    candidate generation is an equi-join on small buckets instead of an
+    O(n^2) cross join; this is the standard shingle->minhash->band->bucket
+    pipeline and survives 100 TB because no stage is quadratic.
+  - SimHash: 64-bit signature per doc via bit-vote over token hashes;
+    near-dup = hamming distance on signatures (bit_count(xor)).
+  - Hashes are md5-derived (functions/portable.py) so the DuckDB oracle
+    reproduces signatures bit-for-bit; swap in xxhash64 for raw speed
+    when oracle parity isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup on a key: keep one row per key (hash-groupBy)."""
+    return df.dropDuplicates(key_cols)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of a text column (the shingle set)."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature: for each of num_hashes seeded hash functions,
+    the min hash over the shingle set. array<long> of length num_hashes.
+
+    Entirely higher-order-function expressions — whole-stage codegen, no
+    Python in the loop.
+    """
+    sh = word_shingles(text, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.coalesce(
+            F.array_min(
+                F.transform(sh, lambda g: _h32(F.concat_ws("#", g, s.cast("string"))))
+            ),
+            F.lit(-1).cast("long"),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate CANDIDATE pairs.
+
+    signature -> `bands` bands of num_hashes/bands rows -> bucket key =
+    hash(band values) -> self-equi-join on (band_idx, bucket) -> distinct
+    (id_a < id_b) pairs. Two docs collide iff some band matches exactly —
+    standard LSH probability semantics.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    _h32(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the token stream.
+
+    Each token votes its 60-bit md5-derived hash bitwise (+1/-1); the
+    signature takes the sign of each bit's tally. HOF-only expressions.
+    """
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    def bit_vote(j: Column) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
+        )
+        return F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(59)), lambda j: bit_vote(j.cast("int")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    explode(shingles) -> self-join on shingle -> per-pair intersection
+    count -> |A∪B| = |A|+|B|-|A∩B|. The join is equi on shingle, so cost
+    is sum over shingles of freq^2 — bounded for natural text; hot
+    shingles (stopword runs) can be frequency-capped upstream at scale.
+
+    Output: (doc_a, doc_b, jaccard rounded to 6) with jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc") < F.col("b.doc")])
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+No reference counterpart — engine extras for the 100 TB pipeline.
+
+Two tiers:
+  - brute_force_knn: exact cosine top-k, broadcast the (small) query set
+    against the corpus — one scan of the corpus, no shuffle of it; the
+    correct baseline and the right answer whenever |queries| is small.
+  - bucketed_ann: sign-LSH (random-hyperplane family with axis-aligned
+    planes): bucket = sign bits of a fixed dim subset. Queries probe only
+    their bucket -> corpus scan is filtered by an equi-join on bucket.
+    At 100 TB you'd write the corpus partitioned by bucket so the probe
+    prunes partitions; semantics here are identical.
+
+Dot products use double-precision aggregate over zip_with — JVM-side,
+deterministic left-to-right summation (matches the DuckDB oracle's
+list_inner_product on DOUBLE[] exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries x scan corpus.
+
+    Output: (q_id, neighbor_id, cos) — rank by (cos desc, neighbor_id) for
+    deterministic ties; excludes self-matches.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(broadcast(q)).filter(F.col("q_id") != F.col("neighbor_id")).select(
+        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def sign_bucket(vec: Column, dims: int = 8) -> Column:
+    """Sign-LSH bucket id: bit i set iff vec[i] > 0 (first `dims` dims).
+
+    An axis-aligned instance of the random-hyperplane LSH family —
+    deterministic and engine-portable (same arithmetic in the oracle).
+    """
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.when(F.element_at(vec, i + 1) > 0, F.shiftleft(F.lit(1), i.cast("int"))).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
+
+
+def bucketed_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_dims: int = 8,
+) -> DataFrame:
+    """ANN: probe only the query's sign-LSH bucket, exact cosine within.
+
+    Recall < 1 by design (that's the scale trade); candidates drop from
+    |corpus| to |bucket| ~ |corpus| / 2^bucket_dims.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    scored = c.join(broadcast(q), on="bucket").filter(F.col("q_id") != F.col("neighbor_id")).select(
+        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

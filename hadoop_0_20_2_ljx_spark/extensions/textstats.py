@@ -1,0 +1,117 @@
+"""Text analysis ops: language-ID, quality scoring, token counting,
+document fingerprinting. Engine extras for training-data pipelines (no
+reference counterpart; the closest ancestors are TokenCountMapper and
+RegexMapper, SURVEY.md §2.3).
+
+All built-in expressions (split/regexp/HOF) — codegen'd, no UDFs — and
+arithmetic chosen to be bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword anchors for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "de", "et"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish subword segmentation: letter runs, digit runs, and single
+    punctuation marks — the classic pre-tokenizer regex."""
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc token counts: whitespace tokens + BPE-ish tokens + chars."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("n_words"),
+        F.size(bpe_ish_tokens(t)).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit ratio per candidate language."""
+    toks = tokens(F.lower(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda w: w.isin(*words)))
+        out[lang] = hits / n
+    return out
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, min_ratio: float = 0.01) -> DataFrame:
+    """Language-ID heuristic: argmax stopword-hit ratio, 'und' when no
+    language clears min_ratio. Deterministic tie-break by language code.
+    """
+    scores = lang_scores(F.col(text_col))
+    # build argmax as a chain of whens over languages sorted for determinism
+    langs = sorted(scores)
+    best_score = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (scores[lang] >= min_ratio) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    word-length plausibility, low punctuation density, stopword presence.
+
+    score = 0.25*len_ok + 0.25*wordlen_ok + 0.25*(1-punct_ratio)
+          + 0.25*min(1, 10*stopword_ratio)
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    avg_wlen = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n_words
+    )
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    punct_ratio = punct / n_chars
+    en_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin("the", "a", "of", "and")))
+    stop_ratio = en_hits / n_words
+    len_ok = F.when((F.length(t) >= 50) & (F.length(t) <= 10000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((avg_wlen >= 2.0) & (avg_wlen <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        0.25 * len_ok
+        + 0.25 * wordlen_ok
+        + 0.25 * (1.0 - punct_ratio)
+        + 0.25 * F.least(F.lit(1.0), 10.0 * stop_ratio)
+    )
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, window_k: int = 5) -> DataFrame:
+    """Winnowing-style rolling fingerprint: min md5-hash over word
+    `window_k`-grams of the lowercased text — robust to whitespace-only
+    edits; equal fingerprints flag near-identical prefixes/contents."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window_k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, window_k), " "),
+    )
+    h = F.array_min(
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    )
+    return df.select(
+        F.col(id_col), F.coalesce(h, F.lit(-1).cast("long")).alias("fingerprint")
+    )

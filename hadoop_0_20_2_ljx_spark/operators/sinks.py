@@ -1,0 +1,90 @@
+"""Sink operators.
+
+Reference counterparts (SURVEY.md §2.2):
+  - TextOutputFormat                (mapred/TextOutputFormat.java:40)
+  - SequenceFileOutputFormat        (mapred/SequenceFileOutputFormat.java:41)
+  - MapFileOutputFormat             (mapred/MapFileOutputFormat.java:39)
+  - MultipleOutputFormat            (mapred/lib/MultipleOutputFormat.java:51)
+  - MultipleOutputs named outputs   (mapred/lib/MultipleOutputs.java:70-104)
+  - NullOutputFormat                (mapred/lib/NullOutputFormat.java:34)
+
+All writes go through Spark's committer (the reference's
+FileOutputCommitter _temporary staging protocol is literally the ancestor
+of Spark's). Parquet is the SequenceFile successor: columnar, splittable,
+predicate-pushdown-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_text_kv(df: DataFrame, path: str, sep: str = "\t") -> None:
+    """TextOutputFormat: key<sep>value lines (separator knob
+    mapred.textoutputformat.separator:116 -> the csv sep option)."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.concat_ws(sep, *cols).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_text_kv(spark: SparkSession, path: str, schema: str, sep: str = "\t") -> DataFrame:
+    """Re-read TextOutputFormat output with a typed schema (the
+    KeyValueTextInputFormat round trip)."""
+    return spark.read.csv(path, sep=sep, schema=schema)
+
+
+def write_parquet(df: DataFrame, path: str, codec: str = "snappy") -> None:
+    """SequenceFileOutputFormat: K/V container with compression-type knob
+    (:211-217) -> parquet with a codec option."""
+    df.write.mode("overwrite").option("compression", codec).parquet(path)
+
+
+def write_sorted_keyed(df: DataFrame, path: str, key: str, num_ranges: int = 4) -> None:
+    """MapFileOutputFormat: sorted, point-lookup-able output.
+
+    Range-partition by key then sort within partitions: every file is a
+    sorted key range, and parquet row-group min/max stats are the MapFile
+    index — a point lookup prunes to one file + one row group
+    (MapFile.seekInternal:415 ≅ pushed-down key predicate).
+    """
+    df.repartitionByRange(num_ranges, key).sortWithinPartitions(key).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def lookup_keyed(spark: SparkSession, path: str, key: str, value) -> DataFrame:
+    """MapFileOutputFormat.getEntry: point lookup via pushdown filter."""
+    return spark.read.parquet(path).filter(F.col(key) == value)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """MultipleOutputFormat: route rows to files by a derived name ->
+    partitionBy directory layout (also buys partition pruning on re-read,
+    which the reference never had)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_named_outputs(df: DataFrame, base_path: str, routes: dict[str, F.Column]) -> dict[str, str]:
+    """MultipleOutputs (addNamedOutput/getCollector :70-104): N named side
+    outputs from one logical pass. Spark form: one filtered write per
+    name; with the source cached, the scan cost is paid once.
+
+    Returns {name: path}.
+    """
+    df = df.cache()
+    paths = {}
+    try:
+        for name, predicate in routes.items():
+            p = f"{base_path}/{name}"
+            df.filter(predicate).write.mode("overwrite").parquet(p)
+            paths[name] = p
+    finally:
+        df.unpersist()
+    return paths
+
+
+def write_noop(df: DataFrame) -> int:
+    """NullOutputFormat: consume and discard — returns the row count so
+    the pipeline still materializes (the reference used it for
+    side-effect-only jobs)."""
+    return df.count()

@@ -1,0 +1,90 @@
+"""Sort / partition / top-k operators.
+
+Reference counterparts (SURVEY.md §2.4):
+  - KeyFieldBasedComparator -k specs   (mapred/lib/KeyFieldBasedComparator.java:33-120)
+  - TotalOrderPartitioner + InputSampler
+                                       (mapred/lib/TotalOrderPartitioner.java:41,
+                                        mapred/lib/InputSampler.java:89-418)
+  - TeraSort                           (examples/.../terasort/TeraSort.java:50)
+  - Secondary sort                     (mapred/JobConf.java:708,
+                                        examples/.../SecondarySort.java:57)
+  - Top-k (Grep job 2)                 (examples/.../Grep.java:71-84)
+
+Scale notes: global sorts use orderBy, whose RangePartitioner does the
+same sample-then-range-partition dance as TotalOrderPartitioner+
+InputSampler, but distributed (no driver-collected partition file).
+Secondary sort avoids per-key value materialization by sorting within
+partitions after a hash repartition — the reference's exact execution
+shape (partition by key, sort by (key, value)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_field_sort(df: DataFrame, keys: list[tuple[str, bool, bool]]) -> DataFrame:
+    """KeyFieldBasedComparator: sort(1)-style multi-field sort.
+
+    keys: [(column, numeric, reverse)]. 'numeric' reproduces -n (numeric
+    compare of a string field, KeyFieldBasedComparator.numericalCompare
+    :112) via a double cast; 'reverse' is -r.
+    """
+    order: list[Column] = []
+    for col, numeric, reverse in keys:
+        c = F.col(col).cast("double") if numeric else F.col(col)
+        order.append(c.desc() if reverse else c.asc())
+    return df.orderBy(*order)
+
+
+def total_order_sort(df: DataFrame, *cols: str, num_partitions: int | None = None) -> DataFrame:
+    """TotalOrderPartitioner + InputSampler + sort, in one declarative op.
+
+    orderBy's RangePartitioner samples keys (like InputSampler.RandomSampler
+    :162), computes split points (like writePartitionFile :314), range-
+    partitions, then sorts within partitions — output files are globally
+    ordered, the TeraSort contract. No driver-side partition file.
+    """
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)
+
+
+def secondary_sort_agg(
+    df: DataFrame, group_key: str, order_col: Column, emit_col: str, desc: bool = False
+) -> DataFrame:
+    """Secondary sort, aggregate form: per group, the list of `emit_col`
+    ordered by `order_col` (ties broken by emit_col for determinism — the
+    reference achieves a total order by making the comparator see the full
+    composite key, SecondarySort.java:133).
+
+    Implemented as sort_array(collect_list(struct(...))) — a single
+    shuffle, partial-aggregated; the struct's first field drives the
+    order. Returns (group_key, ordered: array).
+    """
+    key = F.col(order_col) if isinstance(order_col, str) else order_col
+    sort_key = (-key) if desc else key
+    packed = F.struct(sort_key.alias("sk"), F.col(emit_col).alias("v"))
+    return df.groupBy(group_key).agg(
+        F.transform(F.sort_array(F.collect_list(packed)), lambda s: s["v"]).alias("ordered")
+    )
+
+
+def secondary_sort_stream(df: DataFrame, group_key: str, *order_cols: Column) -> DataFrame:
+    """Secondary sort, streaming form: hash-partition by group key, sort
+    within partitions by (key, value) — byte-for-byte the reference's
+    physical plan (partitioner on key, sort comparator on composite,
+    grouping comparator on key; ReduceTask.ReduceValuesIterator:227).
+    Downstream per-group iteration (e.g. mapInPandas) sees each group
+    contiguous and internally ordered, with nothing materialized per key.
+    """
+    return df.repartition(F.col(group_key)).sortWithinPartitions(F.col(group_key), *order_cols)
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Grep's job 2: single reducer + descending sort + head. Spark's
+    orderBy().limit() compiles to TakeOrderedAndProject — each partition
+    keeps a k-heap, the driver merges k*P rows. No single-reducer
+    bottleneck at any scale."""
+    return df.orderBy(*order_cols).limit(k)

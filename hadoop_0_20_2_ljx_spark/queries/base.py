@@ -1,0 +1,51 @@
+"""Query-registry plumbing.
+
+Every declared query from SURVEY.md §2 is a QueryDef: a PySpark callable
+(spark, sf_dir) -> DataFrame plus (when SQL-expressible) the equivalent
+DuckDB oracle SQL over the same parquet tables. Column names and rounding
+are aligned on both sides because the driver compares sorted-by-name
+columns via order-insensitive value hash.
+
+Cross-engine ground rules used throughout:
+  - hashes: md5-derived (functions/portable.py) — identical bits in both.
+  - float aggregates: explicit round() at the same precision both sides
+    (summation order differs between engines; raw double sums don't
+    hash-match).
+  - timestamps: always output as formatted strings (UTC both sides).
+  - computed integers: cast to long/BIGINT both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_0_20_2_ljx_spark import catalog
+
+# scratch space for sink round-trip queries (gitignored)
+TMP_ROOT = "/root/repo/.tmp"
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """One declared query: Spark implementation + optional DuckDB oracle."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB rendering of functions.portable.portable_hash32."""
+    return f"CAST(('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def h64_sql(expr: str) -> str:
+    """DuckDB rendering of functions.portable.portable_hash64."""
+    return f"CAST(('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 15)) AS BIGINT)"

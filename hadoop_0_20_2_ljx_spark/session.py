@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+The reference engine's runtime knobs (io.sort.mb, shuffle buffer pct,
+speculative execution — MapTask.java:762-764, ReduceTask.java:988-997,
+TaskInProgress.java:56-57) map onto Spark's built-in shuffle/AQE/memory
+machinery; the only tuning our layer owns is the declarative config below.
+
+Scale posture: these settings are chosen so the same plans survive a
+1000-executor cluster — AQE handles skew/coalescing at runtime, partition
+sizes are bounded by bytes not file counts, and the session timezone is
+pinned to UTC so event-time semantics are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ljx-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    local[N] for tests; on a real cluster the master comes from
+    spark-submit and everything here still applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # AQE: runtime re-plan — partition coalescing, skew-join splitting,
+        # dynamic broadcast. Essential at 100 TB where static estimates lie.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Split sizing: the reference's LJX patch (FileInputFormat.java:211)
+        # made split size = max(minSize, min(maxSplitSize, blockSize)) —
+        # exactly this knob's model.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.openCostInBytes", "4194304")
+        # Arrow for every pandas UDF / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Event-time determinism: naive timestamps == UTC (matches DuckDB).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos type,
+        # so read as long and convert in the catalog (floor to micros, which
+        # is exactly what DuckDB does when it reads TIMESTAMP_NS).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
