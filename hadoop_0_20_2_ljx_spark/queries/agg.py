@@ -1,0 +1,176 @@
+"""Declared queries: aggregation library (Q-agg-1..7, SURVEY.md §2.5).
+
+Spark's HashAggregate always runs partial (map-side combiner,
+MapTask.java:1298) + final — every query here gets the reference's
+combiner optimization automatically. Float sums are rounded identically
+on both sides because summation order is engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.operators import aggregates
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+
+
+# --- Q-agg-1: WordCount ------------------------------------------------------
+def _wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.word_count(T(spark, sf, "documents"), "text")
+
+
+# --- Q-agg-2: TPC-H Q1 shape -------------------------------------------------
+def _tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-12-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- Q-agg-3: min/max aggregators --------------------------------------------
+def _minmax(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.multi_aggregate(
+        T(spark, sf, "orders"),
+        "o_orderpriority",
+        {
+            "min_price": F.min("o_totalprice"),
+            "max_price": F.max("o_totalprice"),
+            "n": F.count("*"),
+        },
+    )
+
+
+# --- Q-agg-4: UniqValueCount exact -------------------------------------------
+def _distinct_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").withColumn("bucket", F.col("l_partkey") % 100)
+    return aggregates.uniq_value_count(li, "bucket", "l_suppkey", approx=False)
+
+
+# --- Q-agg-4b: UniqValueCount capped == approx -------------------------------
+def _approx_distinct_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").withColumn("bucket", F.col("l_partkey") % 100)
+    return aggregates.uniq_value_count(li, "bucket", "l_suppkey", approx=True)
+
+
+# --- Q-agg-5: ValueHistogram -------------------------------------------------
+def _histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    out = aggregates.value_histogram(ev, (F.col("user_id") % 100).alias("bucket"), "event_type")
+    return out.withColumnRenamed("hkey", "bucket")
+
+
+_HISTOGRAM_SQL = """
+WITH freqs AS (
+  SELECT user_id % 100 AS bucket, event_type, CAST(count(*) AS BIGINT) AS freq
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket,
+  CAST(sum(freq) AS BIGINT) AS n_items,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  min(freq) AS min_freq,
+  max(freq) AS max_freq,
+  list_sort(list(freq))[CAST(floor(count(*) / 2) AS INT) + 1] AS median_freq,
+  round(avg(freq), 6) AS avg_freq,
+  round(coalesce(stddev_pop(freq), 0.0), 6) AS stddev_freq
+FROM freqs GROUP BY bucket
+"""
+
+
+# --- Q-agg-6: ValueAggregatorJob one-pass multi-aggregate --------------------
+def _multi_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.multi_aggregate(
+        T(spark, sf, "events"),
+        "event_type",
+        {
+            "sum_value": F.round(F.sum("value"), 2),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+            "n": F.count("*"),
+            "n_users": F.countDistinct("user_id"),
+        },
+    )
+
+
+# --- Q-agg-7 (extra): rollup -------------------------------------------------
+def _rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_agg_wordcount": QueryDef(
+        _wordcount,
+        "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS word "
+        "FROM documents) GROUP BY word",
+        "Q-agg-1 WordCount w/ combiner (examples/.../WordCount.java:61, mapred/lib/LongSumReducer.java:36)",
+    ),
+    "q_agg_tpch_q1": QueryDef(
+        _tpch_q1,
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, "
+        "round(sum(l_extendedprice),2) AS sum_base_price, "
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, "
+        "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, "
+        "round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price, "
+        "round(avg(l_discount),6) AS avg_disc, CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01' "
+        "GROUP BY l_returnflag, l_linestatus",
+        "Q-agg-2 TPC-H Q1 shape (mapred/lib/aggregate/DoubleValueSum.java)",
+    ),
+    "q_agg_minmax": QueryDef(
+        _minmax,
+        "SELECT o_orderpriority, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, "
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1",
+        "Q-agg-3 LongValueMax/Min (mapred/lib/aggregate/LongValueMax.java)",
+    ),
+    "q_agg_distinct": QueryDef(
+        _distinct_per_bucket,
+        "SELECT l_partkey % 100 AS bucket, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS uniq_cnt "
+        "FROM lineitem GROUP BY 1",
+        "Q-agg-4 UniqValueCount exact (mapred/lib/aggregate/UniqValueCount.java:30)",
+    ),
+    "q_agg_approx_distinct": QueryDef(
+        _approx_distinct_per_bucket,
+        None,  # HLL++ estimates are engine-specific; driver records rows-only
+        "Q-agg-4b UniqValueCount with maxNumItems cap == bounded-memory approx "
+        "(mapred/lib/aggregate/UniqValueCount.java:36)",
+    ),
+    "q_agg_histogram": QueryDef(
+        _histogram,
+        _HISTOGRAM_SQL,
+        "Q-agg-5 ValueHistogram report (mapred/lib/aggregate/ValueHistogram.java:33-168)",
+    ),
+    "q_agg_multi": QueryDef(
+        _multi_agg,
+        "SELECT event_type, round(sum(value),2) AS sum_value, min(value) AS min_value, "
+        "max(value) AS max_value, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1",
+        "Q-agg-6 ValueAggregatorJob one-pass multi-aggregate "
+        "(mapred/lib/aggregate/ValueAggregatorJob.java:110)",
+    ),
+    "q_agg_rollup": QueryDef(
+        _rollup,
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(l_quantity),2) AS sum_qty FROM lineitem "
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+        "Q-agg-7 (engine extra) grouping-set rollup — absent in the reference",
+    ),
+}

@@ -1,0 +1,124 @@
+"""Declared queries: sinks (Q-sink-1..5, SURVEY.md §2.2).
+
+Each query exercises a real write + re-read round trip through Spark's
+committer, then returns an aggregate the DuckDB oracle reproduces straight
+from the source table — proving the sink lost/changed nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.operators import sinks
+from hadoop_0_20_2_ljx_spark.queries.base import TMP_ROOT, QueryDef, T
+
+
+def _tmp(name: str) -> str:
+    path = os.path.join(TMP_ROOT, name)
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    return path
+
+
+# --- Q-sink-1: TextOutputFormat round trip -----------------------------------
+def _sink_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    path = _tmp("q_sink_text")
+    sinks.write_text_kv(src, path, sep="\t")
+    back = sinks.read_text_kv(spark, path, "o_orderkey long, o_orderstatus string", sep="\t")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_orderkey") % 1000003).alias("key_sum")
+    )
+
+
+# --- Q-sink-2: SequenceFile(parquet) round trip ------------------------------
+def _sink_parquet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders").groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    path = _tmp("q_sink_parquet")
+    sinks.write_parquet(src, path, codec="snappy")
+    return spark.read.parquet(path)
+
+
+# --- Q-sink-3: MapFileOutputFormat sorted write + point lookup ---------------
+def _sink_sorted_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = _tmp("q_sink_sorted")
+    sinks.write_sorted_keyed(src, path, key="o_orderkey", num_ranges=4)
+    return sinks.lookup_keyed(spark, path, "o_orderkey", 777).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --- Q-sink-4: MultipleOutputFormat partitionBy ------------------------------
+def _sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    path = _tmp("q_sink_partitioned")
+    sinks.write_partitioned(src, path, "l_returnflag")
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+# --- Q-sink-5: MultipleOutputs named side outputs ----------------------------
+def _sink_named_outputs(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders")
+    base = _tmp("q_sink_named")
+    paths = sinks.write_named_outputs(
+        src,
+        base,
+        {"fulfilled": F.col("o_orderstatus") == "F", "open": F.col("o_orderstatus") == "O"},
+    )
+    outs = []
+    for name, p in sorted(paths.items()):
+        outs.append(
+            spark.read.parquet(p).agg(
+                F.lit(name).alias("output_name"),
+                F.count("*").alias("n"),
+                F.sum(F.col("o_orderkey") % 1000003).alias("key_sum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_sink_text_roundtrip": QueryDef(
+        _sink_text_roundtrip,
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum FROM orders GROUP BY 1",
+        "Q-sink-1 TextOutputFormat round trip (mapred/TextOutputFormat.java:40)",
+    ),
+    "q_sink_parquet_roundtrip": QueryDef(
+        _sink_parquet_roundtrip,
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice),2) AS total "
+        "FROM orders GROUP BY 1",
+        "Q-sink-2 SequenceFileOutputFormat round trip (mapred/SequenceFileOutputFormat.java:41)",
+    ),
+    "q_sink_sorted_lookup": QueryDef(
+        _sink_sorted_lookup,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 777",
+        "Q-sink-3 MapFileOutputFormat sorted write + getEntry lookup "
+        "(mapred/MapFileOutputFormat.java:39, io/MapFile.java:415)",
+    ),
+    "q_sink_partitioned": QueryDef(
+        _sink_partitioned,
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity),2) AS qty "
+        "FROM lineitem GROUP BY 1",
+        "Q-sink-4 MultipleOutputFormat -> partitionBy (mapred/lib/MultipleOutputFormat.java:51)",
+    ),
+    "q_sink_named_outputs": QueryDef(
+        _sink_named_outputs,
+        "SELECT 'fulfilled' AS output_name, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum FROM orders WHERE o_orderstatus='F' "
+        "UNION ALL SELECT 'open', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey % 1000003) AS BIGINT) "
+        "FROM orders WHERE o_orderstatus='O'",
+        "Q-sink-5 MultipleOutputs named outputs (mapred/lib/MultipleOutputs.java:70-104)",
+    ),
+}

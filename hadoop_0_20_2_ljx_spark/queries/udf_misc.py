@@ -1,0 +1,202 @@
+"""Declared queries: UDF surface, skip-bad-records, Pi, JSON scalar,
+streaming-batch extras (Q-udf-1/2, Q-filter-2, Q-num-1, Q-fn-1,
+Q-stream-1/2 — SURVEY.md §2.3/2.8/2.9/2.10).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hadoop_0_20_2_ljx_spark.operators.generators import halton_pi_exact, pi_estimate
+from hadoop_0_20_2_ljx_spark.queries.agg import _HISTOGRAM_SQL
+from hadoop_0_20_2_ljx_spark.queries.base import TMP_ROOT, QueryDef, T
+from hadoop_0_20_2_ljx_spark.streaming.windows import sessionize, tumbling_counts
+
+
+# --- Q-udf-1: scalar Python UDF (Arrow-vectorized) ---------------------------
+def _udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's Mapper-as-UDF surface (mapred/Mapper.java:133) as a
+    vectorized pandas UDF — Arrow batches, not row-at-a-time."""
+
+    @pandas_udf("string")
+    def rev_upper(s: pd.Series) -> pd.Series:
+        return s.str.upper().map(lambda x: x[::-1] if x is not None else None)
+
+    return T(spark, sf, "customer").select(
+        "c_custkey", rev_upper(F.col("c_name")).alias("rname")
+    )
+
+
+# --- Q-udf-2: grouped pandas UDAF re-implementing ValueHistogram -------------
+def _udf_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """UserDefinedValueAggregatorDescriptor surface
+    (mapred/lib/aggregate/UserDefinedValueAggregatorDescriptor.java:35):
+    a custom aggregator as applyInPandas. Reproduces the ValueHistogram
+    report (same output contract as q_agg_histogram) in Python — the
+    'plugin UDAF' path, whereas q_agg_histogram is the built-in path."""
+    ev = T(spark, sf, "events").withColumn("bucket", F.col("user_id") % 100)
+
+    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        freqs = pdf.groupby("event_type").size().sort_values(kind="stable").values
+        n = len(freqs)
+        import math
+
+        mean = float(freqs.sum()) / n
+        var = float(((freqs - mean) ** 2).sum()) / n
+        return pd.DataFrame(
+            {
+                "bucket": [pdf["bucket"].iloc[0]],
+                "n_items": [int(freqs.sum())],
+                "n_unique": [n],
+                "min_freq": [int(freqs.min())],
+                "max_freq": [int(freqs.max())],
+                "median_freq": [int(sorted(freqs)[n // 2])],
+                "avg_freq": [round(mean, 6)],
+                "stddev_freq": [round(math.sqrt(var), 6)],
+            }
+        )
+
+    return ev.groupBy("bucket").applyInPandas(
+        hist,
+        schema="bucket long, n_items long, n_unique long, min_freq long, max_freq long, "
+        "median_freq long, avg_freq double, stddev_freq double",
+    )
+
+
+# --- Q-filter-2: SkipBadRecords / malformed-line drop ------------------------
+def _filter_skipbad(spark: SparkSession, sf: str) -> DataFrame:
+    """Render orders as delimited text with ~1% deterministically corrupted
+    lines (delimiters stripped when o_orderkey % 100 == 7, FIXTURES.md),
+    then parse with DROPMALFORMED — the declarative SkipBadRecords
+    (mapred/SkipBadRecords.java:51): bad records skipped, not fatal."""
+    o = T(spark, sf, "orders")
+    line = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 100 == 7, F.regexp_replace(line, r"\|", ""))
+        .otherwise(line)
+        .alias("value")
+    )
+    path = os.path.join(TMP_ROOT, "q_filter_skipbad")
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    dirty.write.mode("overwrite").text(path)
+    parsed = spark.read.csv(
+        path,
+        sep="|",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_orderpriority string",
+        mode="DROPMALFORMED",
+    )
+    # corrupted lines concatenate all fields into a non-numeric first token
+    # -> bigint parse fails -> row dropped
+    return parsed.filter(F.col("o_orderkey").isNotNull()).agg(
+        F.count("*").alias("n_good"), F.sum(F.col("o_orderkey") % 1000003).alias("key_sum")
+    )
+
+
+# --- Q-num-1: PiEstimator ----------------------------------------------------
+_PI_N = 10000
+
+
+def _num_pi(spark: SparkSession, sf: str) -> DataFrame:
+    return pi_estimate(spark, _PI_N)
+
+
+# --- Q-fn-1: JSON scalar over events.props -----------------------------------
+def _fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select((k % 10).alias("k_mod")).groupBy("k_mod").agg(F.count("*").alias("n"))
+
+
+# --- Q-stream-1: tumbling window (batch-equivalent semantics) ----------------
+def _stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return tumbling_counts(T(spark, sf, "events"), "1 hour")
+
+
+# --- Q-stream-2: sessionization ----------------------------------------------
+def _stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    s = sessionize(T(spark, sf, "events"), gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("session_start").alias("last_session_start"),
+    )
+
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sids AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+), sessions AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+  FROM sids GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(n_events) AS BIGINT) AS n_events,
+  max(session_start) AS last_session_start
+FROM sessions GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_udf_scalar": QueryDef(
+        _udf_scalar,
+        "SELECT c_custkey, reverse(upper(c_name)) AS rname FROM customer",
+        "Q-udf-1 Mapper-as-UDF, Arrow-vectorized (mapred/Mapper.java:133)",
+    ),
+    "q_udf_histogram": QueryDef(
+        _udf_histogram,
+        _HISTOGRAM_SQL,  # same contract as q_agg_histogram's oracle
+        "Q-udf-2 plugin UDAF via applyInPandas "
+        "(mapred/lib/aggregate/UserDefinedValueAggregatorDescriptor.java:35)",
+    ),
+    "q_filter_skipbad": QueryDef(
+        _filter_skipbad,
+        "SELECT CAST(count(*) AS BIGINT) AS n_good, CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum "
+        "FROM orders WHERE o_orderkey % 100 <> 7",
+        "Q-filter-2 SkipBadRecords -> DROPMALFORMED (mapred/SkipBadRecords.java:51)",
+    ),
+    "q_num_pi": QueryDef(
+        _num_pi,
+        f"SELECT CAST({halton_pi_exact(_PI_N)} AS DOUBLE) AS pi_est, {_PI_N} AS n_points",
+        "Q-num-1 PiEstimator Halton sequence — exact expected value at fixed N "
+        "(examples/.../PiEstimator.java:154)",
+    ),
+    "q_fn_json": QueryDef(
+        _fn_json,
+        "SELECT CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
+        "Q-fn-1 (engine extra) JSON scalar — absent in the reference",
+    ),
+    "q_stream_tumbling": QueryDef(
+        _stream_tumbling,
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        "event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2",
+        "Q-stream-1 (engine extra) tumbling event-time window — reference is batch-only "
+        "(SURVEY.md §2.10)",
+    ),
+    "q_stream_session": QueryDef(
+        _stream_session,
+        _SESSION_SQL,
+        "Q-stream-2 (engine extra) 30-min-gap sessionization — reference is batch-only",
+    ),
+}
