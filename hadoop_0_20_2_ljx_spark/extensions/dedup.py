@@ -117,26 +117,33 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token stream.
+def simhash64(text: Column, bits: int = 60) -> Column:
+    """SimHash of the token stream (60 bits: the md5-derived hash width).
 
-    Each token votes its 60-bit md5-derived hash bitwise (+1/-1); the
-    signature takes the sign of each bit's tally. HOF-only expressions.
+    Each token votes its hash bitwise (+1/-1); the signature takes the
+    sign of each bit's tally. The bit loop is unrolled in Python (Spark's
+    shift functions take only literal shift amounts), testing each bit
+    with bitwiseAND against a literal mask — still pure JVM expressions.
     """
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
-    def bit_vote(j: Column) -> Column:
+
+    def bit_contrib(j: int) -> Column:
+        mask = F.lit(1 << j).cast("long")
         votes = F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
         )
-        return F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
 
-    bits = F.transform(F.sequence(F.lit(0), F.lit(59)), lambda j: bit_vote(j.cast("int")))
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + bit_contrib(j)
+    return out.cast("long")
 
 
 def hamming64(a: Column, b: Column) -> Column:

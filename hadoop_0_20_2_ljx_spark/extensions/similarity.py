@@ -73,11 +73,10 @@ def sign_bucket(vec: Column, dims: int = 8) -> Column:
     An axis-aligned instance of the random-hyperplane LSH family —
     deterministic and engine-portable (same arithmetic in the oracle).
     """
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda i: F.when(F.element_at(vec, i + 1) > 0, F.shiftleft(F.lit(1), i.cast("int"))).otherwise(F.lit(0)),
-    )
-    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
+    out = F.lit(0)
+    for i in range(dims):
+        out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("int")
 
 
 def bucketed_ann(

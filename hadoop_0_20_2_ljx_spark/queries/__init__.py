@@ -9,9 +9,9 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 
 def _build() -> dict[str, QueryDef]:
     registry: dict[str, QueryDef] = {}
-    from hadoop_0_20_2_ljx_spark.queries import agg, core, join_set, sink, udf_misc
+    from hadoop_0_20_2_ljx_spark.queries import agg, core, ext, join_set, sink, udf_misc
 
-    for mod in (core, agg, join_set, sink, udf_misc):
+    for mod in (core, agg, join_set, sink, udf_misc, ext):
         for k, v in mod.QUERIES.items():
             if k in registry:
                 raise ValueError(f"duplicate query name {k}")

@@ -1,0 +1,334 @@
+"""Declared queries: training-data-pipeline extensions (SURVEY.md §7.4).
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + bucketed ANN), text analysis (lang-ID / quality / tokens /
+fingerprint), multimodal plumbing. All hashes are md5-derived so the
+DuckDB oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import dedup, multimodal, similarity, textstats
+from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h32_sql, h64_sql
+
+# DuckDB renderings of the shared text primitives (word list / shingles),
+# kept in lockstep with extensions.dedup.word_shingles semantics.
+_WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), w -> w <> '')"
+
+
+def _shingles_sql(words: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({words}) >= {k} THEN list_distinct(list_transform("
+        f"range(len({words}) - {k} + 1), "
+        f"i -> array_to_string(({words})[i+1:i+{k}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+# --- dedup: exact ------------------------------------------------------------
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = dedup.exact_dedup(T(spark, sf, "documents"), ["text"])
+    return d.agg(
+        F.count("*").alias("n_unique"),
+        F.sum(portable_hash32(F.col("text")) % 1000003).alias("text_hash_sum"),
+    )
+
+
+# --- dedup: MinHash + LSH candidate pairs ------------------------------------
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        T(spark, sf, "documents"), "doc_id", "text", num_hashes=16, bands=4, shingle_k=3
+    )
+
+
+def _minhash_oracle() -> str:
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 3)
+    sig_elem = (
+        "coalesce(list_min(list_transform(sh, g -> "
+        + h32_sql("g || '#' || CAST(s AS VARCHAR)")
+        + ")), -1)"
+    )
+    bucket = h32_sql(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(16), s -> {sig_elem}) AS sig
+  FROM shingled
+),
+bands AS (
+  SELECT doc_id, b, {bucket} AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# --- dedup: SimHash signatures -----------------------------------------------
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "documents").select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+    )
+
+
+def _simhash_oracle() -> str:
+    words = _WORDS.format(col="text")
+    h = h64_sql("w")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, list_transform({words}, w -> {h}) AS hashes FROM documents
+)
+SELECT doc_id,
+  CAST(coalesce(list_sum(list_transform(range(60), j ->
+    CASE WHEN coalesce(list_sum(list_transform(hashes, h -> ((h >> j) & 1) * 2 - 1)), 0) > 0
+         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS simhash
+FROM hashed
+"""
+
+
+# --- dedup: n-gram Jaccard pairs ---------------------------------------------
+def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        T(spark, sf, "documents"), "doc_id", "text", shingle_k=3, threshold=0.2
+    )
+
+
+def _jaccard_oracle() -> str:
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 3)
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+
+
+# --- similarity: brute-force knn --------------------------------------------
+def _embed_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_knn(emb, queries, k=10)
+
+
+_KNN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    list_inner_product(q.qv, e.v) /
+      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+  FROM e, q WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 10
+"""
+
+
+# --- similarity: sign-LSH bucketed ANN ---------------------------------------
+def _embed_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.bucketed_ann(emb, queries, k=5, bucket_dims=8)
+
+
+_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CAST(coalesce(list_sum(list_transform(range(8),
+      i -> CASE WHEN embedding[i+1] > 0 THEN (1 << i) ELSE 0 END)), 0) AS INT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    list_inner_product(q.qv, e.v) /
+      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5
+"""
+
+
+# --- text: language id -------------------------------------------------------
+def _text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    pred = textstats.lang_id(docs, "doc_id", "text", min_ratio=0.01)
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return joined.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def _langid_oracle() -> str:
+    toks = _WORDS.format(col="lower(text)")
+    score = {}
+    for lang, words in sorted(textstats.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score[lang] = (
+            f"(len(list_filter({toks}, w -> w IN ({inlist}))) / greatest(len({toks}), 1))"
+        )
+    best = "greatest(" + ", ".join(score[lang] for lang in sorted(score)) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} >= 0.01 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(score)
+    )
+    return f"""
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT lang, CASE {whens} ELSE 'und' END AS lang_pred FROM documents
+) GROUP BY 1, 2
+"""
+
+
+# --- text: quality score -----------------------------------------------------
+def _text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.quality_score(T(spark, sf, "documents"), "doc_id", "text")
+
+
+def _quality_oracle() -> str:
+    toks = _WORDS.format(col="text")
+    return f"""
+SELECT doc_id, round(
+  0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END)
++ 0.25 * (CASE WHEN (list_sum(list_transform({toks}, w -> length(w))) / greatest(len({toks}), 1)) >= 2.0
+               AND (list_sum(list_transform({toks}, w -> length(w))) / greatest(len({toks}), 1)) <= 12.0
+          THEN 1.0 ELSE 0.0 END)
++ 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1))
++ 0.25 * least(1.0, 10.0 * (len(list_filter({toks}, w -> lower(w) IN ('the','a','of','and')))
+                            / greatest(len({toks}), 1))), 6) AS quality
+FROM documents
+"""
+
+
+# --- text: token stats -------------------------------------------------------
+def _text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        F.size(textstats.tokens(t)).cast("long").alias("n_words"),
+        F.size(textstats.bpe_ish_tokens(t)).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def _tokens_oracle() -> str:
+    toks = _WORDS.format(col="text")
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len({toks})) AS BIGINT) AS words,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens,
+  CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+
+# --- text: winnowing fingerprint ---------------------------------------------
+def _text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.doc_fingerprint(T(spark, sf, "documents"), "doc_id", "text", window_k=5)
+
+
+def _fingerprint_oracle() -> str:
+    toks = _WORDS.format(col="lower(text)")
+    gram = f"array_to_string(({toks})[i+1:i+5], ' ')"
+    return f"""
+SELECT doc_id, CAST(coalesce(list_min(list_transform(
+  range(greatest(len({toks}) - 5, 0) + 1), i -> {h64_sql(gram)})), -1) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+# --- multimodal: binary payload + fake-decode feature extraction -------------
+def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(T(spark, sf, "documents"), "doc_id", "text")
+    feats = multimodal.decode_features(media, fake=True)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("byte_sum64").alias("byte_sum"),
+        F.min("first_byte").alias("min_first_byte"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT 'image' AS media_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+  CAST(sum(coalesce(list_sum(list_transform(range(least(length(text), 64)),
+    i -> ascii(text[i+1]))), 0)) AS BIGINT) AS byte_sum,
+  CAST(min(ascii(text[1])) AS INT) AS min_first_byte
+FROM documents
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_dedup_exact": QueryDef(
+        _dedup_exact,
+        f"SELECT CAST(count(*) AS BIGINT) AS n_unique, "
+        f"CAST(sum({h32_sql('text')} % 1000003) AS BIGINT) AS text_hash_sum "
+        f"FROM (SELECT DISTINCT text FROM documents)",
+        "extension: exact dedup (hash-groupBy)",
+    ),
+    "q_dedup_minhash": QueryDef(
+        _dedup_minhash,
+        _minhash_oracle(),
+        "extension: MinHash(16)+LSH(4 bands) near-dup candidate pairs",
+    ),
+    "q_dedup_simhash": QueryDef(
+        _dedup_simhash, _simhash_oracle(), "extension: 60-bit SimHash signatures"
+    ),
+    "q_dedup_jaccard": QueryDef(
+        _dedup_jaccard,
+        _jaccard_oracle(),
+        "extension: exact word-3gram Jaccard pairs >= 0.2",
+    ),
+    "q_embed_knn": QueryDef(
+        _embed_knn, _KNN_SQL, "extension: brute-force cosine top-10 (broadcast queries)"
+    ),
+    "q_embed_ann": QueryDef(
+        _embed_ann, _ANN_SQL, "extension: sign-LSH bucketed ANN top-5"
+    ),
+    "q_text_langid": QueryDef(
+        _text_langid, _langid_oracle(), "extension: stopword-ratio language ID confusion counts"
+    ),
+    "q_text_quality": QueryDef(
+        _text_quality, _quality_oracle(), "extension: heuristic quality scoring"
+    ),
+    "q_text_tokens": QueryDef(
+        _text_tokens, _tokens_oracle(), "extension: whitespace + BPE-ish token counting"
+    ),
+    "q_text_fingerprint": QueryDef(
+        _text_fingerprint, _fingerprint_oracle(), "extension: winnowing-style doc fingerprint"
+    ),
+    "q_multimodal_features": QueryDef(
+        _multimodal_features,
+        _MULTIMODAL_SQL,
+        "extension: binary media columns + Arrow-batched (fake-)decode features",
+    ),
+}
