@@ -36,7 +36,7 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str, media_type:
         F.lit(media_type).alias("media_type"),
         payload.alias("payload"),
         F.struct(
-            F.octet_length(payload).alias("n_bytes"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
             F.lit(f"application/x-{media_type}").alias("mime"),
             F.md5(payload).alias("checksum"),
         ).alias("meta"),

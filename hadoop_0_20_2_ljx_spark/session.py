@@ -14,10 +14,37 @@ pinned to UTC so event-time semantics are cluster-invariant.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    UDF closures reference package modules (e.g. ``generators.halton``),
+    which cloudpickle serializes *by reference* — workers must be able to
+    import the package. On a cluster that means shipping a zip (the
+    ``--py-files`` model); locally it also protects against the driver
+    running from a different cwd. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ljx_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"ljx_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._ljx_pkg_shipped = True
 
 
 def get_spark(
@@ -64,4 +91,6 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

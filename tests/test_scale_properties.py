@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the 100 TB posture, checked mechanically.
+
+These tests read .explain() output and fail if a scale property regresses:
+filter/limit pushdown into the parquet scan, broadcast strategy for small
+dims, partial aggregation (the combiner), no cartesian products in joins.
+The reference made users hand-build these (SURVEY.md §4.1); here Catalyst
+provides them and these tests pin that they stay provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from hadoop_0_20_2_ljx_spark import catalog
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """A key predicate must appear as PushedFilters on the scan — the
+    MapFile point-lookup contract (io/MapFile.java:415 ≅ row-group skip)."""
+    df = catalog.load(spark, SF_SMOKE, "orders").filter(F.col("o_orderkey") == 777)
+    formatted = plan_of(df)
+    assert "PushedFilters" in formatted
+    assert "o_orderkey" in formatted.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_parquet(spark):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = catalog.load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    formatted = plan_of(df)
+    read_schema = formatted.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_strategy(spark):
+    """The DistributedCache pattern must compile to BroadcastHashJoin —
+    no shuffle of the big side."""
+    li = catalog.load(spark, SF_SMOKE, "lineitem")
+    n = catalog.load(spark, SF_SMOKE, "supplier")
+    j = li.join(broadcast(n), li.l_suppkey == n.s_suppkey)
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_partial_aggregation_present(spark):
+    """groupBy must plan partial+final HashAggregate — the reference's
+    combiner (MapTask.java:1298), automatic here."""
+    df = (
+        catalog.load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    k-heap), not a global sort."""
+    df = catalog.load(spark, SF_SMOKE, "orders").orderBy(F.col("o_totalprice").desc()).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    """The hot aggregation path must be inside WholeStageCodegen."""
+    df = (
+        catalog.load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    )
+    df.collect()  # AQE only shows codegen stages in the final executed plan
+    plan = plan_of(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+def test_no_cartesian_in_registry_joins(spark):
+    """Every registry join query plans hash/merge joins, never
+    CartesianProduct (brute-force knn's crossJoin is broadcast — a
+    BroadcastNestedLoopJoin over a tiny side, which is the intended plan)."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    for name in ("q_join_inner", "q_join_3way", "q_join_broadcast", "q_join_semi_anti"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian product"
+
+
+def test_terasort_partitions_are_ranges(spark):
+    """total_order_sort must range-partition (RangePartitioning in the
+    plan), the TotalOrderPartitioner contract."""
+    from hadoop_0_20_2_ljx_spark.operators.generators import tera_gen
+    from hadoop_0_20_2_ljx_spark.operators.sorts import total_order_sort
+
+    df = total_order_sort(tera_gen(spark, 1000), "key", num_partitions=4)
+    assert "rangepartitioning" in plan_of(df).lower()
