@@ -80,24 +80,49 @@ def minhash_lsh_candidates(
     standard LSH probability semantics.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    banded = df.select(
-        F.col(id_col).alias("doc"),
+    ids = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+    # Relational minhash: explode shingles so each (doc, shingle) row hashes
+    # each seed exactly ONCE, then min-aggregate per doc. The groupBy is a
+    # barrier (signatures never recomputed downstream) and its shuffle — not
+    # the input split count — provides the parallelism, so a single small
+    # parquet file still uses every core, and at 100 TB the same plan holds.
+    exploded = ids.select("doc", F.explode(word_shingles(F.col("_text"), shingle_k)).alias("g"))
+    sc = df.sparkSession.sparkContext
+    exploded = exploded.repartition(sc.defaultParallelism, "doc")
+    mins = exploded.groupBy("doc").agg(
+        *[
+            F.min(_h32(F.concat_ws("#", F.col("g"), F.lit(str(s))))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    # Docs with no shingles (shorter than k words) still get the all--1
+    # signature, matching minhash_signature()'s coalesce semantics.
+    sigd = ids.select("doc").join(mins, "doc", "left").select(
+        "doc",
+        *[
+            F.coalesce(F.col(f"h{s}"), F.lit(-1).cast("long")).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    banded = sigd.select(
+        "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    _h32(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _h32(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + i}").cast("string")
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
