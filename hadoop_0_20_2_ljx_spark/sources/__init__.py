@@ -1,0 +1,13 @@
+"""Source connectors: container-file compat + partitioned external reads.
+
+Row-transform scan helpers live in operators/scans.py; this package holds
+the connectors with a real I/O format behind them.
+"""
+
+from hadoop_0_20_2_ljx_spark.sources.jdbc import read_jdbc_partitioned
+from hadoop_0_20_2_ljx_spark.sources.sequencefile import (
+    read_sequence_file,
+    write_sequence_file,
+)
+
+__all__ = ["read_jdbc_partitioned", "read_sequence_file", "write_sequence_file"]

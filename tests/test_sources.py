@@ -1,0 +1,37 @@
+"""Source connectors: SequenceFile wire-format roundtrip."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark import catalog
+from hadoop_0_20_2_ljx_spark.sources import read_sequence_file, write_sequence_file
+from tests.conftest import SF_SMOKE
+
+TMP = "/root/repo/.tmp/seqfile"
+
+
+def test_sequence_file_roundtrip_text(spark):
+    shutil.rmtree(TMP, ignore_errors=True)
+    cust = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_name").cast("string"), F.col("c_mktsegment").cast("string")
+    )
+    write_sequence_file(cust, TMP, "c_name", "c_mktsegment")
+    back = read_sequence_file(spark, TMP)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_sequence_file_roundtrip_numeric(spark):
+    shutil.rmtree(TMP, ignore_errors=True)
+    orders = catalog.load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_sequence_file(orders, TMP, "o_orderkey", "o_totalprice")
+    back = read_sequence_file(spark, TMP, "o_orderkey", "o_totalprice")
+    assert back.schema["o_orderkey"].dataType.typeName() == "long"
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert len(a) == len(b)
+    assert all(x[0] == y[0] and abs(x[1] - y[1]) < 1e-9 for x, y in zip(a, b))
+    shutil.rmtree(TMP, ignore_errors=True)

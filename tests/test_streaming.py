@@ -28,14 +28,14 @@ def _stage_events(spark):
     return ev
 
 
-def _run_stream(spark, make_stream, name):
+def _run_stream(spark, make_stream, name, mode=None):
     schema = spark.read.parquet(TMP).schema
     src = spark.readStream.schema(schema).parquet(TMP)
     out = make_stream(src)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if name == "tumbling" else "append")
+        .outputMode(mode or ("complete" if name == "tumbling" else "append"))
         .trigger(availableNow=True)
         .start()
     )
@@ -82,6 +82,38 @@ def test_session_stream_counts(spark):
         .agg(F.count("*").alias("sessions"), F.sum("n_events").alias("events"))
     )
     assert batch.collect()[0] == streamed.collect()[0]
+
+
+def test_stateful_running_stats_matches_batch(spark):
+    """applyInPandasWithState running per-user totals: one availableNow
+    pass over a static source must equal the batch groupBy aggregate
+    (each user's final update row carries the cumulative totals)."""
+    from hadoop_0_20_2_ljx_spark.streaming.stateful import running_user_stats_stream
+
+    ev = _stage_events(spark)
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    streamed = _run_stream(spark, running_user_stats_stream, "runstats", mode="update")
+    # update mode may emit a row per micro-batch per user; keep the last
+    # (max n_events) per user, which is the cumulative total.
+    final = streamed.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.round(F.max("sum_value"), 6).alias("sum_value")
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, final.collect()))
+
+
+def test_stateful_dedup_first_seen(spark):
+    """Streaming first-seen dedup emits exactly one row per distinct key."""
+    from hadoop_0_20_2_ljx_spark.streaming.stateful import dedup_first_seen_stream
+
+    ev = _stage_events(spark)
+    # Duplicate the whole input once so every event_id occurs >= 2 times.
+    spark.read.parquet(TMP).write.mode("append").parquet(TMP)
+    streamed = _run_stream(spark, dedup_first_seen_stream, "dedup_stream", mode="update")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert streamed.count() == n_distinct
+    assert streamed.select("event_id").distinct().count() == n_distinct
 
 
 def test_stream_cleanup():
