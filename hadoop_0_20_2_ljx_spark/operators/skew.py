@@ -1,0 +1,104 @@
+"""Skew mitigation: salting for hot keys, bucketing for co-located joins.
+
+Reference counterpart: none as an operator — the reference's skew story is
+documentation of the symptom (the 2008 TeraSort run's reduce outputs
+ranged 337-872 MB from imperfect range sampling,
+examples/.../terasort/package.html:108-110) plus speculative re-execution
+of stragglers (mapred/TaskInProgress.java:866-874). The user hand-fixed
+skew by writing a smarter Partitioner. These helpers are that smarter
+partitioner, expressed declaratively.
+
+At 100 TB the first defense is AQE's skew-join splitting
+(spark.sql.adaptive.skewJoin.enabled, on in session.py), which handles
+*join-input* skew at runtime. Salting is still needed where AQE can't
+reach: skewed groupBy keys (one reducer gets the hot key's entire group)
+and skewed broadcast-ineligible joins on a hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame, key: str, value: str, buckets: int = 16, alias: str = "sum_value"
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: groupBy (key, salt) — spreads
+    a hot key over `buckets` reducers — then re-aggregate by key.
+
+    For algebraic aggregates (sum/count/min/max) the two-phase result is
+    exact. Phase-2 input is at most (distinct_keys x buckets) rows, so the
+    second shuffle is negligible.
+    """
+    salt = (F.rand(seed=7) * buckets).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_psum"))
+    )
+    return partial.groupBy(key).agg(F.sum("_psum").alias(alias))
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed` has hot values of `key` and `dim` is too
+    big to broadcast: salt the skewed side with a random bucket, replicate
+    the dim side across all buckets, join on (key, salt).
+
+    Replication factor is `buckets` on the dim side only — the classic
+    skew-join rewrite. Result is row-identical to the plain join. Only
+    inner/left are expressible (an unmatched dim row would surface once
+    per replica under right/full).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salted = skewed.withColumn("_salt", (F.rand(seed=7) * buckets).cast("int"))
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = salted.join(replicated, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def top_hot_keys(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Diagnose skew: the heaviest keys and their share of all rows.
+
+    The count aggregate is itself skew-safe (partial aggregation collapses
+    each partition's hot-key rows to one record before the shuffle).
+    """
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("share", F.round(F.col("cnt") / F.lit(total), 6))
+        .orderBy(F.desc("cnt"))
+        .limit(top_n)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and sorted) by the join/group key —
+    the MapFile model (sorted + indexed, io/MapFile.java:219) generalized:
+    joins and groupBys on `key` between co-bucketed tables then need NO
+    shuffle (Catalyst sees the bucketing output partitioning).
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two co-bucketed saved tables on their bucket key — shuffle-free
+    (the CompositeInputFormat map-side merge join, done declaratively:
+    mapred/join/CompositeInputFormat.java:48 needed co-sorted co-partitioned
+    inputs; bucketed tables are exactly that contract)."""
+    return spark.table(left_table).join(spark.table(right_table), on=key)

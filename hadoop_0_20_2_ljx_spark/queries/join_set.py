@@ -94,6 +94,22 @@ def _join_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
+# --- Q-join-7 (extra): salted skew join --------------------------------------
+def _join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe join rewrite: salt the fact side, replicate the dim side
+    across salt buckets. Must be row-identical to the plain join, which is
+    exactly what the oracle asserts."""
+    from hadoop_0_20_2_ljx_spark.operators.skew import salted_join
+
+    li = T(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    o = T(spark, sf, "orders").withColumnRenamed("o_orderkey", "okey")
+    j = salted_join(li, o.select("okey", "o_orderpriority", "o_totalprice"), "okey", buckets=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
 # --- Q-set-1: bag union ------------------------------------------------------
 def _set_union(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
@@ -168,6 +184,15 @@ QUERIES: dict[str, QueryDef] = {
         "UNION ALL SELECT 'without_orders', CAST(count(*) AS BIGINT) FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
         "Q-join-6 (engine extra) semi/anti join — only hand patterns in the reference",
+    ),
+    "q_join_salted": QueryDef(
+        _join_salted,
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1",
+        "Q-join-7 (engine extra) salted skew-join rewrite — result-identical "
+        "to the plain join (the reference's skew story was speculative "
+        "re-execution only, mapred/TaskInProgress.java:866-874)",
     ),
     "q_set_union": QueryDef(
         _set_union,
