@@ -1,0 +1,128 @@
+"""Bloom filters: membership pre-filtering and parquet storage-level blooms.
+
+Reference counterparts:
+  - util/bloom/BloomFilter.java (+ DynamicBloomFilter, CountingBloomFilter)
+  - BloomMapFile (io/BloomMapFile.java) — MapFile plus a bloom of its keys,
+    consulted before the index seek.
+
+Two Spark-native renderings:
+  1. ``write_parquet_with_bloom`` — parquet's own column bloom filters
+     (row-group pruning on point predicates), the direct BloomMapFile
+     analog: the bloom lives WITH the data file.
+  2. ``bloom_prefilter`` — the classic semi-join reducer: build a bloom
+     over the small side's keys, drop big-side rows that cannot match
+     before the join shuffle. The build is distributed (bit positions
+     computed JVM-side, only the <= m distinct set positions ever reach
+     the driver — bounded by the bitmap size, not the data size); the
+     probe is an Arrow-batched pandas UDF over a broadcast bitmap.
+     Spark's own runtime bloom join (spark.sql.optimizer.runtime.
+     bloomFilter.enabled) does this automatically inside one query;
+     this operator is for when the filter must cross a materialization
+     boundary (build once, apply to many queries), which Catalyst can't.
+
+Position hashing is md5-derived and string-keyed on BOTH sides (JVM build,
+Python probe) so the two agree bit-for-bit. No false negatives by
+construction; FP rate ~= (1 - e^(-k*n/m))^k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _positions_expr(key: Column, num_hashes: int, m_bits: int) -> Column:
+    """JVM-side bit positions for one key: md5("{key}#{i}") % m, i<k."""
+    s = key.cast("string")
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat_ws("#", s, F.lit(str(i)))), 1, 8), 16, 10)
+                .cast("long")
+                % m_bits
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _positions_py(value: str, num_hashes: int, m_bits: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:8], 16) % m_bits
+        for i in range(num_hashes)
+    ]
+
+
+def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) minimizing memory for a target false-positive rate."""
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / max(1, expected_items) * math.log(2)))
+    return m, k
+
+
+def build_bloom(df: DataFrame, key_col: str, m_bits: int, num_hashes: int) -> np.ndarray:
+    """Distributed bloom build: explode each key's k positions JVM-side,
+    distinct-shuffle them, and set bits in a driver bitmap. Driver traffic
+    is bounded by m_bits regardless of input size."""
+    positions = (
+        df.select(F.explode(_positions_expr(F.col(key_col), num_hashes, m_bits)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[[r["p"] for r in positions]] = True
+    return bits
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Keep only big-side rows whose `key` might appear in `small[key]`.
+
+    Superset of the exact semi-join (no false negatives); follow with the
+    real join for exactness. Typical use: cut the big side's shuffle volume
+    before a selective join, the DistributedCache-bloom pattern.
+    """
+    n = expected_items if expected_items is not None else small.select(key).distinct().count()
+    m_bits, k = optimal_params(n, fpp)
+    bits = build_bloom(small, key, m_bits, k)
+    packed = np.packbits(bits)
+    sc = big.sparkSession.sparkContext
+    bc = sc.broadcast(packed.tobytes())
+
+    @pandas_udf("boolean")
+    def might_contain(vals: pd.Series) -> pd.Series:
+        arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
+
+        def probe(v) -> bool:
+            if v is None:
+                return False
+            return all(arr[p] for p in _positions_py(str(v), k, m_bits))
+
+        return vals.map(probe)
+
+    return big.filter(might_contain(F.col(key).cast("string")))
+
+
+def write_parquet_with_bloom(
+    df: DataFrame, path: str, bloom_cols: list[str], expected_ndv: int = 100_000
+) -> None:
+    """Parquet with per-column bloom filters — the BloomMapFile analog:
+    point predicates on `bloom_cols` skip row groups whose bloom says the
+    value is absent, before any page decode."""
+    writer = df.write.mode("overwrite")
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)

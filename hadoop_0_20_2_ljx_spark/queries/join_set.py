@@ -110,6 +110,27 @@ def _join_salted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-join-8 (extra): bloom-prefiltered join --------------------------------
+def _join_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom semi-join reduction (BloomMapFile pattern, io/BloomMapFile.java):
+    prefilter the fact side through a bloom of the dim keys, then join.
+    False positives are eliminated by the join, so the result is exactly
+    the plain join — which the oracle asserts."""
+    from hadoop_0_20_2_ljx_spark.functions.bloom import bloom_prefilter
+
+    li = T(spark, sf, "lineitem").withColumn("k", F.col("l_orderkey"))
+    o = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    )
+    j = bloom_prefilter(li, o, "k", fpp=0.01).join(o, "k")
+    return j.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
 # --- Q-set-1: bag union ------------------------------------------------------
 def _set_union(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
@@ -193,6 +214,15 @@ QUERIES: dict[str, QueryDef] = {
         "Q-join-7 (engine extra) salted skew-join rewrite — result-identical "
         "to the plain join (the reference's skew story was speculative "
         "re-execution only, mapred/TaskInProgress.java:866-874)",
+    ),
+    "q_join_bloom": QueryDef(
+        _join_bloom,
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue "
+        "FROM lineitem JOIN (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderpriority = '1-URGENT') o ON l_orderkey = o_orderkey",
+        "Q-join-8 (engine extra) bloom semi-join reduction "
+        "(io/BloomMapFile.java, util/bloom/BloomFilter.java)",
     ),
     "q_set_union": QueryDef(
         _set_union,

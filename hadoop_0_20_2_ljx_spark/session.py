@@ -87,6 +87,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter join reduction (the in-query form of the
+        # BloomMapFile pattern; functions/bloom.py covers the cross-query form).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
