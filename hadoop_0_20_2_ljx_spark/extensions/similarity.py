@@ -79,6 +79,42 @@ def sign_bucket(vec: Column, dims: int = 8) -> Column:
     return out.cast("int")
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_dims: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    Self-equi-join on the sign bucket (never the full cross product), exact
+    cosine within a bucket, keep pairs >= threshold. Cost is sum over
+    buckets of |bucket|^2 ~= n^2 / 2^bucket_dims for balanced buckets —
+    the standard blocking trade; raise bucket_dims as n grows. Vectors
+    whose first `bucket_dims` signs differ are never compared (recall <= 1,
+    like any LSH near-dup).
+
+    Output: (id_a, id_b, cos) with id_a < id_b.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")]
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def bucketed_ann(
     corpus: DataFrame,
     queries: DataFrame,

@@ -173,6 +173,29 @@ SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5
 """
 
 
+# --- dedup: embedding-cosine near-dup ----------------------------------------
+def _dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        T(spark, sf, "embeddings"), threshold=0.2, bucket_dims=4
+    )
+
+
+_EMBED_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CAST(coalesce(list_sum(list_transform(range(4),
+      i -> CASE WHEN embedding[i+1] > 0 THEN (1 << i) ELSE 0 END)), 0) AS INT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_inner_product(a.v, b.v) /
+    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v) /
+    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.2
+"""
+
+
 # --- text: language id -------------------------------------------------------
 def _text_langid(spark: SparkSession, sf: str) -> DataFrame:
     docs = T(spark, sf, "documents")
@@ -307,6 +330,11 @@ QUERIES: dict[str, QueryDef] = {
         _dedup_jaccard,
         _jaccard_oracle(),
         "extension: exact word-3gram Jaccard pairs >= 0.2",
+    ),
+    "q_dedup_embed": QueryDef(
+        _dedup_embed,
+        _EMBED_NEARDUP_SQL,
+        "extension: embedding-cosine near-dup pairs via sign-LSH blocking",
     ),
     "q_embed_knn": QueryDef(
         _embed_knn, _KNN_SQL, "extension: brute-force cosine top-10 (broadcast queries)"
