@@ -1,0 +1,264 @@
+"""Runnable workload programs: the reference's ExampleDriver roster.
+
+Reference: src/examples/.../ExampleDriver.java:38-63 registers 18 programs;
+each entry below is the same program re-expressed on DataFrames. A user of
+the reference runs `hadoop jar hadoop-examples.jar wordcount in out`; here
+it's `python -m hadoop_0_20_2_ljx_spark.jobs wordcount [sf_dir]`.
+
+Programs that read "input files" read the documents fixture table (or the
+path given); generators take a row count. `dbcount` needs a JDBC driver
+(absent in this container) and reports so; `sleep` is a scheduler no-op
+kept for roster completeness.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark import catalog
+from hadoop_0_20_2_ljx_spark.operators import aggregates, sorts, transforms
+from hadoop_0_20_2_ljx_spark.operators.generators import pi_estimate, random_text, tera_gen
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return catalog.load(spark, sf, "documents")
+
+
+# --- the roster --------------------------------------------------------------
+def wordcount(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """WordCount.java — token counts (combiner semantics are Catalyst's
+    partial aggregation)."""
+    return aggregates.word_count(_docs(spark, sf))
+
+
+def aggregatewordcount(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """AggregateWordCount.java — ValueAggregator LongValueSum over tokens."""
+    return aggregates.word_count(_docs(spark, sf))
+
+
+def aggregatewordhist(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """AggregateWordHistogram.java — ValueHistogram report over tokens."""
+    toks = transforms.tokenize(_docs(spark, sf), "text")
+    return aggregates.value_histogram(toks, F.lit("WORD_HISTOGRAM"), F.col("token"))
+
+
+def grep(spark: SparkSession, sf: str = DEFAULT_SF, pattern: str = r"s[a-z]+") -> DataFrame:
+    """Grep.java — job 1: regex match counts; job 2: desc-count sort."""
+    m = transforms.regex_matches(_docs(spark, sf), "text", pattern)
+    return m.groupBy("match").count().orderBy(F.desc("count"), "match")
+
+
+def randomwriter(spark: SparkSession, n: str = "100000") -> DataFrame:
+    """RandomWriter.java — deterministic synthetic K/V rows (seed-stable
+    under parallelism: derived from row ids, never task-local RNG)."""
+    return random_text(spark, int(n))
+
+
+def randomtextwriter(spark: SparkSession, n: str = "100000") -> DataFrame:
+    return random_text(spark, int(n), words_per_row=20)
+
+
+def sort_job(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """Sort.java — total-order sort of generated K/V data."""
+    return sorts.total_order_sort(random_text(spark, 100_000), "text")
+
+
+def pi(spark: SparkSession, n_points: str = "100000") -> DataFrame:
+    """PiEstimator.java — Halton-sequence Monte Carlo (deterministic)."""
+    return pi_estimate(spark, int(n_points))
+
+
+def secondarysort(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """SecondarySort.java — values ordered within key groups."""
+    li = catalog.load(spark, sf, "lineitem")
+    return sorts.secondary_sort_stream(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_orderkey",
+        F.col("l_quantity").desc(),
+        F.col("l_linenumber").asc(),
+    )
+
+
+def join(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """Join.java — join over sorted, equally-partitioned datasets."""
+    o = catalog.load(spark, sf, "orders")
+    c = catalog.load(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return o.join(c, "o_custkey").select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+def multifilewc(spark: SparkSession, sf: str = DEFAULT_SF) -> DataFrame:
+    """MultiFileWordCount.java — wordcount over a many-source union."""
+    d = _docs(spark, sf)
+    u = d.filter(F.col("doc_id") % 2 == 0).unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    return aggregates.word_count(u)
+
+
+def teragen(spark: SparkSession, n: str = "1000000") -> DataFrame:
+    """TeraGen.java — (10B key)(10B rowid)(78B filler) rows."""
+    return tera_gen(spark, int(n))
+
+
+def terasort(spark: SparkSession, n: str = "1000000") -> DataFrame:
+    """TeraSort.java — total-order sort of TeraGen rows (range-partitioned,
+    the TotalOrderPartitioner's sampling done by Spark's RangePartitioner)."""
+    return sorts.total_order_sort(tera_gen(spark, int(n)), "key")
+
+
+def teravalidate(spark: SparkSession, n: str = "1000000") -> DataFrame:
+    """TeraValidate.java — distributed order check: per-partition (min, max,
+    count) summary; boundaries must be monotone across partition ids."""
+    sorted_df = terasort(spark, n)
+    summary = (
+        sorted_df.select("key", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"), F.count("*").alias("cnt"))
+        .orderBy("pid")
+    )
+    rows = summary.collect()
+    bounds = [r for r in rows if r["cnt"] > 0]
+    ok = all(a["hi"] <= b["lo"] for a, b in zip(bounds, bounds[1:]))
+    total = sum(r["cnt"] for r in rows)
+    return spark.createDataFrame(
+        [(bool(ok), total, len(bounds))], "sorted boolean, n_rows long, n_partitions int"
+    )
+
+
+def sleep(spark: SparkSession, seconds: str = "1") -> DataFrame:
+    """SleepJob.java — scheduler exerciser; here a parallel no-op delay."""
+    s = float(seconds)
+    spark.range(32, numPartitions=32).foreachPartition(lambda it: time.sleep(s / 32))
+    return spark.createDataFrame([(True,)], "slept boolean")
+
+
+def dbcount(spark: SparkSession, *args: str) -> DataFrame:
+    """DBCountPageView.java — JDBC in/out with an embedded SQL verify. The
+    verify pattern IS this repo's oracle harness; the JDBC path needs a
+    driver jar (none in this container)."""
+    raise NotImplementedError(
+        "dbcount needs a JDBC driver on the Spark classpath; see "
+        "sources/jdbc.py for the partitioned read and the oracle harness "
+        "for the verify pattern"
+    )
+
+
+# --- sudoku: distributed backtracking (Sudoku.java) --------------------------
+def _sudoku_solve(grid: list[int], start: int = 0) -> Iterator[list[int]]:
+    """Plain backtracking over a 81-cell grid (0 = empty)."""
+    try:
+        i = grid.index(0, start)
+    except ValueError:
+        yield list(grid)
+        return
+    r, c = divmod(i, 9)
+    used = set()
+    for j in range(9):
+        used.add(grid[r * 9 + j])
+        used.add(grid[j * 9 + c])
+    br, bc = 3 * (r // 3), 3 * (c // 3)
+    for dr in range(3):
+        for dc in range(3):
+            used.add(grid[(br + dr) * 9 + (bc + dc)])
+    for v in range(1, 10):
+        if v not in used:
+            grid[i] = v
+            yield from _sudoku_solve(grid, i + 1)
+            grid[i] = 0
+
+
+def sudoku(spark: SparkSession, puzzle: str | None = None) -> DataFrame:
+    """Sudoku.java, distributed the way DistributedPentomino splits its
+    search (DistributedPentomino.java generates prefix placements as map
+    inputs): branch the first empty cell's candidates on the driver, solve
+    each branch as a task, union the solutions.
+    """
+    puzzle = puzzle or (
+        "530070000600195000098000060800060003400803001700020006060000280000419005000080079"
+    )
+    grid = [int(ch) for ch in puzzle]
+    if len(grid) != 81:
+        raise ValueError("puzzle must be 81 digits, 0 for empty")
+    first = grid.index(0) if 0 in grid else -1
+    def valid(g: list[int], i: int, v: int) -> bool:
+        r, c = divmod(i, 9)
+        if v in (g[r * 9 + j] for j in range(9)) or v in (g[j * 9 + c] for j in range(9)):
+            return False
+        br, bc = 3 * (r // 3), 3 * (c // 3)
+        return all(g[(br + dr) * 9 + (bc + dc)] != v for dr in range(3) for dc in range(3))
+
+    if first < 0:
+        branches = [grid]
+    else:
+        branches = []
+        for v in range(1, 10):
+            if valid(grid, first, v):
+                g = list(grid)
+                g[first] = v
+                branches.append(g)
+
+    def solve_branch(gs: Iterator[list[int]]) -> Iterator[tuple[str]]:
+        for g in gs:
+            for sol in _sudoku_solve(list(g)):
+                yield ("".join(map(str, sol)),)
+
+    # Branches fix different values of the same cell, so their solution
+    # sets are disjoint — no dedup needed.
+    rdd = spark.sparkContext.parallelize(branches, len(branches)).mapPartitions(solve_branch)
+    return rdd.toDF(["solution"])
+
+
+def pentomino(spark: SparkSession, *args: str) -> DataFrame:
+    """DistributedPentomino.java — dancing-links tile search. The
+    prefix-split orchestration is demonstrated by sudoku(); the DLX solver
+    itself is out of the engine's data-processing scope."""
+    raise NotImplementedError(
+        "pentomino's DLX solver is out of scope; sudoku() demonstrates the "
+        "same distributed prefix-split search"
+    )
+
+
+PROGRAMS: dict[str, tuple[Callable[..., DataFrame], str]] = {
+    "wordcount": (wordcount, "count words in the documents table"),
+    "aggregatewordcount": (aggregatewordcount, "ValueAggregator wordcount"),
+    "aggregatewordhist": (aggregatewordhist, "ValueHistogram over words"),
+    "grep": (grep, "regex match counts, desc-sorted"),
+    "randomwriter": (randomwriter, "deterministic random K/V rows"),
+    "randomtextwriter": (randomtextwriter, "deterministic random text rows"),
+    "sort": (sort_job, "total-order sort of generated data"),
+    "pi": (pi, "Halton Monte Carlo pi"),
+    "pentomino": (pentomino, "NOT IMPLEMENTED (see sudoku)"),
+    "secondarysort": (secondarysort, "values ordered within key groups"),
+    "sudoku": (sudoku, "distributed sudoku solver"),
+    "sleep": (sleep, "parallel no-op delay"),
+    "join": (join, "orders x customer join"),
+    "multifilewc": (multifilewc, "wordcount over multi-source union"),
+    "dbcount": (dbcount, "NOT RUNNABLE here (needs JDBC driver)"),
+    "teragen": (teragen, "TeraSort input generator"),
+    "terasort": (terasort, "global sort of TeraGen rows"),
+    "teravalidate": (teravalidate, "distributed sort validation"),
+}
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] not in PROGRAMS:
+        print("usage: python -m hadoop_0_20_2_ljx_spark.jobs <program> [args...]")
+        for name, (_, desc) in PROGRAMS.items():
+            print(f"  {name:18s} {desc}")
+        return 1
+    from hadoop_0_20_2_ljx_spark.session import get_spark
+
+    fn, _ = PROGRAMS[argv[0]]
+    df = fn(get_spark(app_name=f"ljx-job-{argv[0]}"), *argv[1:])
+    df.show(20, truncate=False)
+    print(f"[{argv[0]}] rows: {df.count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
