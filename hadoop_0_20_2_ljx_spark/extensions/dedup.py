@@ -188,7 +188,9 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard rounded to 6) with jaccard >= threshold.
     """
-    sh = df.select(
+    from hadoop_0_20_2_ljx_spark.operators.scans import spread
+
+    sh = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))

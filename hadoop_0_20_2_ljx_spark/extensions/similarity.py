@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from hadoop_0_20_2_ljx_spark.operators.scans import spread as _spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two array columns."""
@@ -55,7 +57,7 @@ def brute_force_knn(
     deterministic ties; excludes self-matches.
     """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = c.crossJoin(broadcast(q)).filter(F.col("q_id") != F.col("neighbor_id")).select(
         "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
     )
@@ -97,7 +99,7 @@ def embedding_neardup_pairs(
 
     Output: (id_a, id_b, cos) with id_a < id_b.
     """
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
@@ -128,7 +130,7 @@ def bucketed_ann(
     Recall < 1 by design (that's the scale trade); candidates drop from
     |corpus| to |bucket| ~ |corpus| / 2^bucket_dims.
     """
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),

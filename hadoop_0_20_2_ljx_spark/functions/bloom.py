@@ -20,14 +20,13 @@ Two Spark-native renderings:
      this operator is for when the filter must cross a materialization
      boundary (build once, apply to many queries), which Catalyst can't.
 
-Position hashing is md5-derived and string-keyed on BOTH sides (JVM build,
-Python probe) so the two agree bit-for-bit. No false negatives by
+Position hashing is md5-derived and computed JVM-side for both build and
+probe (one shared expression), so the two agree by construction. No false negatives by
 construction; FP rate ~= (1 - e^(-k*n/m))^k.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
@@ -50,13 +49,6 @@ def _positions_expr(key: Column, num_hashes: int, m_bits: int) -> Column:
             for i in range(num_hashes)
         ]
     )
-
-
-def _positions_py(value: str, num_hashes: int, m_bits: int) -> list[int]:
-    return [
-        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:8], 16) % m_bits
-        for i in range(num_hashes)
-    ]
 
 
 def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -100,18 +92,21 @@ def bloom_prefilter(
     sc = big.sparkSession.sparkContext
     bc = sc.broadcast(packed.tobytes())
 
+    # Bit positions are computed JVM-side (same expression as the build,
+    # so build/probe agree by construction); the Python side only does a
+    # vectorized numpy gather over the broadcast bitmap — no per-row
+    # hashing in Python.
     @pandas_udf("boolean")
-    def might_contain(vals: pd.Series) -> pd.Series:
+    def bits_set(pos: pd.Series) -> pd.Series:
         arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
+        mat = np.vstack(pos.to_numpy())
+        return pd.Series(arr[mat].all(axis=1))
 
-        def probe(v) -> bool:
-            if v is None:
-                return False
-            return all(arr[p] for p in _positions_py(str(v), k, m_bits))
-
-        return vals.map(probe)
-
-    return big.filter(might_contain(F.col(key).cast("string")))
+    return (
+        big.withColumn("_bloom_pos", _positions_expr(F.col(key), k, m_bits))
+        .filter(bits_set(F.col("_bloom_pos")))
+        .drop("_bloom_pos")
+    )
 
 
 def write_parquet_with_bloom(

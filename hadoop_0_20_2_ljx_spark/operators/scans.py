@@ -70,6 +70,21 @@ def md5_filter(df: DataFrame, col: str, freq: int) -> DataFrame:
     return df.filter(portable_hash32(F.col(col)) % freq == 0)
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure at least `min_parallelism` partitions before a CPU-heavy
+    per-row stage.
+
+    A small parquet file scans as ONE split, so expression-heavy projections
+    (simhash, shingling, cosine) run single-threaded locally. Conditional:
+    at 100 TB the input already has >> defaultParallelism splits and this is
+    a no-op — no shuffle is added where it would hurt.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def multi_input_union(*tagged: tuple[DataFrame, Column | None]) -> DataFrame:
     """MultipleInputs (mapred/lib/MultipleInputs.java:34): per-source
     mapper then a single shuffle. Spark-first: per-source select (the

@@ -51,6 +51,44 @@ def total_order_sort(df: DataFrame, *cols: str, num_partitions: int | None = Non
     return df.orderBy(*cols)
 
 
+def with_global_row_number(df: DataFrame, order: list[Column], rn_col: str = "rn") -> DataFrame:
+    """Global 1-based rank WITHOUT a global window (which would move every
+    row to one partition — the WindowExec single-partition trap).
+
+    Two-pass zipWithIndex shape: range-partition by the order, rank within
+    each partition (window partitioned by pid — stays parallel), then add
+    per-partition offsets. The offsets pass collects O(num_partitions)
+    rows, never data. Rows tied on the full `order` may receive either of
+    their ranks (as with any total sort over a non-unique key).
+
+    The ranged frame is localCheckpoint-ed (eager) so the counts pass and
+    the rank pass see the SAME partition assignment — without it, AQE may
+    coalesce the range exchange differently per job and the offsets would
+    not match. Materialization is the price of rank consistency (the same
+    one zipWithIndex pays via deterministic recomputation).
+    """
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_part, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets: list[Column] = []
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.extend([F.lit(int(r["_pid"])), F.lit(acc)])
+        acc += r["count"]
+    omap = F.create_map(*offsets) if offsets else F.create_map()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return ranged.withColumn(
+        rn_col, (F.row_number().over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("long")
+    ).drop("_pid")
+
+
 def secondary_sort_agg(
     df: DataFrame, group_key: str, order_col: Column, emit_col: str, desc: bool = False
 ) -> DataFrame:

@@ -105,6 +105,8 @@ def _gen_terasort(spark: SparkSession, sf: str) -> DataFrame:
     parts = hashed.mapInPandas(
         per_partition, schema="pid int, first_key string, last_key string, n long, part_ok boolean"
     )
+    # Global window is safe HERE only: `parts` holds one summary row per
+    # partition (O(P) rows), never data rows.
     w = Window.orderBy("first_key")
     boundaries = parts.withColumn("prev_last", F.lag("last_key").over(w)).withColumn(
         "bound_ok", F.coalesce(F.col("prev_last") <= F.col("first_key"), F.lit(True))
@@ -166,10 +168,10 @@ def _sort_keyfield(spark: SparkSession, sf: str) -> DataFrame:
         T(spark, sf, "orders"),
         [("o_orderpriority", False, False), ("o_totalprice", False, True), ("o_orderkey", False, False)],
     )
-    w = Window.orderBy(
-        F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    rn = sorts.with_global_row_number(
+        df,
+        [F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
     )
-    rn = df.withColumn("rn", F.row_number().over(w))
     return rn.agg(
         F.count("*").alias("n"),
         F.sum(F.col("rn") * (portable_hash32(F.col("o_orderkey")) % 97)).alias("ordered_checksum"),
@@ -179,8 +181,9 @@ def _sort_keyfield(spark: SparkSession, sf: str) -> DataFrame:
 # --- Q-sort-2: TotalOrderPartitioner global sort fingerprint -----------------
 def _sort_total_order(spark: SparkSession, sf: str) -> DataFrame:
     df = sorts.total_order_sort(T(spark, sf, "lineitem"), "l_orderkey", "l_linenumber")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    rn = df.withColumn("rn", F.row_number().over(w))
+    rn = sorts.with_global_row_number(
+        df, [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    )
     return rn.agg(
         F.count("*").alias("n"),
         F.sum(F.col("rn") * ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 1000003)).alias(

@@ -74,7 +74,9 @@ FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.
 
 # --- dedup: SimHash signatures -----------------------------------------------
 def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return T(spark, sf, "documents").select(
+    from hadoop_0_20_2_ljx_spark.operators.scans import spread
+
+    return spread(T(spark, sf, "documents")).select(
         "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
     )
 
@@ -275,7 +277,11 @@ FROM documents GROUP BY lang
 
 # --- text: winnowing fingerprint ---------------------------------------------
 def _text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    return textstats.doc_fingerprint(T(spark, sf, "documents"), "doc_id", "text", window_k=5)
+    from hadoop_0_20_2_ljx_spark.operators.scans import spread
+
+    return textstats.doc_fingerprint(
+        spread(T(spark, sf, "documents")), "doc_id", "text", window_k=5
+    )
 
 
 def _fingerprint_oracle() -> str:
