@@ -115,6 +115,33 @@ def _rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-agg-8 (extra): cube ---------------------------------------------------
+def _cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# --- Q-agg-9 (extra): window ranking functions -------------------------------
+def _window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders by price per priority via dense_rank — the window is
+    partitioned by the group key, so it parallelizes on the shuffle (never
+    the global-window single-partition trap)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        T(spark, sf, "orders")
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_agg_wordcount": QueryDef(
         _wordcount,
@@ -172,5 +199,20 @@ QUERIES: dict[str, QueryDef] = {
         "round(sum(l_quantity),2) AS sum_qty FROM lineitem "
         "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
         "Q-agg-7 (engine extra) grouping-set rollup — absent in the reference",
+    ),
+    "q_agg_cube": QueryDef(
+        _cube,
+        "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(o_totalprice),2) AS revenue FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+        "Q-agg-8 (engine extra) cube — absent in the reference",
+    ),
+    "q_agg_window_rank": QueryDef(
+        _window_rank,
+        "SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice FROM ("
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "dense_rank() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders) WHERE rnk <= 3",
+        "Q-agg-9 (engine extra) window ranking — absent in the reference",
     ),
 }
