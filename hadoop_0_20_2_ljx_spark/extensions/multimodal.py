@@ -85,6 +85,52 @@ def decode_features(df: DataFrame, fake: bool = True, batch_size_hint: int | Non
     )
 
 
+def resize_payload(
+    df: DataFrame, target_w: int = 64, target_h: int = 64, fake: bool = True
+) -> DataFrame:
+    """Resize stage: binary payload in -> binary payload out plus updated
+    typed metadata (target dims, new checksum).
+
+    fake=True derives a deterministic stand-in 'resized' payload (a
+    truncation/repetition to exactly target_w*target_h bytes) so the
+    schema, batch shape and downstream contract are real and testable;
+    fake=False raises from the decode stub (no imaging libs here). The
+    real implementation swaps ONLY the body of ``shrink`` for a
+    PIL/cv2 call — the Spark-side topology is unchanged.
+    """
+    import hashlib
+
+    n_out = target_w * target_h
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                for _, row in pdf.iterrows():
+                    _decode_real(row["payload"], row["media_type"])
+            out = []
+            for b in pdf["payload"]:
+                rep = (bytes(b) * (n_out // max(len(b), 1) + 1))[:n_out]
+                out.append(rep)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                    "checksum": [hashlib.md5(p).hexdigest() for p in out],
+                }
+            )
+
+    return df.mapInPandas(
+        shrink,
+        schema=(
+            "doc_id long, media_type string, payload binary, "
+            "width int, height int, checksum string"
+        ),
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 16, fake: bool = True) -> DataFrame:
     """Frame-sampling stage shape (video -> every Nth frame): emits one
     row per sampled offset with a per-frame checksum byte. 1->n row

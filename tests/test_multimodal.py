@@ -56,3 +56,23 @@ def test_frame_sample_explodes_rows(spark):
     for doc_id, offs in by_doc.items():
         expected = list(range(0, sizes[doc_id], 16))
         assert sorted(offs) == expected
+
+
+def test_resize_payload_contract(spark):
+    import hashlib
+
+    m = _media(spark).limit(5)
+    out = multimodal.resize_payload(m, target_w=8, target_h=4, fake=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r.payload) == 8 * 4
+        assert (r.width, r.height) == (8, 4)
+        assert r.checksum == hashlib.md5(bytes(r.payload)).hexdigest()
+
+
+def test_resize_real_decode_raises(spark):
+    import pytest as _pytest
+
+    m = _media(spark).limit(1)
+    with _pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.resize_payload(m, fake=False).collect()
