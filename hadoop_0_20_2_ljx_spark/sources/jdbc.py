@@ -18,6 +18,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_jdbc_batched(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 1000,
+    **options: str,
+) -> None:
+    """Batched INSERTs per partition — DBOutputFormat's constructQuery
+    model (mapred/lib/db/DBOutputFormat.java:109-115), executed by each
+    task over its partition (`batchsize` controls the INSERT batching)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,
