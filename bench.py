@@ -78,6 +78,10 @@ def main() -> int:
         "wordcount": "q_agg_wordcount",
         "dedup_minhash": "q_dedup_minhash",
         "embed_knn": "q_embed_knn",
+        "dedup_simhash": "q_dedup_simhash",
+        "sort_fingerprint": "q_sort_total_order",
+        "window_rank": "q_agg_window_rank",
+        "bloom_join": "q_join_bloom",
     }
 
     # Warm the JVM/codegen once so timings measure the plans, not startup.

@@ -81,3 +81,19 @@ def test_top_hot_keys(spark):
     assert len(hot) == 3
     assert hot[0]["cnt"] >= hot[-1]["cnt"]
     assert abs(sum(r["share"] for r in hot) - 1.0) < 0.01
+
+
+def test_global_row_number_matches_window(spark):
+    """with_global_row_number must equal the single-partition global window
+    on data small enough to compare directly."""
+    from pyspark.sql.window import Window
+
+    from hadoop_0_20_2_ljx_spark.operators import sorts
+
+    orders = catalog.load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    dist = sorts.with_global_row_number(orders, order).select("o_orderkey", "rn")
+    ref = orders.withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long")).select(
+        "o_orderkey", "rn"
+    )
+    assert sorted(map(tuple, dist.collect())) == sorted(map(tuple, ref.collect()))
