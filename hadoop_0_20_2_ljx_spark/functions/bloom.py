@@ -59,17 +59,39 @@ def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
 
 
 def build_bloom(df: DataFrame, key_col: str, m_bits: int, num_hashes: int) -> np.ndarray:
-    """Distributed bloom build: explode each key's k positions JVM-side,
-    distinct-shuffle them, and set bits in a driver bitmap. Driver traffic
-    is bounded by m_bits regardless of input size."""
-    positions = (
-        df.select(F.explode(_positions_expr(F.col(key_col), num_hashes, m_bits)).alias("p"))
-        .distinct()
-        .collect()
+    """Distributed bloom build, driver-collect-free.
+
+    Positions are computed JVM-side (explode of the shared md5 position
+    expression), then each partition ORs its positions into a local packed
+    numpy bitmap inside one Arrow batch pass (``mapInArrow`` — no per-row
+    Python), and the per-partition bitmaps are OR-merged executor-side via
+    ``treeReduce``. The driver receives O(depth) bitmaps of m_bits/8 bytes
+    — never a row per set position, and no distinct shuffle at all. At
+    1 G keys / 1% fpp (m ~= 9.6e9 bits) driver traffic is ~1.2 GB once,
+    versus billions of position rows for a distinct+collect build.
+    """
+    import pyarrow as pa
+
+    n_bytes = (m_bits + 7) // 8
+
+    def _part_bitmaps(batches):
+        bits = np.zeros(m_bits, dtype=bool)
+        for b in batches:
+            bits[b.column(0).to_numpy(zero_copy_only=False)] = True
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([np.packbits(bits).tobytes()], type=pa.binary())], ["bm"]
+        )
+
+    pos_df = df.select(
+        F.explode(_positions_expr(F.col(key_col), num_hashes, m_bits)).alias("p")
     )
-    bits = np.zeros(m_bits, dtype=bool)
-    bits[[r["p"] for r in positions]] = True
-    return bits
+    partials = pos_df.mapInArrow(_part_bitmaps, "bm binary").rdd.map(
+        lambda r: np.frombuffer(r[0], dtype=np.uint8).copy()
+    )
+    if partials.isEmpty():
+        return np.zeros(m_bits, dtype=bool)
+    packed = partials.treeReduce(np.bitwise_or)
+    return np.unpackbits(packed)[:m_bits].astype(bool)
 
 
 def bloom_prefilter(
@@ -95,10 +117,18 @@ def bloom_prefilter(
     # Bit positions are computed JVM-side (same expression as the build,
     # so build/probe agree by construction); the Python side only does a
     # vectorized numpy gather over the broadcast bitmap — no per-row
-    # hashing in Python.
+    # hashing in Python. The unpacked bitmap is cached in the closure so
+    # it's unpacked at most once per task, not once per Arrow batch.
+    _cache: dict[str, np.ndarray] = {}
+
     @pandas_udf("boolean")
     def bits_set(pos: pd.Series) -> pd.Series:
-        arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = _cache.get("bits")
+        if arr is None:
+            arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
+            _cache["bits"] = arr
         mat = np.vstack(pos.to_numpy())
         return pd.Series(arr[mat].all(axis=1))
 

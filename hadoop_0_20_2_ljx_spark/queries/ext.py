@@ -74,11 +74,7 @@ FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.
 
 # --- dedup: SimHash signatures -----------------------------------------------
 def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    from hadoop_0_20_2_ljx_spark.operators.scans import spread
-
-    return spread(T(spark, sf, "documents")).select(
-        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
-    )
+    return dedup.simhash_signatures(T(spark, sf, "documents"), "doc_id", "text")
 
 
 def _simhash_oracle() -> str:
@@ -94,6 +90,40 @@ SELECT doc_id,
          THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS simhash
 FROM hashed
 """
+
+
+# --- dedup: SimHash near-dup pairs (Hamming <= k via bit-band bucketing) -----
+def _dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(
+        T(spark, sf, "documents"), "doc_id", "text", bits=60, bands=4, max_hamming=8
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    words = _WORDS.format(col="text")
+    h = h64_sql("w")
+    sig = f"""
+WITH hashed AS (
+  SELECT doc_id, list_transform({words}, w -> {h}) AS hashes FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(range(60), j ->
+      CASE WHEN coalesce(list_sum(list_transform(hashes, h -> ((h >> j) & 1) * 2 - 1)), 0) > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS simhash
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS chunk
+  FROM sigs, (SELECT unnest(range(4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+    return sig
 
 
 # --- dedup: n-gram Jaccard pairs ---------------------------------------------
@@ -331,6 +361,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_dedup_simhash": QueryDef(
         _dedup_simhash, _simhash_oracle(), "extension: 60-bit SimHash signatures"
+    ),
+    "q_dedup_simhash_pairs": QueryDef(
+        _dedup_simhash_pairs,
+        _simhash_pairs_oracle(),
+        "extension: SimHash near-dup pairs, hamming<=8 via 4x15-bit band bucketing",
     ),
     "q_dedup_jaccard": QueryDef(
         _dedup_jaccard,
