@@ -298,14 +298,26 @@ def simhash_neardup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
     explode(shingles) -> self-join on shingle -> per-pair intersection
     count -> |A∪B| = |A|+|B|-|A∩B|. The join is equi on shingle, so cost
-    is sum over shingles of freq^2 — bounded for natural text; hot
-    shingles (stopword runs) can be frequency-capped upstream at scale.
+    is sum over shingles of freq^2 — the quadratic driver is hot shingles
+    (stopword runs shared by millions of docs).
+
+    ``max_shingle_freq`` is the 100 TB guard: shingles whose document
+    frequency exceeds the cap are excluded from the JOIN (and hence from
+    intersection counts), while set sizes stay exact. Reported jaccard is
+    then a lower bound, so the capped pair set is a SUBSET of the uncapped
+    one — pairs sharing only ubiquitous shingles are the (intended)
+    recall loss, never phantom pairs. None = exact.
 
     Output: (doc_a, doc_b, jaccard rounded to 6) with jaccard >= threshold.
     """
@@ -315,6 +327,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc") < F.col("b.doc")])

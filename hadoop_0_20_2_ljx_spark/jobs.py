@@ -6,9 +6,10 @@ the reference runs `hadoop jar hadoop-examples.jar wordcount in out`; here
 it's `python -m hadoop_0_20_2_ljx_spark.jobs wordcount [sf_dir]`.
 
 Programs that read "input files" read the documents fixture table (or the
-path given); generators take a row count. `dbcount` needs a JDBC driver
-(absent in this container) and reports so; `sleep` is a scheduler no-op
-kept for roster completeness.
+path given); generators take a row count. `dbcount` runs against an
+embedded DuckDB file (the container has no JDBC driver jar; real clusters
+swap in sources/jdbc.py); `sleep` is a scheduler no-op kept for roster
+completeness.
 """
 
 from __future__ import annotations
@@ -137,15 +138,58 @@ def sleep(spark: SparkSession, seconds: str = "1") -> DataFrame:
     return spark.createDataFrame([(True,)], "slept boolean")
 
 
-def dbcount(spark: SparkSession, *args: str) -> DataFrame:
-    """DBCountPageView.java — JDBC in/out with an embedded SQL verify. The
-    verify pattern IS this repo's oracle harness; the JDBC path needs a
-    driver jar (none in this container)."""
-    raise NotImplementedError(
-        "dbcount needs a JDBC driver on the Spark classpath; see "
-        "sources/jdbc.py for the partitioned read and the oracle harness "
-        "for the verify pattern"
-    )
+def dbcount(spark: SparkSession, n: str = "10000", *args: str) -> DataFrame:
+    """DBCountPageView.java:72,239 — pageview counting with a database
+    source and sink plus an embedded-SQL verify, run end-to-end against an
+    embedded DuckDB file (no JDBC driver jar exists in this container; on
+    a real cluster the source/sink swap to sources/jdbc.py's partitioned
+    read and batched insert — same job body).
+
+    Mirrors the reference's phases: populate Access(url, referrer, ts)
+    deterministically (initialize/populateAccess), count views per url in
+    Spark (PageviewMapper + LongSumReducer), write Pageview(url, pageview)
+    back to the database, then verify() recomputes both totals and
+    per-url counts with embedded SQL — the exact pattern this repo's
+    whole oracle harness generalizes.
+    """
+    import os
+    import tempfile
+
+    import duckdb
+
+    rows = int(n)
+    dbpath = os.path.join(tempfile.gettempdir(), f"ljx_dbcount_{os.getpid()}.duckdb")
+    if os.path.exists(dbpath):
+        os.remove(dbpath)
+    con = duckdb.connect(dbpath)
+    try:
+        con.execute(
+            "CREATE TABLE Access AS SELECT "
+            "'url_' || CAST((i * 2654435761) % 97 AS VARCHAR) AS url, "
+            "'ref_' || CAST((i * 40503) % 13 AS VARCHAR) AS referrer, "
+            f"i AS ts FROM range({rows}) t(i)"
+        )
+        access = spark.createDataFrame(con.execute("SELECT * FROM Access").fetchdf())
+        counts = access.groupBy("url").agg(F.count("*").cast("long").alias("pageview"))
+        con.register("counts_pdf", counts.toPandas())
+        con.execute("CREATE TABLE Pageview AS SELECT url, pageview FROM counts_pdf")
+        totals_ok, counts_ok = con.execute(
+            "SELECT (SELECT count(*) FROM Access) = (SELECT sum(pageview) FROM Pageview), "
+            "NOT EXISTS (SELECT 1 FROM "
+            "(SELECT url, count(*) AS c FROM Access GROUP BY url) a "
+            "FULL JOIN Pageview p USING (url) "
+            "WHERE coalesce(a.c, -1) <> coalesce(p.pageview, -2))"
+        ).fetchone()
+        n_urls = counts.count()
+        if not (totals_ok and counts_ok):
+            raise AssertionError("dbcount verify failed: DB counts != job counts")
+        return spark.createDataFrame(
+            [(rows, int(n_urls), True)], "n_access long, n_urls int, verified boolean"
+        )
+    finally:
+        con.close()
+        if os.path.exists(dbpath):
+            os.remove(dbpath)
 
 
 # --- sudoku: distributed backtracking (Sudoku.java) --------------------------

@@ -39,12 +39,18 @@ def kv_split(df: DataFrame, text_col: str, sep: str = "\t") -> DataFrame:
     Reference: KeyValueLineRecordReader.findSeparator/:87 — key = bytes
     before first sep, value = rest (whole line -> key, empty value when no
     separator is present; same here via substring arithmetic).
+
+    ``sep`` is a LITERAL byte string (the reference's
+    key.value.separator.in.input.line), never a regex — unlike
+    field_selection, whose separator is a regex by documented contract.
+    Built entirely from Column functions, so separators containing quotes
+    and column names needing backticks are safe.
     """
     line = F.col(text_col)
     key = F.substring_index(line, sep, 1)
     value = F.when(
         F.length(line) > F.length(key),
-        F.expr(f"substring({text_col}, length(substring_index({text_col}, '{sep}', 1)) + 2)"),
+        line.substr(F.length(key) + len(sep) + 1, F.length(line)),
     ).otherwise(F.lit(""))
     return df.select(key.alias("key"), value.alias("value"))
 

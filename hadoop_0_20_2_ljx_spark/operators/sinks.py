@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 def write_text_kv(df: DataFrame, path: str, sep: str = "\t") -> None:
     """TextOutputFormat: key<sep>value lines (separator knob
     mapred.textoutputformat.separator:116 -> the csv sep option)."""
-    cols = [F.col(c).cast("string") for c in df.columns]
+    # coalesce to '' per column: concat_ws silently drops NULL fields AND
+    # their separators, which would shift every later field on re-read;
+    # Hadoop TextOutputFormat never collapses delimiters.
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
     df.select(F.concat_ws(sep, *cols).alias("value")).write.mode("overwrite").text(path)
 
 
@@ -66,21 +69,28 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
 
 def write_named_outputs(df: DataFrame, base_path: str, routes: dict[str, F.Column]) -> dict[str, str]:
     """MultipleOutputs (addNamedOutput/getCollector :70-104): N named side
-    outputs from one logical pass. Spark form: one filtered write per
-    name; with the source cached, the scan cost is paid once.
+    outputs from ONE physical pass.
 
-    Returns {name: path}.
+    Each row is tagged with the array of route names whose predicate it
+    satisfies (a row matching several routes is written to each, exactly
+    like emitting to several collectors), exploded, and written once with
+    ``partitionBy`` on the route tag. One scan, one write job, no caching
+    of the source — at 100 TB the cache-then-rescan-per-route form would
+    re-read the full input N times (or spill the cache); this is a single
+    pass regardless of route count. Rows matching no route are dropped,
+    matching MultipleOutputs semantics.
+
+    Returns {name: path} where each path re-reads as the original schema
+    (the route tag is a partition directory, not a data column).
     """
-    df = df.cache()
-    paths = {}
-    try:
-        for name, predicate in routes.items():
-            p = f"{base_path}/{name}"
-            df.filter(predicate).write.mode("overwrite").parquet(p)
-            paths[name] = p
-    finally:
-        df.unpersist()
-    return paths
+    tags = F.array_compact(
+        F.array(*[F.when(pred, F.lit(name)) for name, pred in routes.items()])
+    )
+    routed = df.withColumn("_tags", tags).select(
+        "*", F.explode("_tags").alias("_named_output")
+    ).drop("_tags")
+    routed.write.mode("overwrite").partitionBy("_named_output").parquet(base_path)
+    return {name: f"{base_path}/_named_output={name}" for name in routes}
 
 
 def write_noop(df: DataFrame) -> int:

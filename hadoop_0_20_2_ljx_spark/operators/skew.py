@@ -21,6 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt: xxhash64 of all columns, mod buckets.
+
+    Deliberately NOT F.rand(): a random salt is re-drawn when a task is
+    retried or a stage partially recomputes after executor loss, so rows
+    migrate between (key, salt) groups whose partials were already
+    consumed by completed reducers — double-counted or dropped rows in
+    the exact large-cluster scenario salting targets. A content hash
+    reproduces identically on recompute. Identical full-duplicate rows
+    share a salt; hot keys still spread whenever their rows differ in any
+    column.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)).cast("int")
+
+
 def salted_sum(
     df: DataFrame, key: str, value: str, buckets: int = 16, alias: str = "sum_value"
 ) -> DataFrame:
@@ -31,7 +46,7 @@ def salted_sum(
     exact. Phase-2 input is at most (distinct_keys x buckets) rows, so the
     second shuffle is negligible.
     """
-    salt = (F.rand(seed=7) * buckets).cast("int")
+    salt = _row_salt(df, buckets)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
@@ -58,7 +73,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
-    salted = skewed.withColumn("_salt", (F.rand(seed=7) * buckets).cast("int"))
+    salted = skewed.withColumn("_salt", _row_salt(skewed, buckets))
     replicated = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -20,6 +20,8 @@ shape (partition by key, sort by (key, value)).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,93 @@ def key_field_sort(df: DataFrame, keys: list[tuple[str, bool, bool]]) -> DataFra
         c = F.col(col).cast("double") if numeric else F.col(col)
         order.append(c.desc() if reverse else c.asc())
     return df.orderBy(*order)
+
+
+_KEYSPEC_RE = re.compile(
+    r"^(?:-k)?(?P<f1>\d+)(?:\.(?P<c1>\d+))?(?P<o1>[nr]*)"
+    r"(?:,(?P<f2>\d+)(?:\.(?P<c2>\d+))?(?P<o2>[nr]*))?$"
+)
+
+
+def parse_key_spec(spec: str) -> dict:
+    """Parse a sort(1)-style key spec ``-k pos1[,pos2]``, pos = f[.c][opts].
+
+    Reference grammar: mapred/lib/KeyFieldHelper.java:31-39 — fields and
+    chars are 1-based; ``.c`` defaults to 1 in pos1 and 0 (end of field) in
+    pos2; pos2 omitted means end of line; opts are 'n' (numeric) and 'r'
+    (reverse), allowed on either pos.
+    """
+    m = _KEYSPEC_RE.match(spec.strip())
+    if not m:
+        raise ValueError(f"bad key spec {spec!r}")
+    opts = (m.group("o1") or "") + (m.group("o2") or "")
+    return {
+        "f1": int(m.group("f1")),
+        "c1": int(m.group("c1") or 1),
+        "f2": int(m.group("f2")) if m.group("f2") else None,
+        "c2": int(m.group("c2") or 0),
+        "numeric": "n" in opts,
+        "reverse": "r" in opts,
+    }
+
+
+def key_field_slice(line: Column, spec: str, sep: str = "\t") -> Column:
+    """The character slice a ``-k`` spec compares, as a Column.
+
+    Offsets are computed over the raw line exactly like the reference
+    (KeyFieldHelper.getStartOffset/getEndOffset operate on the key's bytes,
+    so a char range larger than its field spills across separators —
+    reproduced here by absolute substring arithmetic rather than per-field
+    extraction). A start field beyond the last field yields ''.
+    """
+    k = parse_key_spec(spec)
+    fields = F.split(line, re.escape(sep))
+
+    def start_of(f: int) -> Column:
+        # 1-based char position of field f's first char in the raw line.
+        if f == 1:
+            return F.lit(1)
+        return F.length(F.array_join(F.slice(fields, 1, f - 1), sep)) + len(sep) + 1
+
+    begin = start_of(k["f1"]) + (k["c1"] - 1)
+    if k["f2"] is None:
+        end = F.length(line)
+    elif k["c2"] == 0:
+        end = start_of(k["f2"]) + F.length(F.coalesce(F.element_at(fields, k["f2"]), F.lit(""))) - 1
+    else:
+        end = start_of(k["f2"]) + (k["c2"] - 1)
+    sliced = F.when(
+        F.size(fields) >= k["f1"],
+        F.substring(line, begin, F.greatest(end - begin + 1, F.lit(0))),
+    ).otherwise(F.lit(""))
+    return sliced
+
+
+def key_field_order_columns(line: Column, specs: list[str], sep: str = "\t") -> list[Column]:
+    """Ordering columns (asc/desc applied) for a list of ``-k`` specs.
+
+    Numeric ('n') parses the leading decimal of the slice (sort(1)
+    semantics: non-numeric compares as 0) — reference
+    KeyFieldBasedComparator.numericalCompare:112-180.
+    """
+    order: list[Column] = []
+    for spec in specs:
+        k = parse_key_spec(spec)
+        c: Column = key_field_slice(line, spec, sep)
+        if k["numeric"]:
+            num = F.regexp_extract(c, r"^\s*(-?\d+(?:\.\d+)?)", 1)
+            # ANSI-safe: regexp_extract yields '' on no match, which a bare
+            # double cast rejects; sort(1) compares non-numerics as 0.
+            c = F.when(num != "", num.cast("double")).otherwise(F.lit(0.0))
+        order.append(c.desc() if k["reverse"] else c.asc())
+    return order
+
+
+def key_field_sort_spec(
+    df: DataFrame, text_col: str, specs: list[str], sep: str = "\t"
+) -> DataFrame:
+    """KeyFieldBasedComparator with full ``-k f.c,f.c[n][r]`` specs."""
+    return df.orderBy(*key_field_order_columns(F.col(text_col), specs, sep))
 
 
 def total_order_sort(df: DataFrame, *cols: str, num_partitions: int | None = None) -> DataFrame:

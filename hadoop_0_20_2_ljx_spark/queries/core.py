@@ -178,6 +178,32 @@ def _sort_keyfield(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-sort-1b: KeyFieldBasedComparator char-offset sub-field specs ----------
+def _sort_keyfield_offsets(spark: SparkSession, sf: str) -> DataFrame:
+    """sort(1)-style -k f.c,f.c[n][r] specs over tab-joined lines
+    (KeyFieldHelper.java grammar): 3rd char of field 1, numeric-reverse of
+    field 3 minus its first char, then numeric fields 4 and 3. Fingerprinted
+    with the position-weighted checksum (proves the exact total order)."""
+    o = T(spark, sf, "orders")
+    lined = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "\t",
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+        ).alias("line"),
+    )
+    specs = ["1.3,1.3", "3.2,3.0nr", "4,4n", "3,3n"]
+    order = sorts.key_field_order_columns(F.col("line"), specs, "\t")
+    rn = sorts.with_global_row_number(lined, order)
+    return rn.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rn") * (F.col("o_orderkey") % 97)).alias("ordered_checksum"),
+    )
+
+
 # --- Q-sort-2: TotalOrderPartitioner global sort fingerprint -----------------
 def _sort_total_order(spark: SparkSession, sf: str) -> DataFrame:
     df = sorts.total_order_sort(T(spark, sf, "lineitem"), "l_orderkey", "l_linenumber")
@@ -282,6 +308,16 @@ QUERIES: dict[str, QueryDef] = {
         "AS ordered_checksum FROM (SELECT o_orderkey, row_number() OVER "
         "(ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)",
         "Q-sort-1 KeyFieldBasedComparator (mapred/lib/KeyFieldBasedComparator.java:33)",
+    ),
+    "q_sort_keyfield_offsets": QueryDef(
+        _sort_keyfield_offsets,
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rn * (o_orderkey % 97)) AS BIGINT) "
+        "AS ordered_checksum FROM (SELECT o_orderkey, row_number() OVER (ORDER BY "
+        "substring(o_orderpriority, 3, 1) ASC, "
+        "coalesce(TRY_CAST(substring(CAST(o_orderkey AS VARCHAR), 2) AS DOUBLE), 0) DESC, "
+        "CAST(o_custkey AS DOUBLE) ASC, CAST(o_orderkey AS DOUBLE) ASC) AS rn FROM orders)",
+        "Q-sort-1b KeyFieldBasedComparator -k f.c,f.c[n][r] char-offset specs "
+        "(mapred/lib/KeyFieldHelper.java:31-39, KeyFieldBasedComparator.java:33-120)",
     ),
     "q_sort_total_order": QueryDef(
         _sort_total_order,

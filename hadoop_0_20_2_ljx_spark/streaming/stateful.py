@@ -70,6 +70,12 @@ def dedup_first_seen_stream(events_stream: DataFrame, key_col: str = "event_id")
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # Timeout invocation (no data for this key): evict the marker so
+        # idle keys actually leave the state store. Re-arming here would
+        # keep every key's marker alive forever.
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             state.setTimeoutDuration(3600 * 1000)
             return

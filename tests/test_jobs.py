@@ -68,5 +68,10 @@ def test_sudoku_branch_split_finds_same_solution(spark):
 def test_not_implemented_programs(spark):
     with pytest.raises(NotImplementedError):
         jobs.pentomino(spark)
-    with pytest.raises(NotImplementedError):
-        jobs.dbcount(spark)
+
+
+def test_dbcount_runs_and_verifies(spark):
+    res = jobs.dbcount(spark, "5000").collect()[0]
+    assert res["verified"] is True
+    assert res["n_access"] == 5000
+    assert res["n_urls"] == 97
