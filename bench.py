@@ -38,6 +38,30 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _stage_bytes(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_write_bytes, input_bytes) over completed stages,
+    from the UI REST API. Per-workload deltas of these are the numbers
+    that carry to 100 TB (broadcast saves shuffle; bloom cuts probe
+    bytes) — local seconds don't."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return 0, 0
+    try:
+        url = f"{base}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            stages = _json.load(resp)
+        return (
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            sum(s.get("inputBytes", 0) for s in stages),
+        )
+    except Exception:
+        return 0, 0
+
+
 def bench_terasort(spark) -> None:
     """TeraGen -> total-order sort -> TeraValidate (sortedness + checksum).
 
@@ -69,7 +93,12 @@ def bench_terasort(spark) -> None:
 
 def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="ljx-bench", master=f"local[{cpus}]")
+    # UI on so the REST stage metrics (shuffle/input bytes) are readable.
+    spark = get_spark(
+        app_name="ljx-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4951"},
+    )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     registry_workloads = {
@@ -79,24 +108,39 @@ def main() -> int:
         "dedup_minhash": "q_dedup_minhash",
         "embed_knn": "q_embed_knn",
         "dedup_simhash": "q_dedup_simhash",
+        "dedup_simhash_pairs": "q_dedup_simhash_pairs",
         "sort_fingerprint": "q_sort_total_order",
         "window_rank": "q_agg_window_rank",
         "bloom_join": "q_join_bloom",
     }
 
-    # Warm the JVM/codegen once so timings measure the plans, not startup.
+    # Warm the JVM/codegen AND the Python/Arrow worker pool once so
+    # timings measure the plans, not process startup (both amortize to
+    # zero on a long-lived cluster).
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    F_pd = F.pandas_udf(lambda s: s, "long")
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).select(
+        F_pd(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    shuffle_b: dict[str, int] = {}
+    input_b: dict[str, int] = {}
     t0 = time.time()
+    sw0, ib0 = _stage_bytes(spark)
     timings["terasort_1m"] = -time.time()
     bench_terasort(spark)
     timings["terasort_1m"] += time.time()
+    sw1, ib1 = _stage_bytes(spark)
+    shuffle_b["terasort_1m"], input_b["terasort_1m"] = sw1 - sw0, ib1 - ib0
 
     for label, qname in registry_workloads.items():
+        sw0, ib0 = _stage_bytes(spark)
         t = time.time()
         _force(REGISTRY[qname].spark(spark, SF_DIR))
         timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
 
     total = time.time() - t0
     print(
@@ -106,6 +150,8 @@ def main() -> int:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
+                "shuffle_write_bytes": shuffle_b,
+                "input_bytes": input_b,
                 "sf": sf,
             }
         )

@@ -37,18 +37,17 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _positions_expr(key: Column, num_hashes: int, m_bits: int) -> Column:
-    """JVM-side bit positions for one key: md5("{key}#{i}") % m, i<k."""
-    s = key.cast("string")
-    return F.array(
-        *[
-            (
-                F.conv(F.substring(F.md5(F.concat_ws("#", s, F.lit(str(i)))), 1, 8), 16, 10)
-                .cast("long")
-                % m_bits
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    """JVM-side bit positions for one key via Kirsch-Mitzenmacher double
+    hashing: ONE md5 yields (h1, h2) from disjoint hex ranges, position_i =
+    (h1 + i*h2) mod m. One hash computation per row instead of k — the
+    probe side scans the big table, so this is the hot expression; the
+    i-independence guarantee of double hashing preserves the bloom's FP
+    bound. h2 is forced odd so the stride never degenerates to 0 mod 2^j
+    divisors of m."""
+    digest = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long") * 2 + 1
+    return F.array(*[((h1 + F.lit(i) * h2) % m_bits + m_bits) % m_bits for i in range(num_hashes)])
 
 
 def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -85,12 +84,21 @@ def build_bloom(df: DataFrame, key_col: str, m_bits: int, num_hashes: int) -> np
     pos_df = df.select(
         F.explode(_positions_expr(F.col(key_col), num_hashes, m_bits)).alias("p")
     )
+    # Right-size build parallelism to the bitmap, not the input split
+    # count: a small filter on 32 splits would pay 32 Arrow-worker
+    # round-trips to OR 36 KB bitmaps. ~8 Mbit of bitmap per task keeps
+    # tasks meaningful at every scale (1 G keys -> ~1200 tasks).
+    cur = pos_df.rdd.getNumPartitions()
+    parts = max(1, min(cur, m_bits // 8_000_000 + 1))
+    if parts < cur:
+        pos_df = pos_df.coalesce(parts)
     partials = pos_df.mapInArrow(_part_bitmaps, "bm binary").rdd.map(
         lambda r: np.frombuffer(r[0], dtype=np.uint8).copy()
     )
-    if partials.isEmpty():
+    try:
+        packed = partials.treeReduce(np.bitwise_or)
+    except ValueError:  # empty RDD (zero input partitions) — empty filter
         return np.zeros(m_bits, dtype=bool)
-    packed = partials.treeReduce(np.bitwise_or)
     return np.unpackbits(packed)[:m_bits].astype(bool)
 
 
@@ -107,7 +115,9 @@ def bloom_prefilter(
     real join for exactness. Typical use: cut the big side's shuffle volume
     before a selective join, the DistributedCache-bloom pattern.
     """
-    n = expected_items if expected_items is not None else small.select(key).distinct().count()
+    # Plain count, not distinct().count(): duplicates only overestimate n,
+    # which sizes the bitmap up — safe — and skips a whole distinct shuffle.
+    n = expected_items if expected_items is not None else small.count()
     m_bits, k = optimal_params(n, fpp)
     bits = build_bloom(small, key, m_bits, k)
     packed = np.packbits(bits)

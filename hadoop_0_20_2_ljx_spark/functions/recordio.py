@@ -20,9 +20,156 @@ whole-stage codegen, no Python in the row path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# --- rcc IDL -> StructType compiler ------------------------------------------
+# Grammar: record/compiler/generated/rcc.jj:154-171 (token set
+# RccConstants.java:25-46) — module <name> { class <name> { <type> <field>;
+# ... } ... }; types are byte boolean int long float double ustring buffer,
+# vector<T>, map<K,V>, and (possibly module-qualified) class references.
+
+_PRIMITIVES: dict[str, DataType] = {
+    "byte": ByteType(),
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "ustring": StringType(),
+    "buffer": BinaryType(),
+}
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[{}<>,;.]|\S")
+
+
+class _IdlParser:
+    """Recursive-descent parser for the rcc grammar (modules, records,
+    fields). ``include`` is unsupported (file-relative; pass the full
+    source instead). Output: {fully.qualified.ClassName: StructType}."""
+
+    def __init__(self, src: str) -> None:
+        src = re.sub(r"//[^\n]*", "", src)
+        src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+        self.toks = _TOKEN_RE.findall(src)
+        self.i = 0
+        self.records: dict[str, StructType] = {}
+        self.module = ""
+
+    def _peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        tok = self._peek()
+        if tok is None:
+            raise ValueError("unexpected end of IDL")
+        self.i += 1
+        return tok
+
+    def _expect(self, tok: str) -> None:
+        got = self._next()
+        if got != tok:
+            raise ValueError(f"expected {tok!r}, got {got!r} at token {self.i}")
+
+    def parse(self) -> dict[str, StructType]:
+        while self._peek() is not None:
+            kw = self._next()
+            if kw == "include":
+                raise NotImplementedError("rcc 'include' is file-relative; inline the source")
+            if kw != "module":
+                raise ValueError(f"expected 'module', got {kw!r}")
+            self.module = self._qualified_name()
+            self._expect("{")
+            while self._peek() == "class":
+                self._record()
+            self._expect("}")
+        return self.records
+
+    def _qualified_name(self) -> str:
+        name = self._next()
+        while self._peek() == ".":
+            self._next()
+            name += "." + self._next()
+        return name
+
+    def _record(self) -> None:
+        self._expect("class")
+        rname = self._next()
+        self._expect("{")
+        fields: list[StructField] = []
+        while self._peek() != "}":
+            ftype = self._type()
+            fname = self._next()
+            self._expect(";")
+            fields.append(StructField(fname, ftype))
+        self._expect("}")
+        self.records[f"{self.module}.{rname}"] = StructType(fields)
+
+    def _type(self) -> DataType:
+        tok = self._next()
+        if tok in _PRIMITIVES:
+            return _PRIMITIVES[tok]
+        if tok == "vector":
+            self._expect("<")
+            elem = self._type()
+            self._expect(">")
+            return ArrayType(elem)
+        if tok == "map":
+            self._expect("<")
+            key = self._type()
+            self._expect(",")
+            val = self._type()
+            self._expect(">")
+            return MapType(key, val)
+        # class reference: qualified or same-module simple name
+        name = tok
+        while self._peek() == ".":
+            self._next()
+            name += "." + self._next()
+        fqn = name if "." in name else f"{self.module}.{name}"
+        if fqn not in self.records:
+            raise ValueError(f"unknown record type {name!r} (declare before use)")
+        return self.records[fqn]
+
+
+def compile_idl(src: str) -> dict[str, StructType]:
+    """Compile rcc Record IDL source to Spark schemas, one StructType per
+    declared record, keyed by fully-qualified name (module.Class)."""
+    return _IdlParser(src).parse()
+
+
+def schema_from_idl(src: str, record_name: str) -> StructType:
+    """The StructType for one record of an rcc IDL source. ``record_name``
+    may be fully qualified or a unique simple name."""
+    recs = compile_idl(src)
+    if record_name in recs:
+        return recs[record_name]
+    matches = [k for k in recs if k.rsplit(".", 1)[-1] == record_name]
+    if len(matches) != 1:
+        raise KeyError(f"record {record_name!r} not found (have {sorted(recs)})")
+    return recs[matches[0]]
+
+
+def ddl(schema: StructType) -> str:
+    """DDL string form of a StructType (what from_csv/from_json accept)."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
 
 
 def pack(df: DataFrame, cols: list[str], out: str = "record") -> DataFrame:

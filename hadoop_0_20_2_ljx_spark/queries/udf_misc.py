@@ -118,6 +118,41 @@ def _fn_json(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select((k % 10).alias("k_mod")).groupBy("k_mod").agg(F.count("*").alias("n"))
 
 
+# --- Q-fn-2: Record IDL compile + CSV wire roundtrip -------------------------
+_ORDER_IDL = """
+module ljx.examples {
+  class OrderRec {
+    long okey;
+    ustring status;
+    double price;
+  }
+}
+"""
+
+
+def _fn_recordio(spark: SparkSession, sf: str) -> DataFrame:
+    """rcc IDL -> StructType -> CSV wire form -> parse back -> aggregate;
+    any roundtrip corruption breaks the checksum (record/compiler grammar
+    rcc.jj:154-171, CsvRecordInput.java)."""
+    from hadoop_0_20_2_ljx_spark.functions import recordio
+
+    schema = recordio.schema_from_idl(_ORDER_IDL, "OrderRec")
+    o = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    packed = recordio.pack(o, ["okey", "status", "price"])
+    back = recordio.unpack(
+        recordio.from_csv_records(recordio.to_csv_records(packed), recordio.ddl(schema))
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("okey") % 1000003).alias("key_sum"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+
+
 # --- Q-stream-1: tumbling window (batch-equivalent semantics) ----------------
 def _stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_counts(T(spark, sf, "events"), "1 hour")
@@ -186,6 +221,14 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod, "
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
         "Q-fn-1 (engine extra) JSON scalar — absent in the reference",
+    ),
+    "q_fn_recordio": QueryDef(
+        _fn_recordio,
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum, "
+        "round(sum(o_totalprice), 2) AS total_price FROM orders",
+        "Q-fn-2 Record IDL: rcc DDL compiled to a Spark schema, CSV wire roundtrip "
+        "(record/compiler/generated/rcc.jj:154-171, RccConstants.java:25-46)",
     ),
     "q_stream_tumbling": QueryDef(
         _stream_tumbling,

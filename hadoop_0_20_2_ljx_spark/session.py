@@ -84,7 +84,11 @@ def get_spark(
         # so read as long and convert in the catalog (floor to micros, which
         # is exactly what DuckDB does when it reads TIMESTAMP_NS).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs every executor thread inside the driver JVM — size
+        # the heap for N concurrent tasks, not for a thin cluster driver
+        # (8g across 32 task threads GC-thrashes under the shuffle-heavy
+        # workloads; the container has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Runtime bloom-filter join reduction (the in-query form of the

@@ -47,3 +47,36 @@ def read_sequence_file(
     """
     rdd = spark.sparkContext.sequenceFile(path, minSplits=min_partitions)
     return rdd.toDF([key_name, value_name])
+
+
+def read_map_file(
+    spark: SparkSession,
+    path: str,
+    key_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    """Read an existing MapFile (or BloomMapFile) DIRECTORY.
+
+    A MapFile is a directory whose ``data`` member is a plain SequenceFile
+    sorted by key (io/MapFile.java:92-98); ``index`` (and BloomMapFile's
+    ``bloom``, io/BloomMapFile.java:38) only accelerate random access,
+    which a distributed full scan never uses — point lookups become
+    pushed-down filters instead. So migration-reading the directory is
+    exactly reading its data file.
+    """
+    return read_sequence_file(spark, f"{path}/data", key_name, value_name)
+
+
+def write_map_file(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+    """Write a MapFile-layout directory the reference can open.
+
+    Writes the ``data`` SequenceFile globally key-sorted (the MapFile
+    ordering contract, MapFile.Writer.append:219 enforces it). The offset
+    ``index`` can't be produced through the RDD write path (byte offsets
+    are private to the record writer); the reference regenerates it with
+    the standard repair utility ``MapFile.fix()`` (io/MapFile.java:640),
+    whose documented purpose is rebuilding a missing index from data.
+    """
+    df.select(key_col, value_col).sort(key_col).rdd.map(tuple).saveAsSequenceFile(
+        f"{path}/data"
+    )

@@ -35,3 +35,21 @@ def test_sequence_file_roundtrip_numeric(spark):
     assert len(a) == len(b)
     assert all(x[0] == y[0] and abs(x[1] - y[1]) < 1e-9 for x, y in zip(a, b))
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_map_file_directory_roundtrip(spark):
+    """MapFile layout: sorted data SequenceFile in a directory; reading
+    the directory == reading its data member (io/MapFile.java:92-98)."""
+    from hadoop_0_20_2_ljx_spark.sources.sequencefile import read_map_file, write_map_file
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    cust = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_name").cast("string"), F.col("c_mktsegment").cast("string")
+    )
+    write_map_file(cust, TMP, "c_name", "c_mktsegment")
+    back = read_map_file(spark, TMP, "c_name", "c_mktsegment")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+    # the MapFile ordering contract: data is globally key-sorted
+    keys = [r[0] for r in read_map_file(spark, TMP).collect()]
+    assert keys == sorted(keys)
+    shutil.rmtree(TMP, ignore_errors=True)
