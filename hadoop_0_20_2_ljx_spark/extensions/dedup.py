@@ -297,6 +297,60 @@ def simhash_neardup_pairs(
     return pairs
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the
+    cluster-assignment step that turns pairwise dedup evidence into
+    "keep one doc per cluster".
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round every node takes the min label over itself and its
+    neighbors; fixpoint = components labeled by their min member id.
+    Each round is one equi-join + one groupBy-min (all shuffles on the
+    node id), materialized with an eager localCheckpoint to truncate
+    lineage — rounds needed = graph diameter, and duplicate clusters are
+    shallow (stars/cliques), so 3-5 rounds is typical at any corpus size.
+    Convergence is detected by the monotone sum of labels (labels only
+    ever decrease), costing one O(1)-row agg per round instead of a
+    full-join diff.
+
+    Returns (node, component); singleton nodes keep their own id.
+    """
+    # Materialize the edge list once: its lineage is typically an
+    # expensive candidate-pair pipeline (minhash/simhash banding), and the
+    # propagation loop re-reads it every round.
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    if nodes is None:
+        labels = bidir.select(F.col("u").alias("node")).distinct()
+    else:
+        labels = nodes.select(F.col(node_col).alias("node")).distinct()
+    labels = labels.select("node", F.col("node").alias("comp"))
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        msgs = bidir.join(labels, bidir["u"] == labels["node"]).select(
+            F.col("v").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

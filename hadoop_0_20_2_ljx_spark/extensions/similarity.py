@@ -117,6 +117,81 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its best centroid
+    (max cosine, ties to the smaller centroid id).
+
+    Centroids arrive as driver-side literals (nlist rows — bounded), so
+    assignment is a single codegen'd projection over one corpus scan: per
+    row, argmax over an array of (cos, cid) structs. At 100 TB the
+    assignment writes `partitionBy(list_id)` so probes prune partitions.
+
+    Output: corpus columns + list_id.
+    """
+    v = F.col(vec_col)
+    nv = norm(v)
+    scored = []
+    for cid, cvec in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = float(sum(x * x for x in cvec)) ** 0.5
+        cos = dot(v, lit) / (nv * F.lit(cnorm))
+        # struct max compares fields left-to-right; negate cid so cosine
+        # ties resolve to the SMALLEST centroid id under max()
+        scored.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("ncid")))
+    best = F.array_max(F.array(*scored))
+    return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize corpus and queries against a shared
+    centroid set, probe only the query's inverted list, exact cosine
+    within it.
+
+    The centroid set here is the embeddings of the given ids — a
+    deterministic, oracle-reproducible stand-in for a k-means training
+    job; the partition/probe topology (the Spark-side substance: one
+    corpus scan to assign, equi-join on list_id to probe) is identical
+    with trained centroids. Recall < 1 by design, like any single-probe
+    IVF; raise recall by probing more lists.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col).isin(nlist_ids))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    c = ivf_assign(_spread(corpus), cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
+    )
+    q = ivf_assign(queries, cents, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "list_id"
+    )
+    scored = (
+        c.join(broadcast(q), on="list_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def bucketed_ann(
     corpus: DataFrame,
     queries: DataFrame,

@@ -24,7 +24,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_knn",
     "q_embed_ann",
     "q_dedup_embed",
+    "q_embed_ivf",
     "q_dedup_simhash_pairs",
+    "q_dedup_clusters",
     "q_sort_keyfield_offsets",
     "q_fn_recordio",
     "q_scan_kv_split",

@@ -126,6 +126,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     return sig
 
 
+# --- dedup: cluster assignment (connected components over pairs) -------------
+def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    edges = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3
+    )
+    cc = dedup.connected_components(edges, nodes=docs.select("doc_id"), node_col="doc_id")
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+
+
+def _clusters_oracle() -> str:
+    # same minhash-LSH pair derivation as _minhash_oracle, then min
+    # reachable id per node via a recursive CTE (undirected reachability).
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 3)
+    sig_elem = (
+        "coalesce(list_min(list_transform(sh, g -> "
+        + h32_sql("g || '#' || CAST(s AS VARCHAR)")
+        + ")), -1)"
+    )
+    bucket = h32_sql(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH RECURSIVE shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (
+  SELECT doc_id, list_transform(range(16), s -> {sig_elem}) AS sig FROM shingled
+),
+bands AS (
+  SELECT doc_id, b, {bucket} AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+"""
+
+
 # --- dedup: n-gram Jaccard pairs ---------------------------------------------
 def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
@@ -195,6 +244,43 @@ scored AS (
     list_inner_product(q.qv, e.v) /
       (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos
   FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5
+"""
+
+
+# --- similarity: IVF-style inverted-list ANN ---------------------------------
+def _embed_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(emb, queries, nlist_ids=list(range(8)), k=5)
+
+
+_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+ascore AS (
+  SELECT e.vec_id, e.v, c.cid,
+    list_inner_product(e.v, c.cv) /
+      (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) AS ccos,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_inner_product(e.v, c.cv) /
+        (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+      c.cid) AS rn
+  FROM e CROSS JOIN c
+),
+assign AS (SELECT vec_id, v, cid AS list_id FROM ascore WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, list_id FROM assign WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, a.vec_id AS neighbor_id,
+    list_inner_product(q.qv, a.v) /
+      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(a.v, a.v))) AS cos
+  FROM assign a JOIN q USING (list_id) WHERE a.vec_id <> q.q_id
 ),
 ranked AS (
   SELECT q_id, neighbor_id, cos,
@@ -367,6 +453,12 @@ QUERIES: dict[str, QueryDef] = {
         _simhash_pairs_oracle(),
         "extension: SimHash near-dup pairs, hamming<=8 via 4x15-bit band bucketing",
     ),
+    "q_dedup_clusters": QueryDef(
+        _dedup_clusters,
+        _clusters_oracle(),
+        "extension: duplicate-cluster assignment — connected components "
+        "(min-label propagation) over minhash-LSH candidate pairs",
+    ),
     "q_dedup_jaccard": QueryDef(
         _dedup_jaccard,
         _jaccard_oracle(),
@@ -382,6 +474,13 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_embed_ann": QueryDef(
         _embed_ann, _ANN_SQL, "extension: sign-LSH bucketed ANN top-5"
+    ),
+    "q_embed_ivf": QueryDef(
+        _embed_ivf,
+        _IVF_SQL,
+        "extension: IVF inverted-list ANN — coarse-quantize, probe one list "
+        "(deterministic centroid set; k-means training swaps in without "
+        "changing the topology)",
     ),
     "q_text_langid": QueryDef(
         _text_langid, _langid_oracle(), "extension: stopword-ratio language ID confusion counts"
