@@ -99,6 +99,26 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
 
 
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrub: emails, IPv4s, phone-like digit runs ->
+    typed placeholder tokens. Pure regexp_replace chain (whole-stage
+    codegen; order matters — emails first so their digits never half-match
+    the phone pattern)."""
+    out = text
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, window_k: int = 5) -> DataFrame:
     """Winnowing-style rolling fingerprint: min md5-hash over word
     `window_k`-grams of the lowercased text — robust to whitespace-only

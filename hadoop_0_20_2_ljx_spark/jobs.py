@@ -257,13 +257,17 @@ def sudoku(spark: SparkSession, puzzle: str | None = None) -> DataFrame:
     return rdd.toDF(["solution"])
 
 
-def pentomino(spark: SparkSession, *args: str) -> DataFrame:
-    """DistributedPentomino.java — dancing-links tile search. The
-    prefix-split orchestration is demonstrated by sudoku(); the DLX solver
-    itself is out of the engine's data-processing scope."""
-    raise NotImplementedError(
-        "pentomino's DLX solver is out of scope; sudoku() demonstrates the "
-        "same distributed prefix-split search"
+def pentomino(
+    spark: SparkSession, width: int = 6, height: int = 10, depth: int = 2
+) -> DataFrame:
+    """DistributedPentomino.java:40-60 — dancing-links tile search, split
+    into one task per depth-``depth`` choice prefix. Defaults mirror the
+    reference main (6x10 board, depth 2). Output (prefix, solution) rows
+    match the reference's Text/Text map output."""
+    from hadoop_0_20_2_ljx_spark.operators.dancing import distributed_pentomino
+
+    return distributed_pentomino(
+        spark, width=int(width), height=int(height), depth=int(depth)
     )
 
 
@@ -276,7 +280,7 @@ PROGRAMS: dict[str, tuple[Callable[..., DataFrame], str]] = {
     "randomtextwriter": (randomtextwriter, "deterministic random text rows"),
     "sort": (sort_job, "total-order sort of generated data"),
     "pi": (pi, "Halton Monte Carlo pi"),
-    "pentomino": (pentomino, "NOT IMPLEMENTED (see sudoku)"),
+    "pentomino": (pentomino, "distributed pentomino tiling (prefix-split DLX)"),
     "secondarysort": (secondarysort, "values ordered within key groups"),
     "sudoku": (sudoku, "distributed sudoku solver"),
     "sleep": (sleep, "parallel no-op delay"),

@@ -94,13 +94,30 @@ def pi_estimate(spark: SparkSession, num_points: int) -> DataFrame:
     Deterministic: exact same value for a fixed num_points at any
     parallelism.
     """
+    def halton_vec(idx, base: int):
+        """Vectorized van der Corput radical inverse — same digit
+        recurrence as halton(), all of numpy; entries that run out of
+        digits contribute exact zeros, so values match the scalar form
+        bit-for-bit."""
+        import numpy as np
+
+        i = idx.astype(np.int64) + 1
+        x = np.zeros(len(i), dtype=np.float64)
+        denom = 1.0
+        while i.max(initial=0) > 0:
+            denom *= base
+            x += (i % base) / denom
+            i //= base
+        return x
+
     def score(batches):
+        import numpy as np
+
         for pdf in batches:
-            inside = []
-            for idx in pdf["id"]:
-                x, y = halton(int(idx))
-                dx, dy = x - 0.5, y - 0.5
-                inside.append(1 if dx * dx + dy * dy <= 0.25 else 0)
+            idx = pdf["id"].to_numpy()
+            dx = halton_vec(idx, 2) - 0.5
+            dy = halton_vec(idx, 3) - 0.5
+            inside = (dx * dx + dy * dy <= 0.25).astype(np.int32)
             yield pd.DataFrame({"inside": inside})
 
     pts = spark.range(num_points).mapInPandas(score, schema="inside int")

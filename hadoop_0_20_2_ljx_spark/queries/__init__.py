@@ -29,6 +29,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_dedup_clusters",
     "q_sort_keyfield_offsets",
     "q_fn_recordio",
+    "q_text_redact",
+    "q_pipeline_training",
+    "q_fn_pentomino",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

@@ -410,6 +410,110 @@ FROM documents
 """
 
 
+# --- text: PII redaction ------------------------------------------------------
+def _text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Inject synthetic PII derived from doc_id (fixture text has none by
+    construction), scrub it with redact_pii, and checksum the result —
+    proving every injected email/IP/phone was caught and the surrounding
+    text survived byte-identical."""
+    docs = T(spark, sf, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +155501"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    red = docs.select("doc_id", textstats.redact_pii(txt).alias("red"))
+    return red.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("red").contains("<EMAIL>"), 1).otherwise(0)).alias("n_email"),
+        F.sum(F.when(F.col("red").contains("<IP>"), 1).otherwise(0)).alias("n_ip"),
+        F.sum(F.when(F.col("red").contains("<PHONE>"), 1).otherwise(0)).alias("n_phone"),
+        F.sum(portable_hash32(F.col("red")) % 1000003).alias("red_hash"),
+    )
+
+
+def _redact_oracle() -> str:
+    txt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || ' tel +155501' "
+        "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    )
+    red = txt
+    for pattern, repl in textstats.PII_PATTERNS:
+        esc = pattern.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '{repl}', 'g')"
+    return f"""
+WITH redacted AS (SELECT doc_id, {red} AS red FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN contains(red, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+  CAST(sum(CASE WHEN contains(red, '<IP>') THEN 1 ELSE 0 END) AS BIGINT) AS n_ip,
+  CAST(sum(CASE WHEN contains(red, '<PHONE>') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+  CAST(sum({h32_sql('red')} % 1000003) AS BIGINT) AS red_hash
+FROM redacted
+"""
+
+
+# --- pipeline: dedup -> lang gate -> quality gate -> token budget ------------
+def _pipeline_training(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data pipeline: exact dedup (deterministic
+    survivor = min doc_id per text), language gate, quality gate, token
+    accounting — proving the §7.4 ops compose into one Catalyst plan."""
+    docs = T(spark, sf, "documents")
+    dd = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    lang = textstats.lang_id(dd, "doc_id", "text")
+    qual = textstats.quality_score(dd, "doc_id", "text")
+    tok = dd.select("doc_id", F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    kept = (
+        dd.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(tok, "doc_id")
+        .filter((F.col("lang_pred") != "und") & (F.col("quality") >= 0.5))
+    )
+    return kept.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+def _pipeline_oracle() -> str:
+    toks = _WORDS.format(col="lower(text)")
+    score = {}
+    for lang, words in sorted(textstats.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score[lang] = (
+            f"(len(list_filter({toks}, w -> w IN ({inlist}))) / greatest(len({toks}), 1))"
+        )
+    best = "greatest(" + ", ".join(score[lang] for lang in sorted(score)) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} >= 0.01 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(score)
+    )
+    wtoks = _WORDS.format(col="text")
+    quality = (
+        "round(0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.25 * (CASE WHEN (list_sum(list_transform({wtoks}, w -> length(w))) / greatest(len({wtoks}), 1)) >= 2.0 "
+        f"AND (list_sum(list_transform({wtoks}, w -> length(w))) / greatest(len({wtoks}), 1)) <= 12.0 "
+        "THEN 1.0 ELSE 0.0 END) "
+        "+ 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1)) "
+        f"+ 0.25 * least(1.0, 10.0 * (len(list_filter({wtoks}, w -> lower(w) IN ('the','a','of','and'))) "
+        f"/ greatest(len({wtoks}), 1))), 6)"
+    )
+    return f"""
+WITH dd AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+scored AS (
+  SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred,
+         {quality} AS quality,
+         CAST(len({wtoks}) AS BIGINT) AS n_tokens
+  FROM dd
+)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM scored WHERE lang_pred <> 'und' AND quality >= 0.5 GROUP BY 1
+"""
+
+
 # --- multimodal: binary payload + fake-decode feature extraction -------------
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_binary_payload(T(spark, sf, "documents"), "doc_id", "text")
@@ -493,6 +597,18 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_text_fingerprint": QueryDef(
         _text_fingerprint, _fingerprint_oracle(), "extension: winnowing-style doc fingerprint"
+    ),
+    "q_text_redact": QueryDef(
+        _text_redact,
+        _redact_oracle(),
+        "extension: PII scrub (email/IP/phone -> typed placeholders) with "
+        "byte-identical checksum of the redacted corpus",
+    ),
+    "q_pipeline_training": QueryDef(
+        _pipeline_training,
+        _pipeline_oracle(),
+        "extension: composed training-data pipeline — exact dedup (min-id "
+        "survivor) -> language gate -> quality gate -> token accounting",
     ),
     "q_multimodal_features": QueryDef(
         _multimodal_features,

@@ -17,7 +17,9 @@ from hadoop_0_20_2_ljx_spark.queries.base import TMP_ROOT, QueryDef, T
 
 
 def _tmp(name: str) -> str:
-    path = os.path.join(TMP_ROOT, name)
+    # pid suffix: two sessions running the same sink query concurrently
+    # (e.g. the driver and a local pytest) must not share a commit dir.
+    path = os.path.join(TMP_ROOT, f"{name}-{os.getpid()}")
     os.makedirs(TMP_ROOT, exist_ok=True)
     return path
 

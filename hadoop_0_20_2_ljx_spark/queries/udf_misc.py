@@ -153,6 +153,37 @@ def _fn_recordio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-fn-3: distributed pentomino (prefix-split exact cover) ----------------
+def _fn_pentomino(spark: SparkSession, sf: str) -> DataFrame:
+    """DistributedPentomino.java:40-60 on the 3x20 board with the symmetry
+    prune off: the full raw solution set is exactly 8 (the two published
+    distinct tilings x the board's 4 symmetries) — an exact-count oracle in
+    the q_num_pi style. n_distinct canonicalizes each solution under the
+    symmetry group inside a task-side closure (8 rows; not a hot path)."""
+    from hadoop_0_20_2_ljx_spark.operators.dancing import distributed_pentomino
+
+    sols = distributed_pentomino(
+        spark, width=20, height=3, depth=2, restrict_first=False
+    )
+
+    @pandas_udf("string")
+    def canon(s: pd.Series) -> pd.Series:
+        def one(b: str) -> str:
+            g = [b[i * 20 : (i + 1) * 20] for i in range(3)]
+            forms = {
+                "".join(f)
+                for f in (g, [r[::-1] for r in g], g[::-1], [r[::-1] for r in g[::-1]])
+            }
+            return min(forms)
+
+        return s.map(one)
+
+    return sols.agg(
+        F.count("*").alias("n_solutions"),
+        F.countDistinct(canon(F.col("solution"))).alias("n_distinct"),
+    )
+
+
 # --- Q-stream-1: tumbling window (batch-equivalent semantics) ----------------
 def _stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_counts(T(spark, sf, "events"), "1 hour")
@@ -229,6 +260,13 @@ QUERIES: dict[str, QueryDef] = {
         "round(sum(o_totalprice), 2) AS total_price FROM orders",
         "Q-fn-2 Record IDL: rcc DDL compiled to a Spark schema, CSV wire roundtrip "
         "(record/compiler/generated/rcc.jj:154-171, RccConstants.java:25-46)",
+    ),
+    "q_fn_pentomino": QueryDef(
+        _fn_pentomino,
+        "SELECT CAST(8 AS BIGINT) AS n_solutions, CAST(2 AS BIGINT) AS n_distinct",
+        "Q-fn-3 DistributedPentomino: prefix-split exact-cover search, 3x20 "
+        "board — exact published solution count as oracle "
+        "(examples/dancing/DistributedPentomino.java:40-60, Pentomino.java:269)",
     ),
     "q_stream_tumbling": QueryDef(
         _stream_tumbling,

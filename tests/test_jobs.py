@@ -65,9 +65,41 @@ def test_sudoku_branch_split_finds_same_solution(spark):
     assert [r["solution"] for r in sols] == [base]
 
 
-def test_not_implemented_programs(spark):
-    with pytest.raises(NotImplementedError):
-        jobs.pentomino(spark)
+def test_pentomino_3x20_full_solution_set(spark):
+    # 3x20 with the symmetry prune off: the raw solution set is exactly the
+    # two published tilings x the 4 board symmetries = 8; every solution
+    # must tile all 60 cells with all 12 piece letters.
+    from hadoop_0_20_2_ljx_spark.operators.dancing import distributed_pentomino
+
+    sols = [
+        r["solution"]
+        for r in distributed_pentomino(
+            spark, 20, 3, depth=2, restrict_first=False
+        ).collect()
+    ]
+    assert len(sols) == 8 and len(set(sols)) == 8
+    for board in sols:
+        assert len(board) == 60 and "." not in board
+        assert sorted(set(board)) == sorted("filnptuvwxyz")
+
+
+def test_pentomino_prefix_split_matches_serial(spark):
+    # the distributed prefix-split union must equal the undistributed search
+    from hadoop_0_20_2_ljx_spark.operators.dancing import (
+        ExactCover,
+        pentomino_rows,
+        solution_board,
+    )
+
+    rows = pentomino_rows(20, 3, restrict_first=True)
+    serial = {
+        solution_board(rows, s, 20, 3) for s in ExactCover(rows, 60).solve()
+    }
+    dist = {r["solution"] for r in jobs.pentomino(spark, 20, 3, 2).collect()}
+    # on a height-3 board the x piece sits on the y-midline, so the prune
+    # keeps each tiling plus its vertical flip (reference MID_Y category):
+    # 2 distinct classes x 2 = 4
+    assert dist == serial and len(serial) == 4
 
 
 def test_dbcount_runs_and_verifies(spark):

@@ -102,3 +102,59 @@ def test_terasort_partitions_are_ranges(spark):
 
     df = total_order_sort(tera_gen(spark, 1000), "key", num_partitions=4)
     assert "rangepartitioning" in plan_of(df).lower()
+
+
+def test_simhash_vote_agg_is_partial(spark):
+    """The relational simhash must partial-aggregate its 60 bit-vote sums
+    (map-side combine) before the doc shuffle."""
+    from hadoop_0_20_2_ljx_spark.extensions.dedup import simhash_signatures
+
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    plan = plan_of(simhash_signatures(docs, "doc_id", "text"))
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_named_outputs_single_scan(spark, tmp_path):
+    """write_named_outputs must read the source once: no InMemoryRelation
+    (cache) and exactly one parquet write job."""
+    from hadoop_0_20_2_ljx_spark.operators import sinks
+
+    src = catalog.load(spark, SF_SMOKE, "orders")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    paths = sinks.write_named_outputs(
+        src,
+        str(tmp_path / "named"),
+        {"f": F.col("o_orderstatus") == "F", "o": F.col("o_orderstatus") == "O"},
+    )
+    assert len(paths) == 2
+    got_f = spark.read.parquet(paths["f"])
+    assert got_f.filter(F.col("o_orderstatus") != "F").count() == 0
+    # original schema round-trips (route tag is a directory, not a column)
+    assert set(got_f.columns) == set(src.columns)
+
+
+def test_bloom_build_no_distinct_shuffle(spark):
+    """The bloom build path must not plan a distinct over positions (the
+    round-1 collect pattern); its aggregation is per-partition bitmaps."""
+    from hadoop_0_20_2_ljx_spark.functions import bloom as B
+
+    small = catalog.load(spark, SF_SMOKE, "customer").select("c_custkey")
+    bits = B.build_bloom(small, "c_custkey", 4096, 3)
+    assert bits.dtype == bool and bits.shape == (4096,)
+    assert bits.any() and not bits.all()
+
+
+def test_ivf_assign_is_single_projection(spark):
+    """IVF coarse assignment must be one scan + projection — no join or
+    shuffle against a centroid table."""
+    from hadoop_0_20_2_ljx_spark.extensions import similarity
+
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    ]
+    plan = plan_of(similarity.ivf_assign(emb, cents))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
