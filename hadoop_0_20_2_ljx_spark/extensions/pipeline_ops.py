@@ -1,0 +1,142 @@
+"""Training-data pipeline operators beyond per-doc scoring: intra-doc
+repetition, benchmark contamination, stratified (domain-mix) sampling,
+and sequence packing. Engine extras for the 100 TB curation brief (no
+reference counterpart; nearest ancestors are TokenCountMapper /
+RegexMapper / the sampling filters, SURVEY.md §2.3/2.7).
+
+Scale notes per op:
+- repetition_score: pure per-row expressions (codegen, no shuffle).
+- ngram_contamination: explode -> equi-join on the n-gram — the banded-
+  LSH economics again; never a cross product. The benchmark side is tiny
+  in practice and broadcasts (AQE decides); the train side streams.
+- stratified_sample: stateless hash-threshold per row — no shuffle, no
+  driver sampling pass, reproducible under retry (portable md5 hash,
+  not rand()).
+- pack_sequences: the only op that needs a global order; uses the same
+  two-pass range-partition prefix-sum as sorts.with_global_row_number
+  (driver sees O(num_partitions) rows), NOT a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_0_20_2_ljx_spark.extensions.textstats import tokens
+from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of the lowercased text; [] when the doc
+    has fewer than n words."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_score(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Gopher-style intra-doc repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same doc (0 = no repetition).
+    Pure expressions — per-row, no shuffle, whole-stage codegen.
+
+    Emits the exact integer numerator/denominator alongside the float
+    fraction so downstream aggregation (and the cross-engine oracle) can
+    stay in integer arithmetic."""
+    grams = word_ngrams(F.col(text_col), n)
+    total = F.size(grams).cast("long")
+    dup = total - F.size(F.array_distinct(grams)).cast("long")
+    rep = F.when(total > 0, dup / total.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        dup.alias("n_dup_ngrams"),
+        F.round(rep, 6).alias("rep_frac"),
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing at least one
+    word ``n``-gram with any benchmark doc, with the count of distinct
+    shared n-grams per doc.
+
+    Relational shape: explode both sides to (gram) / (gram, id), distinct
+    the benchmark grams, equi-join on gram, groupBy train id. Cost is
+    sum over grams of freq_train x freq_bench — no O(|train| x |bench|)
+    stage, so it survives a 100 TB train side; the bench side (an eval
+    suite) is small and ends up broadcast by AQE.
+    """
+    bench_grams = (
+        bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram")).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        train_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, rates: dict[str, float], key_col: str
+) -> DataFrame:
+    """Domain-mixing sampler: keep each row with its group's probability,
+    decided by a deterministic hash threshold on ``key_col`` (reproducible
+    across retries and engines — the same retry-safety argument as
+    operators/skew._row_salt; never rand()). Groups absent from ``rates``
+    are dropped. Stateless per row: no shuffle, no driver pass."""
+    bps = F.create_map(
+        *[
+            x
+            for g, rate in sorted(rates.items())
+            for x in (F.lit(g), F.lit(int(round(rate * 10000))))
+        ]
+    )
+    bucket = portable_hash32(F.col(key_col)) % 10000
+    return df.filter(bucket < F.coalesce(bps[F.col(group_col)], F.lit(0)))
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, tokens_col: str, ctx: int, bin_col: str = "bin_id"
+) -> DataFrame:
+    """Sequence packing for context-window training: concatenate docs in
+    ``id_col`` order into a token stream and assign each doc the
+    ctx-window its first token lands in (bin_id = floor(cum_before /
+    ctx)) — the deterministic concat-then-chunk packing used by LLM data
+    loaders, expressed relationally.
+
+    The global running total uses the two-pass range-partition shape
+    (per-partition window + collected O(P) partial sums), not a global
+    single-partition window — same scale argument as
+    sorts.with_global_row_number.
+    """
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_part, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    parts = ranged.groupBy("_pid").agg(F.sum(tokens_col).alias("_s")).collect()
+    offsets: list[Column] = []
+    acc = 0
+    for r in sorted(parts, key=lambda r: r["_pid"]):
+        offsets.extend([F.lit(int(r["_pid"])), F.lit(acc)])
+        acc += int(r["_s"] or 0)
+    omap = F.create_map(*offsets) if offsets else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    cum_before = (
+        F.sum(tokens_col).over(w) - F.col(tokens_col) + F.coalesce(omap[F.col("_pid")], F.lit(0))
+    )
+    return ranged.withColumn(
+        bin_col, F.floor(cum_before / ctx).cast("long")
+    ).drop("_pid")

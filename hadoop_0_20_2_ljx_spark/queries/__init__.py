@@ -32,6 +32,10 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_redact",
     "q_pipeline_training",
     "q_fn_pentomino",
+    "q_text_repetition",
+    "q_text_contamination",
+    "q_sample_stratified",
+    "q_pack_sequences",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

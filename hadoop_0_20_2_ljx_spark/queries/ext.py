@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_0_20_2_ljx_spark.extensions import dedup, multimodal, similarity, textstats
+from hadoop_0_20_2_ljx_spark.extensions import (
+    dedup,
+    multimodal,
+    pipeline_ops,
+    similarity,
+    textstats,
+)
 from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
 from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h32_sql, h64_sql
 
@@ -514,6 +520,144 @@ FROM scored WHERE lang_pred <> 'und' AND quality >= 0.5 GROUP BY 1
 """
 
 
+# --- pipeline: intra-doc repetition -------------------------------------------
+def _ngrams_sql(words: str, n: int) -> str:
+    """DuckDB rendering of pipeline_ops.word_ngrams (non-distinct, ordered)."""
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN list_transform("
+        f"generate_series(0, len({words}) - {n}), "
+        f"i -> array_to_string(({words})[i+1:i+{n}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact corpus roll-up of repetition_score: duplicate and total
+    3-gram counts plus how many docs exceed the 20% repetition gate (the
+    comparison done as 5*dup > total so both engines stay in BIGINTs)."""
+    rep = pipeline_ops.repetition_score(T(spark, sf, "documents"), "doc_id", "text", n=3)
+    return rep.agg(
+        F.count("*").alias("n"),
+        F.sum("n_ngrams").alias("total_ngrams"),
+        F.sum("n_dup_ngrams").alias("dup_ngrams"),
+        F.sum(
+            F.when(5 * F.col("n_dup_ngrams") > F.col("n_ngrams"), 1).otherwise(0)
+        ).alias("n_repetitive"),
+    )
+
+
+def _repetition_oracle() -> str:
+    tg = _ngrams_sql(_WORDS.format(col="lower(text)"), 3)
+    return f"""
+WITH per AS (
+  SELECT CAST(len(tg) AS BIGINT) AS total,
+         CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) AS dup
+  FROM (SELECT {tg} AS tg FROM documents)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(total) AS BIGINT) AS total_ngrams,
+  CAST(sum(dup) AS BIGINT) AS dup_ngrams,
+  CAST(sum(CASE WHEN 5 * dup > total THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM per
+"""
+
+
+# --- pipeline: benchmark contamination ---------------------------------------
+def _text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark contamination: docs with doc_id % 97 == 0 act as the eval
+    suite; every other doc sharing an 8-gram with any of them is flagged.
+    Join is per-n-gram equi (explode -> join -> groupBy), never doc x doc."""
+    docs = T(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    cont = pipeline_ops.ngram_contamination(train, bench, "doc_id", "text", n=8)
+    return cont.agg(
+        F.count("*").alias("n_contaminated"),
+        F.sum("n_shared_ngrams").alias("shared_sum"),
+        F.sum(F.col("doc_id") % 1000003).alias("id_hash_sum"),
+    )
+
+
+def _contamination_oracle() -> str:
+    tg = _ngrams_sql(_WORDS.format(col="lower(text)"), 8)
+    return f"""
+WITH grams AS (SELECT doc_id, unnest({tg}) AS gram FROM documents),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+  CAST(sum(n_shared) AS BIGINT) AS shared_sum,
+  CAST(sum(doc_id % 1000003) AS BIGINT) AS id_hash_sum
+FROM hits
+"""
+
+
+# --- pipeline: stratified (domain-mix) sampling ------------------------------
+_MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.0, "zh": 1.0}
+
+
+def _sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    samp = pipeline_ops.stratified_sample(
+        T(spark, sf, "documents"), "lang", _MIX_RATES, "doc_id"
+    )
+    return samp.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("doc_id") % 1000003).alias("id_hash_sum"),
+    )
+
+
+def _stratified_oracle() -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(round(r * 10000))}" for g, r in sorted(_MIX_RATES.items())
+    )
+    bucket = h32_sql("doc_id") + " % 10000"
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(doc_id % 1000003) AS BIGINT) AS id_hash_sum
+FROM documents
+WHERE {bucket} < (CASE lang {whens} ELSE 0 END)
+GROUP BY lang
+"""
+
+
+# --- pipeline: sequence packing ----------------------------------------------
+def _pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk packing into 2048-token context windows; the
+    assignment hash pins every doc's bin, not just the bin count."""
+    docs = T(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pipeline_ops.pack_sequences(tok, "doc_id", "n_tokens", ctx=2048)
+    return packed.agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bin_id") * (F.col("doc_id") % 997)).alias("asg_hash"),
+    )
+
+
+def _packing_oracle() -> str:
+    words = _WORDS.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, CAST(len({words}) AS BIGINT) AS n_tokens FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM tok
+)
+SELECT CAST(count(DISTINCT CAST(floor(cb / 2048.0) AS BIGINT)) AS BIGINT) AS n_bins,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(CAST(floor(cb / 2048.0) AS BIGINT) * (doc_id % 997)) AS BIGINT) AS asg_hash
+FROM cum
+"""
+
+
 # --- multimodal: binary payload + fake-decode feature extraction -------------
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_binary_payload(T(spark, sf, "documents"), "doc_id", "text")
@@ -609,6 +753,30 @@ QUERIES: dict[str, QueryDef] = {
         _pipeline_oracle(),
         "extension: composed training-data pipeline — exact dedup (min-id "
         "survivor) -> language gate -> quality gate -> token accounting",
+    ),
+    "q_text_repetition": QueryDef(
+        _text_repetition,
+        _repetition_oracle(),
+        "extension: Gopher-style intra-doc repetition (duplicate 3-gram "
+        "fraction), integer-exact corpus roll-up",
+    ),
+    "q_text_contamination": QueryDef(
+        _text_contamination,
+        _contamination_oracle(),
+        "extension: benchmark-contamination scan — 8-gram overlap between "
+        "the train split and a synthetic eval suite, per-n-gram equi-join",
+    ),
+    "q_sample_stratified": QueryDef(
+        _sample_stratified,
+        _stratified_oracle(),
+        "extension: stratified domain-mix sampling via deterministic "
+        "hash-threshold (reproducible, shuffle-free)",
+    ),
+    "q_pack_sequences": QueryDef(
+        _pack_sequences,
+        _packing_oracle(),
+        "extension: sequence packing into 2048-token context windows — "
+        "distributed two-pass prefix sum, assignment pinned by hash",
     ),
     "q_multimodal_features": QueryDef(
         _multimodal_features,
