@@ -112,6 +112,8 @@ def main() -> int:
         "sort_fingerprint": "q_sort_total_order",
         "window_rank": "q_agg_window_rank",
         "bloom_join": "q_join_bloom",
+        "contamination": "q_text_contamination",
+        "pipeline_training": "q_pipeline_training",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so
@@ -122,6 +124,17 @@ def main() -> int:
     spark.range(int(cpus) * 4, numPartitions=int(cpus)).select(
         F_pd(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
+    # Per-plan warmup at the smallest sf: compiles each workload's
+    # whole-stage-codegen classes once, so the sf0.1 timings measure the
+    # plan in steady state (codegen compile is a one-time cost on a real
+    # cluster, but 1-3 s of the measurement at local bench scale).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for qname in registry_workloads.values():
+            try:
+                _force(REGISTRY[qname].spark(spark, warm_dir))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     shuffle_b: dict[str, int] = {}
