@@ -105,6 +105,36 @@ def stratified_sample(
     return df.filter(bucket < F.coalesce(bps[F.col(group_col)], F.lit(0)))
 
 
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/IO saver for
+    embedding corpora: 4x smaller than float32, 8x than float64).
+    scale = max|x|/127; q_i = floor(x_i/scale + 0.5) — explicit
+    half-up rounding so both engines (and any rerun) agree bit-for-bit,
+    independent of banker's-rounding defaults. Pure expressions, no
+    shuffle."""
+    vec = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.greatest(F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-30)) / 127.0
+    )
+    q = F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("qvec"))
+
+
+def global_shuffle(df: DataFrame, key_col: str, pos_col: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global permutation for training-order shuffling:
+    position = rank under (md5-derived hash of key, key). Reproducible
+    across runs/engines/retries (portable hash, not rand()), and the rank
+    uses the two-pass range-partition shape — no single-partition window."""
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
+    from hadoop_0_20_2_ljx_spark.operators.sorts import with_global_row_number
+
+    h = portable_hash64(F.col(key_col))
+    out = with_global_row_number(
+        df.withColumn("_h", h), [F.col("_h"), F.col(key_col)], pos_col
+    )
+    return out.drop("_h")
+
+
 def pack_sequences(
     df: DataFrame, id_col: str, tokens_col: str, ctx: int, bin_col: str = "bin_id"
 ) -> DataFrame:

@@ -36,6 +36,11 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_contamination",
     "q_sample_stratified",
     "q_pack_sequences",
+    "q_embed_kmeans",
+    "q_stream_interval_join",
+    "q_udf_tokenize_udtf",
+    "q_embed_quantize",
+    "q_shuffle_global",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

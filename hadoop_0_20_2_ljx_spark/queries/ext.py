@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions import (
+    clustering,
     dedup,
     multimodal,
     pipeline_ops,
@@ -658,6 +659,125 @@ FROM cum
 """
 
 
+# --- embeddings: int8 quantization -------------------------------------------
+def _embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact roll-up: the weighted sum of quantized components pins
+    every vector's full int8 codebook cross-engine."""
+    q = pipeline_ops.quantize_embeddings(T(spark, sf, "embeddings"), "vec_id", "embedding")
+    qsum = F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return q.agg(
+        F.count("*").alias("n"),
+        F.sum(qsum * (F.col("vec_id") % 997)).alias("q_weighted_sum"),
+        F.sum(F.floor(F.col("scale") * 1e6).cast("long")).alias("scale_floor_sum"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+    greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) / 127.0 AS scale
+  FROM embeddings
+), qv AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(e.embedding::DOUBLE[],
+      x -> CAST(floor(x / q.scale + 0.5) AS BIGINT))) AS qsum,
+    q.scale
+  FROM embeddings e JOIN q USING (vec_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(qsum * (vec_id % 997)) AS BIGINT) AS q_weighted_sum,
+  CAST(sum(CAST(floor(scale * 1e6) AS BIGINT)) AS BIGINT) AS scale_floor_sum
+FROM qv
+"""
+
+
+# --- documents: deterministic global shuffle ---------------------------------
+def _shuffle_global(spark: SparkSession, sf: str) -> DataFrame:
+    """The permutation-pinning sum: every doc's shuffle position weighted
+    by its id — any transposition changes the value."""
+    s = pipeline_ops.global_shuffle(T(spark, sf, "documents"), "doc_id")
+    return s.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("shuffle_pos") * (F.col("doc_id") % 997)).alias("perm_hash"),
+        F.min("shuffle_pos").alias("first_pos"),
+        F.max("shuffle_pos").alias("last_pos"),
+    )
+
+
+def _shuffle_oracle() -> str:
+    h = h64_sql("doc_id")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY {h}, doc_id) AS shuffle_pos
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(shuffle_pos * (doc_id % 997)) AS BIGINT) AS perm_hash,
+  CAST(min(shuffle_pos) AS BIGINT) AS first_pos,
+  CAST(max(shuffle_pos) AS BIGINT) AS last_pos
+FROM s
+"""
+
+
+# --- embeddings: iterative k-means (Lloyd) -----------------------------------
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM = 8, 2, 64
+
+
+def _embed_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd rounds from a fixed init (the first k embeddings); the
+    oracle replays the identical iteration chain in SQL, so every point's
+    final cluster assignment is pinned cross-engine — an iterative
+    algorithm under the full rows+schema+hash gate."""
+    emb = T(spark, sf, "embeddings")
+    init_rows = (
+        emb.filter(F.col("vec_id") < _KMEANS_K).select("vec_id", "embedding").collect()
+    )
+    init = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init_rows}
+    assigned, _ = clustering.kmeans_lloyd(
+        emb, "vec_id", "embedding", _KMEANS_K, _KMEANS_ITERS, init
+    )
+    vec = F.col("embedding").cast("array<double>")
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("vec_id") % 1000003).alias("id_hash_sum"),
+        F.round(F.avg(F.element_at(vec, 1)), 4).alias("c0"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    dim, iters = _KMEANS_DIM, _KMEANS_ITERS
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (e.embedding[i] - c.cv[i]) * (e.embedding[i] - c.cv[i])))"
+    )
+    means = ", ".join(f"avg(embedding[{i + 1}])" for i in range(dim))
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, "
+        f"embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {_KMEANS_K})"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, embedding, cluster FROM ("
+            f"SELECT e.vec_id, e.embedding, c.cluster, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn "
+            f"FROM embeddings e CROSS JOIN c{t - 1} c) WHERE rn = 1)"
+        )
+        if t < iters:
+            parts.append(
+                f"c{t} AS (SELECT cluster, list_value({means}) AS cv "
+                f"FROM a{t} GROUP BY cluster)"
+            )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(vec_id % 1000003) AS BIGINT) AS id_hash_sum,
+  round(avg(embedding[1]), 4) AS c0
+FROM a{iters} GROUP BY cluster
+"""
+    )
+
+
 # --- multimodal: binary payload + fake-decode feature extraction -------------
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_binary_payload(T(spark, sf, "documents"), "doc_id", "text")
@@ -777,6 +897,24 @@ QUERIES: dict[str, QueryDef] = {
         _packing_oracle(),
         "extension: sequence packing into 2048-token context windows — "
         "distributed two-pass prefix sum, assignment pinned by hash",
+    ),
+    "q_embed_quantize": QueryDef(
+        _embed_quantize,
+        _QUANTIZE_SQL,
+        "extension: symmetric int8 embedding quantization — full codebook "
+        "pinned by weighted component sums",
+    ),
+    "q_shuffle_global": QueryDef(
+        _shuffle_global,
+        _shuffle_oracle(),
+        "extension: deterministic global training-order shuffle "
+        "(hash-rank permutation, two-pass distributed rank)",
+    ),
+    "q_embed_kmeans": QueryDef(
+        _embed_kmeans,
+        _kmeans_oracle(),
+        "extension: iterative Lloyd k-means over embeddings — fixed init, "
+        "2 rounds, assignment pinned cross-engine by the replayed chain",
     ),
     "q_multimodal_features": QueryDef(
         _multimodal_features,

@@ -153,6 +153,45 @@ def _fn_recordio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-udf-3: Python UDTF (one input row -> many output rows) ----------------
+def _udf_tokenize_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference Mapper's 1->N emission contract
+    (mapred/Mapper.java:124-158: map() may collect any number of records,
+    e.g. TokenCountMapper emitting one pair per token) as a Spark 4 Python
+    UDTF in a LATERAL join. Top tokens with positional stats; the DuckDB
+    oracle zips parallel unnests for the same (token, pos) stream."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate((text or "").split()):
+                yield i, w
+
+    spark.udtf.register("lateral_tokenize", Tokenize)
+    T(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.token, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t.pos) AS BIGINT) AS pos_sum
+        FROM _udtf_docs d, LATERAL lateral_tokenize(d.text) t
+        GROUP BY t.token ORDER BY n DESC, t.token LIMIT 10
+        """
+    )
+
+
+_UDTF_SQL = """
+WITH toks AS (
+  SELECT unnest(w) AS token,
+         unnest(generate_series(1, len(w))) - 1 AS pos
+  FROM (SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+        FROM documents)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos_sum
+FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 10
+"""
+
+
 # --- Q-fn-3: distributed pentomino (prefix-split exact cover) ----------------
 def _fn_pentomino(spark: SparkSession, sf: str) -> DataFrame:
     """DistributedPentomino.java:40-60 on the 3x20 board with the symmetry
@@ -182,6 +221,36 @@ def _fn_pentomino(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_solutions"),
         F.countDistinct(canon(F.col("solution"))).alias("n_distinct"),
     )
+
+
+# --- Q-stream-3: stream-stream interval join (batch-equivalent) --------------
+def _stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution join: each error event paired with same-user signup
+    events in the preceding hour. Streaming form (watermarked stream-stream
+    join) asserted equal in tests/test_streaming.py."""
+    from hadoop_0_20_2_ljx_spark.streaming.joins import interval_join
+
+    ev = T(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    signups = ev.filter(F.col("event_type") == "signup")
+    j = interval_join(errors, signups, "user_id", lookback_seconds=3600)
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("left_id") % 1000003).alias("left_hash"),
+        F.sum(F.col("right_id") % 1000003).alias("right_hash"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(l.event_id % 1000003) AS BIGINT) AS left_hash,
+  CAST(sum(r.event_id % 1000003) AS BIGINT) AS right_hash
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts
+ AND r.ts > l.ts - INTERVAL 1 HOUR
+"""
 
 
 # --- Q-stream-1: tumbling window (batch-equivalent semantics) ----------------
@@ -261,6 +330,12 @@ QUERIES: dict[str, QueryDef] = {
         "Q-fn-2 Record IDL: rcc DDL compiled to a Spark schema, CSV wire roundtrip "
         "(record/compiler/generated/rcc.jj:154-171, RccConstants.java:25-46)",
     ),
+    "q_udf_tokenize_udtf": QueryDef(
+        _udf_tokenize_udtf,
+        _UDTF_SQL,
+        "Q-udf-3 Python UDTF in a LATERAL join — the Mapper 1->N emission "
+        "contract (mapred/Mapper.java:124-158, TokenCountMapper)",
+    ),
     "q_fn_pentomino": QueryDef(
         _fn_pentomino,
         "SELECT CAST(8 AS BIGINT) AS n_solutions, CAST(2 AS BIGINT) AS n_distinct",
@@ -279,5 +354,11 @@ QUERIES: dict[str, QueryDef] = {
         _stream_session,
         _SESSION_SQL,
         "Q-stream-2 (engine extra) 30-min-gap sessionization — reference is batch-only",
+    ),
+    "q_stream_interval_join": QueryDef(
+        _stream_interval_join,
+        _INTERVAL_JOIN_SQL,
+        "Q-stream-3 (engine extra) stream-stream time-interval join "
+        "(watermark-bounded state; streaming==batch asserted in tests)",
     ),
 }

@@ -78,3 +78,49 @@ def test_pack_sequences_matches_serial_packing(spark):
     assert "SinglePartition" not in plan_of(
         pipeline_ops.pack_sequences(tok, "doc_id", "n_tokens", ctx)
     )
+
+
+def test_kmeans_two_blobs_converges_and_is_partition_invariant(spark):
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import kmeans_lloyd
+
+    pts = [(i, [10.0, 10.0 + i * 0.1]) for i in range(5)] + [
+        (100 + i, [-10.0, -10.0 - i * 0.1]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    init = {0: [9.0, 9.0], 1: [-9.0, -9.0]}
+    a1, c1 = kmeans_lloyd(df, "vec_id", "embedding", 2, 2, init)
+    got = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    assert all(got[i] == 0 for i in range(5))
+    assert all(got[100 + i] == 1 for i in range(5))
+    # blob means recovered
+    assert abs(c1[0][0] - 10.0) < 1e-9 and abs(c1[1][0] + 10.0) < 1e-9
+    # partitioning must not change assignments (deterministic argmin)
+    a2, _ = kmeans_lloyd(df.repartition(7), "vec_id", "embedding", 2, 2, init)
+    assert {r["vec_id"]: r["cluster"] for r in a2.collect()} == got
+
+
+def test_quantize_known_values_and_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25])], "vec_id long, embedding array<double>"
+    )
+    r = pipeline_ops.quantize_embeddings(df, "vec_id", "embedding").collect()[0]
+    assert abs(r["scale"] - 1.0 / 127) < 1e-12
+    # x/scale = [127, -63.5, 31.75] -> half-up floor(x+0.5) = [127, -63, 32]
+    assert list(r["qvec"]) == [127, -63, 32]
+    assert "Exchange" not in plan_of(
+        pipeline_ops.quantize_embeddings(df, "vec_id", "embedding")
+    )
+
+
+def test_global_shuffle_is_permutation_and_partition_invariant(spark):
+    docs = catalog.load(spark, SF_SMOKE, "documents").select("doc_id")
+    s1 = pipeline_ops.global_shuffle(docs, "doc_id")
+    rows = s1.collect()
+    n = len(rows)
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1, n + 1))
+    pos1 = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+    s2 = pipeline_ops.global_shuffle(docs.repartition(13), "doc_id")
+    assert {r["doc_id"]: r["shuffle_pos"] for r in s2.collect()} == pos1
+    # hash-ordered, so the permutation decorrelates from doc_id order
+    first_ids = sorted(d for d, p in pos1.items() if p <= n // 10)
+    assert first_ids != list(range(len(first_ids)))

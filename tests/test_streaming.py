@@ -119,3 +119,31 @@ def test_stateful_dedup_first_seen(spark):
 def test_stream_cleanup():
     shutil.rmtree(TMP, ignore_errors=True)
     assert not os.path.exists(TMP)
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pairs on on-time data."""
+    from hadoop_0_20_2_ljx_spark.streaming.joins import interval_join, interval_join_stream
+
+    ev = _stage_events(spark)
+    errors = ev.filter(F.col("event_type") == "error")
+    signups = ev.filter(F.col("event_type") == "signup")
+    batch = interval_join(errors, signups, "user_id", 3600)
+
+    schema = spark.read.parquet(TMP).schema
+    left = spark.readStream.schema(schema).parquet(TMP).filter(F.col("event_type") == "error")
+    right = spark.readStream.schema(schema).parquet(TMP).filter(F.col("event_type") == "signup")
+    out = interval_join_stream(left, right, "user_id", 3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("ivjoin")
+    key = lambda r: (r["user_id"], r["left_id"], r["right_id"])
+    assert sorted(map(key, batch.collect())) == sorted(map(key, streamed.collect()))
+    assert batch.count() > 0
