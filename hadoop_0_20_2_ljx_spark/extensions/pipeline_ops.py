@@ -71,14 +71,21 @@ def ngram_contamination(
     the benchmark grams, equi-join on gram, groupBy train id. Cost is
     sum over grams of freq_train x freq_bench — no O(|train| x |bench|)
     stage, so it survives a 100 TB train side; the bench side (an eval
-    suite) is small and ends up broadcast by AQE.
+    suite) is small and ends up broadcast by AQE. Per-doc gram dedup is
+    array_distinct BEFORE the explode — row-local, so the train side
+    reaches the join with NO shuffle at all (its only exchange is the
+    final narrow groupBy on ids); a post-explode distinct would shuffle
+    every gram string of the full corpus.
     """
     bench_grams = (
-        bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram")).distinct()
+        bench.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        ).distinct()
     )
     train_grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
     return (
         train_grams.join(bench_grams, "gram")
         .groupBy(id_col)

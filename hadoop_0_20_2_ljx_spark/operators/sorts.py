@@ -90,9 +90,17 @@ def key_field_slice(line: Column, spec: str, sep: str = "\t") -> Column:
     if k["f2"] is None:
         end = F.length(line)
     elif k["c2"] == 0:
-        end = start_of(k["f2"]) + F.length(F.coalesce(F.element_at(fields, k["f2"]), F.lit(""))) - 1
+        # end field entirely absent -> key runs to end of line (sort(1) /
+        # KeyFieldHelper.getEndOffset); try_element_at because ANSI mode
+        # makes a plain element_at OOB a runtime error, not NULL
+        fld = F.coalesce(F.try_element_at(fields, F.lit(k["f2"])), F.lit(""))
+        end = F.when(
+            F.size(fields) >= k["f2"], start_of(k["f2"]) + F.length(fld) - 1
+        ).otherwise(F.length(line))
     else:
-        end = start_of(k["f2"]) + (k["c2"] - 1)
+        end = F.when(
+            F.size(fields) >= k["f2"], start_of(k["f2"]) + (k["c2"] - 1)
+        ).otherwise(F.length(line))
     sliced = F.when(
         F.size(fields) >= k["f1"],
         F.substring(line, begin, F.greatest(end - begin + 1, F.lit(0))),

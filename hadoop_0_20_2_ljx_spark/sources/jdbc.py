@@ -8,9 +8,11 @@ expresses the same partitioned read declaratively: a partitionColumn with
 range predicates push down to the database instead of LIMIT/OFFSET, which
 is strictly better (OFFSET is O(offset) server-side on most databases).
 
-No JDBC driver ships in this container, so there is no in-repo test; the
-wrapper is the documented API surface and works wherever a driver jar is
-on the Spark classpath (``spark.jars``).
+Tested in-repo against embedded Derby (tests/test_jdbc.py — Derby ships
+in Spark's jars, so both directions run with no external driver): batched
+write -> 4-way partitioned read roundtrip + predicate pushdown. Any other
+database needs only its driver jar on the Spark classpath
+(``spark.jars``).
 """
 
 from __future__ import annotations

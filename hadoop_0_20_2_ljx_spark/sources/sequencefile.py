@@ -24,13 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_sequence_file(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+# io/SequenceFile.java ships DefaultCodec(zlib)/GzipCodec/BZip2Codec;
+# record- vs block-compression is a writer config, readers dispatch off
+# the header either way (SequenceFile.java:1462-1481).
+_CODECS = {
+    "default": "org.apache.hadoop.io.compress.DefaultCodec",
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+}
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str, value_col: str, codec: str | None = None
+) -> None:
     """Write a two-column DataFrame as a Hadoop SequenceFile.
 
     Key/value Spark types map to the corresponding Writables (str -> Text,
     int -> LongWritable, float -> DoubleWritable, bytes -> BytesWritable).
+    ``codec`` ∈ {default (zlib), gzip, bzip2} compresses on write; reads
+    are codec-transparent (the file header names the codec class, exactly
+    as the reference reader dispatches).
     """
-    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+    rdd = df.select(key_col, value_col).rdd.map(tuple)
+    if codec is None:
+        rdd.saveAsSequenceFile(path)
+    else:
+        rdd.saveAsSequenceFile(path, compressionCodecClass=_CODECS.get(codec, codec))
 
 
 def read_sequence_file(

@@ -53,3 +53,22 @@ def test_map_file_directory_roundtrip(spark):
     keys = [r[0] for r in read_map_file(spark, TMP).collect()]
     assert keys == sorted(keys)
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_sequence_file_compressed_roundtrip(spark):
+    """zlib-compressed SequenceFiles (the reference's DefaultCodec) must
+    roundtrip; the header must name the codec class so the reference
+    reader would dispatch it identically."""
+    import glob
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    cust = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_name").cast("string"), F.col("c_mktsegment").cast("string")
+    )
+    write_sequence_file(cust, TMP, "c_name", "c_mktsegment", codec="default")
+    parts = [p for p in glob.glob(f"{TMP}/part-*") if not p.endswith(".crc")]
+    header = open(parts[0], "rb").read(4096)
+    assert b"org.apache.hadoop.io.compress.DefaultCodec" in header
+    back = read_sequence_file(spark, TMP)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+    shutil.rmtree(TMP, ignore_errors=True)
