@@ -141,9 +141,9 @@ def sleep(spark: SparkSession, seconds: str = "1") -> DataFrame:
 def dbcount(spark: SparkSession, n: str = "10000", *args: str) -> DataFrame:
     """DBCountPageView.java:72,239 — pageview counting with a database
     source and sink plus an embedded-SQL verify, run end-to-end against an
-    embedded DuckDB file (no JDBC driver jar exists in this container; on
-    a real cluster the source/sink swap to sources/jdbc.py's partitioned
-    read and batched insert — same job body).
+    embedded DuckDB file. For the genuine JDBC wire path (DBInputFormat
+    partitioned SELECT + DBOutputFormat batched INSERT through a real
+    driver) see dbcount_jdbc, which runs against embedded Derby.
 
     Mirrors the reference's phases: populate Access(url, referrer, ts)
     deterministically (initialize/populateAccess), count views per url in
@@ -190,6 +190,57 @@ def dbcount(spark: SparkSession, n: str = "10000", *args: str) -> DataFrame:
         con.close()
         if os.path.exists(dbpath):
             os.remove(dbpath)
+
+
+def dbcount_jdbc(spark: SparkSession, n: str = "10000", *args: str) -> DataFrame:
+    """DBCountPageView over the real JDBC wire: Access generated in Spark,
+    written through DBOutputFormat-style batched INSERTs, re-read through
+    DBInputFormat-style partitioned SELECTs, counted, Pageview written
+    back, then verified by SQL in the database itself (embedded Derby —
+    ships in Spark's jars, so this exercises the same code path as any
+    production database)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_0_20_2_ljx_spark.sources.jdbc import (
+        read_jdbc_partitioned,
+        write_jdbc_batched,
+    )
+
+    rows = int(n)
+    dbdir = os.path.join(tempfile.gettempdir(), f"ljx_dbcount_derby_{os.getpid()}")
+    shutil.rmtree(dbdir, ignore_errors=True)
+    url = f"jdbc:derby:{dbdir};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    access = spark.range(rows).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("url_"), ((F.col("id") * 2654435761) % 97).cast("string")).alias("url"),
+        F.concat(F.lit("ref_"), ((F.col("id") * 40503) % 13).cast("string")).alias("referrer"),
+    )
+    write_jdbc_batched(access, url, "Access", mode="overwrite", batch_size=1000, driver=driver)
+    back = read_jdbc_partitioned(
+        spark, url, "Access", partition_column='"rid"',
+        lower_bound=0, upper_bound=rows, num_partitions=4, driver=driver,
+    )
+    counts = back.groupBy("url").agg(F.count("*").cast("long").alias("pageview"))
+    write_jdbc_batched(counts, url, "Pageview", mode="overwrite", batch_size=1000, driver=driver)
+    # verify() in the database, as DBCountPageView.java:239 does
+    totals = spark.read.format("jdbc").option("url", url).option("driver", driver).option(
+        "dbtable",
+        # table names were written unquoted (Derby folds them to upper
+        # case); column names were written quoted lower case
+        '(SELECT (SELECT count(*) FROM Access) AS "n_access", '
+        '(SELECT sum("pageview") FROM Pageview) AS "n_views", '
+        '(SELECT count(*) FROM Pageview) AS "n_urls" FROM SYSIBM.SYSDUMMY1) t',
+    ).load().collect()[0]
+    verified = int(totals["n_access"]) == rows == int(totals["n_views"])
+    shutil.rmtree(dbdir, ignore_errors=True)
+    if not verified:
+        raise AssertionError("dbcount_jdbc verify failed")
+    return spark.createDataFrame(
+        [(rows, int(totals["n_urls"]), True)], "n_access long, n_urls int, verified boolean"
+    )
 
 
 # --- sudoku: distributed backtracking (Sudoku.java) --------------------------
@@ -286,7 +337,8 @@ PROGRAMS: dict[str, tuple[Callable[..., DataFrame], str]] = {
     "sleep": (sleep, "parallel no-op delay"),
     "join": (join, "orders x customer join"),
     "multifilewc": (multifilewc, "wordcount over multi-source union"),
-    "dbcount": (dbcount, "NOT RUNNABLE here (needs JDBC driver)"),
+    "dbcount": (dbcount, "pageview count with embedded-DB source/sink + SQL verify"),
+    "dbcount_jdbc": (dbcount_jdbc, "dbcount over the real JDBC wire (embedded Derby)"),
     "teragen": (teragen, "TeraSort input generator"),
     "terasort": (terasort, "global sort of TeraGen rows"),
     "teravalidate": (teravalidate, "distributed sort validation"),

@@ -63,3 +63,12 @@ def test_jdbc_predicate_pushdown(spark):
     )
     rows = back.collect()
     assert rows and all(r["o_custkey"] <= 50 for r in rows)
+
+
+def test_dbcount_jdbc_end_to_end(spark):
+    from hadoop_0_20_2_ljx_spark import jobs
+
+    res = jobs.dbcount_jdbc(spark, "3000").collect()[0]
+    assert res["verified"] is True
+    assert res["n_access"] == 3000
+    assert res["n_urls"] == 97
