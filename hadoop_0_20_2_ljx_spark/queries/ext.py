@@ -800,6 +800,67 @@ FROM documents
 """
 
 
+# --- multimodal: REAL decoders (PPM image + PCM WAV) -------------------------
+def _multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Exercises the real numpy/stdlib decoders end-to-end: synthesize a
+    P6 PPM (even doc_ids) or 16-bit PCM WAV (odd doc_ids) per doc, decode
+    with decode_media, and pin every pixel/sample by recovering the exact
+    integer content sum from the decoded mean (mean x element-count).
+    The oracle recomputes the sums from the synth closed forms —
+    bit-level proof the decoders parse the real byte formats."""
+    import pandas as pd
+
+    docs = T(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        from hadoop_0_20_2_ljx_spark.extensions.multimodal import synth_ppm, synth_wav
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = [
+                synth_ppm(8, 6, int(d)) if d % 2 == 0 else synth_wav(160, 8000, int(d))
+                for d in ids
+            ]
+            mts = ["image" if d % 2 == 0 else "audio" for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "media_type": mts, "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, media_type string, payload binary")
+    dec = multimodal.decode_media(media)
+    n_elems = F.when(F.col("kind") == "image", F.lit(8 * 6 * 3)).otherwise(F.lit(160))
+    content = F.round(F.col("mean") * n_elems).cast("long")
+    return dec.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.col("width"), F.lit(0))).alias("w_sum"),
+        F.sum(F.coalesce(F.col("n_samples"), F.lit(0))).alias("samples_sum"),
+        F.sum("channels").alias("ch_sum"),
+        F.sum(content * (F.col("doc_id") % 997)).alias("content_hash"),
+    )
+
+
+_MULTIMODAL_DECODE_SQL = """
+WITH img AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 143), i -> (i*31 + 7*doc_id) % 256)) AS total
+  FROM documents WHERE doc_id % 2 = 0
+), wav AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 159), i -> (i*997 + doc_id) % 20001 - 10000)) AS total
+  FROM documents WHERE doc_id % 2 <> 0
+)
+SELECT 'image' AS kind, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) * 8 AS BIGINT) AS w_sum, CAST(0 AS BIGINT) AS samples_sum,
+  CAST(count(*) * 3 AS BIGINT) AS ch_sum,
+  CAST(sum(total * (doc_id % 997)) AS BIGINT) AS content_hash
+FROM img
+UNION ALL
+SELECT 'audio', CAST(count(*) AS BIGINT),
+  CAST(0 AS BIGINT), CAST(count(*) * 160 AS BIGINT),
+  CAST(count(*) AS BIGINT),
+  CAST(sum(total * (doc_id % 997)) AS BIGINT)
+FROM wav
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dedup_exact": QueryDef(
         _dedup_exact,
@@ -915,6 +976,12 @@ QUERIES: dict[str, QueryDef] = {
         _kmeans_oracle(),
         "extension: iterative Lloyd k-means over embeddings — fixed init, "
         "2 rounds, assignment pinned cross-engine by the replayed chain",
+    ),
+    "q_multimodal_decode": QueryDef(
+        _multimodal_decode,
+        _MULTIMODAL_DECODE_SQL,
+        "extension: REAL PPM/WAV decode — every pixel/sample pinned via "
+        "exact content sums recomputed by the oracle",
     ),
     "q_multimodal_features": QueryDef(
         _multimodal_features,
