@@ -76,3 +76,84 @@ def kmeans_lloyd(
         )
         cents = {int(r["cluster"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
     return assigned, cents
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    iters: int,
+    init_ids: int | None = None,
+) -> list[dict[int, list[float]]]:
+    """Product-quantization codebook training: split the vector into ``m``
+    contiguous subspaces and run ``iters`` Lloyd rounds in each, seeded by
+    the sub-vectors of the first ``k`` ids (deterministic). Driver holds
+    only the m x k x (dim/m) codebooks — the corpus is scanned, never
+    collected."""
+    vec = F.col(vec_col).cast("array<double>")
+    init_rows = df.filter(F.col(id_col) < k).select(id_col, vec.alias("_v")).collect()
+    dim = len(init_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[dict[int, list[float]]] = [
+        {
+            int(r[id_col]): [float(x) for x in r["_v"][j * sub : (j + 1) * sub]]
+            for r in init_rows
+        }
+        for j in range(m)
+    ]
+    # One Spark job per Lloyd round for ALL m subspaces: per-row structs
+    # (j, code_j, subvector) exploded, then a single groupBy(j, code) with
+    # per-dim partial avgs — the same one-shuffle relational shape as the
+    # simhash bit votes. Driver receives m*k centroid rows per round.
+    for _ in range(iters):
+        structs = []
+        for j, book in enumerate(books):
+            subv = F.slice(vec, j * sub + 1, sub)
+            pairs = [
+                F.struct(sq_dist(subv, c).alias("d"), F.lit(int(ci)).alias("c"))
+                for ci, c in sorted(book.items())
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.least(*pairs).getField("c").alias("code"),
+                    subv.alias("sv"),
+                )
+            )
+        exploded = df.select(F.explode(F.array(*structs)).alias("s")).select(
+            "s.j", "s.code", "s.sv"
+        )
+        rows = (
+            exploded.groupBy("j", "code")
+            .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(sub)])
+            .collect()
+        )
+        books = [{} for _ in range(m)]
+        for r in rows:
+            books[int(r["j"])][int(r["code"])] = [float(r[f"d{i}"]) for i in range(sub)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, books: list[dict[int, list[float]]]
+) -> DataFrame:
+    """Encode every vector as m codebook indices (the int8-per-subspace PQ
+    code) in ONE projection — all m argmin assignments are literal-centroid
+    expressions, so the scan has no join and no shuffle. At 64 dims /
+    m=8 this stores 8 bytes per vector instead of 256/512."""
+    dim = sum(len(next(iter(b.values()))) for b in books)
+    sub = dim // len(books)
+    vec = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for j, book in enumerate(books):
+        subv = F.slice(vec, j * sub + 1, sub)
+        pairs = [
+            F.struct(sq_dist(subv, c).alias("d"), F.lit(int(ci)).alias("c"))
+            for ci, c in sorted(book.items())
+        ]
+        cols.append(F.least(*pairs).getField("c").alias(f"code_{j}"))
+    return df.select(*cols)

@@ -42,6 +42,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_quantize",
     "q_shuffle_global",
     "q_multimodal_decode",
+    "q_embed_pq",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

@@ -778,6 +778,62 @@ FROM a{iters} GROUP BY cluster
     )
 
 
+# --- embeddings: product quantization ----------------------------------------
+_PQ_M, _PQ_K, _PQ_SUB = 8, 8, 8  # 64 dims -> 8 subspaces of 8, 8 centroids each
+
+
+def _embed_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ completes the ANN family (brute -> sign-LSH -> IVF -> PQ): per-
+    subspace 1-round Lloyd codebooks seeded by the first k vectors, then a
+    single shuffle-free encode projection. The weighted code sum pins all
+    m codes of every vector; the oracle replays all 8 k-means chains."""
+    emb = T(spark, sf, "embeddings")
+    books = clustering.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_K, iters=1)
+    enc = clustering.pq_encode(emb, "vec_id", "embedding", books)
+    code_mix = sum(
+        (F.col(f"code_{j}") * ((j + 1) * 1009) for j in range(_PQ_M)), F.lit(0)
+    )
+    return enc.agg(
+        F.count("*").alias("n"),
+        F.sum(code_mix * (F.col("vec_id") % 997)).alias("code_hash"),
+    )
+
+
+def _pq_oracle() -> str:
+    sub, k, m = _PQ_SUB, _PQ_K, _PQ_M
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        "i -> (e.sv[i] - c.cv[i]) * (e.sv[i] - c.cv[i])))"
+    )
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        means = ", ".join(f"avg(sv[{i + 1}])" for i in range(sub))
+        parts += [
+            f"sv{j} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS sv FROM embeddings)",
+            f"c0{j} AS (SELECT CAST(vec_id AS INTEGER) AS cluster, sv AS cv FROM sv{j} WHERE vec_id < {k})",
+            f"a1{j} AS (SELECT vec_id, sv, cluster FROM ("
+            f"SELECT e.vec_id, e.sv, c.cluster, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn "
+            f"FROM sv{j} e CROSS JOIN c0{j} c) WHERE rn = 1)",
+            f"c1{j} AS (SELECT cluster, list_value({means}) AS cv FROM a1{j} GROUP BY cluster)",
+            f"enc{j} AS (SELECT vec_id, cluster AS code FROM ("
+            f"SELECT e.vec_id, c.cluster, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn "
+            f"FROM sv{j} e CROSS JOIN c1{j} c) WHERE rn = 1)",
+        ]
+    mix = " + ".join(
+        f"(SELECT sum(code * {(j + 1) * 1009} * (vec_id % 997)) FROM enc{j})"
+        for j in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+  CAST({mix} AS BIGINT) AS code_hash
+"""
+    )
+
+
 # --- multimodal: binary payload + fake-decode feature extraction -------------
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_binary_payload(T(spark, sf, "documents"), "doc_id", "text")
@@ -976,6 +1032,12 @@ QUERIES: dict[str, QueryDef] = {
         _kmeans_oracle(),
         "extension: iterative Lloyd k-means over embeddings — fixed init, "
         "2 rounds, assignment pinned cross-engine by the replayed chain",
+    ),
+    "q_embed_pq": QueryDef(
+        _embed_pq,
+        _pq_oracle(),
+        "extension: product quantization — per-subspace Lloyd codebooks + "
+        "shuffle-free encode; all 8 codes of every vector pinned",
     ),
     "q_multimodal_decode": QueryDef(
         _multimodal_decode,

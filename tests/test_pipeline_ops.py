@@ -124,3 +124,22 @@ def test_global_shuffle_is_permutation_and_partition_invariant(spark):
     # hash-ordered, so the permutation decorrelates from doc_id order
     first_ids = sorted(d for d, p in pos1.items() if p <= n // 10)
     assert first_ids != list(range(len(first_ids)))
+
+
+def test_pq_codes_reconstruct_within_quantization_error(spark):
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import pq_encode, pq_train
+
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    books = pq_train(emb, "vec_id", "embedding", m=8, k=8, iters=1)
+    assert len(books) == 8 and all(len(b) <= 8 and len(b) >= 1 for b in books)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    rows = enc.collect()
+    n = emb.count()
+    assert len(rows) == n
+    # codes address existing centroids; every subspace uses >1 centroid
+    for j in range(8):
+        codes = {r[f"code_{j}"] for r in rows}
+        assert codes <= set(books[j]) and len(codes) > 1
+    # encode plan: one projection, no join/exchange
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
