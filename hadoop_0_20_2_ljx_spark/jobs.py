@@ -243,6 +243,84 @@ def dbcount_jdbc(spark: SparkSession, n: str = "10000", *args: str) -> DataFrame
     )
 
 
+def gridmix(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """GridMixRunner.java:105-304 — the five-workload benchmark mix, run
+    as one JobControl DAG over the documents fixture:
+
+      streamSort   identity map/reduce total-order sort (:106)
+      webdataScan  keep ~0.2% sample scan (:172, -keepmap 0.2)
+      combiner     wordcount with map-side combine (:203)
+      monsterQuery 3 CHAINED passes, each keep 10% at map and 40% at
+                   reduce, pass i reading pass i-1 (:230-278)
+      webdataSort  full sort of the scan sample (:279)
+
+    Sampling uses the deterministic portable hash (never rand()), so the
+    whole mix is reproducible. Output: (workload, rows_out, checksum).
+    """
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+    from hadoop_0_20_2_ljx_spark.operators.sorts import total_order_sort
+    from hadoop_0_20_2_ljx_spark.plans.jobcontrol import Job, JobControl
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+
+    def chk(df: DataFrame, *cols: str) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(sum((portable_hash32(F.col(c)) for c in cols), F.lit(0)) % 1000003),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def stream_sort(_: dict) -> tuple[int, int]:
+        return chk(total_order_sort(docs, "key"), "key", "value")
+
+    def webdata_scan(_: dict) -> DataFrame:
+        return docs.filter(portable_hash32(F.col("key")) % 1000 < 2)
+
+    def combiner(_: dict) -> tuple[int, int]:
+        words = docs.select(F.explode(F.split("value", r"\s+")).alias("w")).filter(
+            F.col("w") != ""
+        )
+        return chk(words.groupBy("w").agg(F.count("*").cast("string").alias("c")), "w", "c")
+
+    def mq_pass(i: int):
+        def run(deps: dict) -> DataFrame:
+            src = docs if i == 0 else deps[f"mq_{i - 1}"]
+            kept = src.filter((portable_hash32(F.col("key")) + i) % 100 < 10)
+            # reduce phase: group by key, keep 40% of groups
+            grouped = kept.groupBy("key").agg(F.min("value").alias("value"))
+            return grouped.filter((portable_hash32(F.col("key")) + 7 * i) % 100 < 40)
+
+        return run
+
+    jc = JobControl()
+    jc.add_job(Job("stream_sort", stream_sort))
+    jc.add_job(Job("webdata_scan", webdata_scan))
+    jc.add_job(Job("combiner", combiner))
+    for i in range(3):
+        jc.add_job(Job(f"mq_{i}", mq_pass(i), deps=[f"mq_{i - 1}"] if i else []))
+    jc.add_job(
+        Job(
+            "webdata_sort",
+            lambda deps: chk(total_order_sort(deps["webdata_scan"], "key"), "key", "value"),
+            deps=["webdata_scan"],
+        )
+    )
+    res = jc.run()
+    out = [
+        ("streamSort", *res["stream_sort"]),
+        ("webdataScan", *chk(res["webdata_scan"], "key", "value")),
+        ("combiner", *res["combiner"]),
+        ("monsterQuery", *chk(res["mq_2"], "key", "value")),
+        ("webdataSort", *res["webdata_sort"]),
+    ]
+    return spark.createDataFrame(out, "workload string, rows_out long, checksum long")
+
+
 # --- sudoku: distributed backtracking (Sudoku.java) --------------------------
 def _sudoku_solve(grid: list[int], start: int = 0) -> Iterator[list[int]]:
     """Plain backtracking over a 81-cell grid (0 = empty)."""
@@ -339,6 +417,7 @@ PROGRAMS: dict[str, tuple[Callable[..., DataFrame], str]] = {
     "multifilewc": (multifilewc, "wordcount over multi-source union"),
     "dbcount": (dbcount, "pageview count with embedded-DB source/sink + SQL verify"),
     "dbcount_jdbc": (dbcount_jdbc, "dbcount over the real JDBC wire (embedded Derby)"),
+    "gridmix": (gridmix, "the gridmix2 five-workload benchmark mix as one DAG"),
     "teragen": (teragen, "TeraSort input generator"),
     "terasort": (terasort, "global sort of TeraGen rows"),
     "teravalidate": (teravalidate, "distributed sort validation"),

@@ -107,3 +107,20 @@ def test_dbcount_runs_and_verifies(spark):
     assert res["verified"] is True
     assert res["n_access"] == 5000
     assert res["n_urls"] == 97
+
+
+def test_gridmix_mix_runs_and_is_deterministic(spark):
+    a = sorted(map(tuple, jobs.gridmix(spark, SF_SMOKE).collect()))
+    assert [r[0] for r in a] == sorted(
+        ["streamSort", "webdataScan", "combiner", "monsterQuery", "webdataSort"]
+    )
+    by_name = {r[0]: r for r in a}
+    # the chained monsterQuery keeps shrinking the data; the scan sample is
+    # a strict subset of the corpus; the sort is row-preserving
+    n_docs = 500
+    assert by_name["streamSort"][1] == n_docs
+    assert 0 < by_name["webdataScan"][1] < n_docs
+    assert 0 <= by_name["monsterQuery"][1] < by_name["webdataScan"][1] + n_docs // 10
+    assert by_name["webdataSort"][1] == by_name["webdataScan"][1]
+    b = sorted(map(tuple, jobs.gridmix(spark, SF_SMOKE).collect()))
+    assert a == b
