@@ -43,6 +43,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_shuffle_global",
     "q_multimodal_decode",
     "q_embed_pq",
+    "q_agg_grouping_sets",
+    "q_agg_pivot",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

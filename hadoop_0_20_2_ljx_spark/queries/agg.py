@@ -124,6 +124,52 @@ def _cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-agg-8b (extra): grouping sets + pivot ---------------------------------
+def _grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    {(status), (priority), ()} over orders, with grouping_id to
+    disambiguate the all-NULL total row from genuine NULL keys."""
+    T(spark, sf, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event counts into one column per event type (explicit value
+    list, so the plan needs no extra distinct-values job and stays
+    deterministic)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        T(spark, sf, "events")
+        .withColumn("bucket", F.col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "bucket", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id % 10 AS bucket,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY 1
+"""
+
+
 # --- Q-agg-9 (extra): window ranking functions -------------------------------
 def _window_rank(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 orders by price per priority via dense_rank — the window is
@@ -206,6 +252,20 @@ QUERIES: dict[str, QueryDef] = {
         "round(sum(o_totalprice),2) AS revenue FROM orders "
         "GROUP BY CUBE (o_orderstatus, o_orderpriority)",
         "Q-agg-8 (engine extra) cube — absent in the reference",
+    ),
+    "q_agg_grouping_sets": QueryDef(
+        _grouping_sets,
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+        "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        "Q-agg-8b (engine extra) explicit GROUPING SETS + grouping_id",
+    ),
+    "q_agg_pivot": QueryDef(
+        _pivot,
+        _PIVOT_SQL,
+        "Q-agg-8c (engine extra) pivot with explicit value list (no "
+        "distinct-values pre-job)",
     ),
     "q_agg_window_rank": QueryDef(
         _window_rank,
