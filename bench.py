@@ -114,6 +114,9 @@ def main() -> int:
         "bloom_join": "q_join_bloom",
         "contamination": "q_text_contamination",
         "pipeline_training": "q_pipeline_training",
+        "asof_join": "q_join_asof",
+        "range_join": "q_join_range",
+        "bm25": "q_text_bm25",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

@@ -53,7 +53,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # integer `div`, not float `/`: epoch nanos (~1.7e18) exceed a
+            # double's 2^53 exact range, so float division is off by ±1us
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

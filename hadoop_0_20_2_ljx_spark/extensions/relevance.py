@@ -1,0 +1,84 @@
+"""Relevance scoring over the documents table: TF-IDF / BM25.
+
+The reference ships wordcount-family jobs (examples WordCount.java:24,
+AggregateWordCount) whose natural analytics successor is term scoring; a
+training-data pipeline uses BM25/TF-IDF for query-based corpus curation
+(pulling topical slices out of 100 TB of crawl). Everything here is
+pure built-in expressions — explode, groupBy, two tiny broadcast joins —
+so the whole score is one shuffle over the token stream plus two
+broadcast-sized side inputs (global stats: 1 row; per-term df: ≤|terms|
+rows). No UDFs, no driver collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col: str):
+    return F.filter(F.split(F.col(col), r"\s+"), lambda w: w != "")
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str, text_col: str, terms: Sequence[str]
+) -> DataFrame:
+    """Per-document counts of the query terms, with the document's total
+    word length carried along: (id, dl, term, tf). Docs without any query
+    term drop out here (they score 0)."""
+    base = docs.select(F.col(id_col).alias("_id"), _words(text_col).alias("_ws"))
+    toks = base.select(
+        "_id", F.size("_ws").alias("dl"), F.explode("_ws").alias("term")
+    ).where(F.col("term").isin(list(terms)))
+    return toks.groupBy("_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of each document against a bag-of-terms query.
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Output: (id_col, n_terms, bm25 rounded to 4 dp). Only documents
+    containing ≥1 query term appear (everything else scores 0); no
+    top-k cutoff so the result set has no float-boundary sensitivity.
+
+    Shape: corpus stats (N, avgdl) are a 1-row aggregate and per-term
+    document frequencies are ≤|terms| rows — both joined back via
+    broadcast, so the only data-sized shuffle is the token groupBy.
+    """
+    base = docs.select(F.col(id_col).alias("_id"), _words(text_col).alias("_ws"))
+    lens = base.select("_id", F.size("_ws").alias("dl"))
+    glob = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = term_frequencies(docs, id_col, text_col, terms)
+    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
+
+    scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(glob))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.withColumn("_s", idf * norm)
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum("_s"), 4).alias("bm25"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

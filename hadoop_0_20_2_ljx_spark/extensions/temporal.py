@@ -1,0 +1,141 @@
+"""Temporal joins: as-of (point-in-time) and binned range (interval) joins.
+
+The reference engine has no native temporal joins — users emulate them
+with a reduce-side secondary sort (tag both inputs, sort by (key, time,
+tag), sweep the reducer stream carrying the last-seen right record; see
+reference src/mapred/org/apache/hadoop/mapred/join/CompositeRecordReader.java:60
+and the secondary-sort pattern in mapred/lib/KeyFieldBasedPartitioner.java:30).
+This module expresses the same sweep relationally so Catalyst plans it:
+
+- ``asof_join``: union both sides, one window sweep per key ordered by
+  time. Exactly one shuffle (on the key), no per-key driver loop — the
+  100 TB shape. Skewed keys are AQE's problem, same as any keyed window.
+- ``range_join_binned``: point-in-interval join WITHOUT an equi key.
+  The naive form is a cross product with a range predicate
+  (BroadcastNestedLoopJoin — quadratic, dies at scale). Binning rewrites
+  it into an equi-join: each interval explodes to the fixed-width bins
+  it covers, each point maps to its single bin, join on bin, then apply
+  the exact containment filter. Plan is SMJ/BHJ on the bin key; cost is
+  O(points + intervals * bins_per_interval), never |points|*|intervals|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` for the same key(s) (inclusive at equality,
+    matching DuckDB/pandas ``merge_asof`` backward semantics). Left rows
+    with no prior right row keep NULL value columns (left-join shape).
+
+    Right rows must be unique per (key, right_ts) for a deterministic
+    result — pre-aggregate duplicates first (ties would otherwise make
+    "the latest row" ambiguous in every engine).
+
+    Implementation: union the tagged inputs and run one window sweep —
+    ``last(value, ignorenulls=True)`` over (key) ordered by
+    (ts, right-first). One shuffle total; no range predicate, no
+    cross product. This is the relational rendering of the reference's
+    reduce-side secondary-sort sweep (KeyFieldBasedPartitioner partitions
+    on the key prefix, the comparator orders by time within the key).
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_src"),
+        *[F.col(c) for c in value_cols],
+    )
+    l_cols = [c for c in left.columns if c not in on and c != left_ts]
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_src"),
+        *[F.col(c) for c in l_cols],
+    )
+    u = lt.unionByName(r, allowMissingColumns=True)
+
+    # right rows (_asof_src=0) sort before left rows at equal ts -> inclusive
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_ts", "_asof_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = [F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols]
+    matched_ts = F.last(
+        F.when(F.col("_asof_src") == 0, F.col("_asof_ts")), ignorenulls=True
+    ).over(w)
+    return (
+        u.select(
+            *on,
+            F.col("_asof_ts").alias(left_ts),
+            F.col("_asof_src"),
+            *l_cols,
+            *matched,
+            matched_ts.alias("_asof_matched_ts"),
+        )
+        .where(F.col("_asof_src") == 1)
+        .drop("_asof_src")
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Join points to half-open intervals ``[start, end)`` via fixed-width
+    binning so the plan is an equi-join, never a nested-loop cross
+    product. Point/start/end are integer-like columns in the same unit
+    (e.g. epoch micros); ``bin_width`` is the bin size in that unit and
+    should be ≥ the typical interval length so each interval covers
+    only 1-2 bins.
+
+    Each interval is exploded to every bin it overlaps (``sequence`` of
+    floor-divided bin ids — no correlated subquery, pure JVM
+    expressions); each point belongs to exactly one bin, so the
+    bin-equi-join introduces no duplicate matches and needs no distinct.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    extra_on = list(extra_on)
+
+    def _bin(c: Column) -> Column:
+        # floor division on longs; exact, no float round-trip
+        return ((c - (((c % bin_width) + bin_width) % bin_width)) / bin_width).cast("long")
+
+    p = points.withColumn("_rj_bin", _bin(F.col(point_col)))
+    # last covered bin belongs to end-1 (half-open interval)
+    iv = intervals.withColumn(
+        "_rj_bin",
+        F.explode(F.sequence(_bin(F.col(start_col)), _bin(F.col(end_col) - F.lit(1)))),
+    )
+    cond = [p["_rj_bin"] == iv["_rj_bin"]]
+    cond += [p[c] == iv[c] for c in extra_on]
+    cond += [p[point_col] >= iv[start_col], p[point_col] < iv[end_col]]
+    joined = p.join(iv, cond, "inner")
+    keep = [p[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in extra_on
+    ]
+    return joined.select(*keep)

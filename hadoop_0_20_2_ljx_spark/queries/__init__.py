@@ -45,6 +45,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_pq",
     "q_agg_grouping_sets",
     "q_agg_pivot",
+    "q_join_asof",
+    "q_join_range",
+    "q_text_bm25",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",
@@ -56,9 +59,17 @@ _NEEDS_FRESH_EVIDENCE = [
 
 def _build() -> dict[str, QueryDef]:
     registry: dict[str, QueryDef] = {}
-    from hadoop_0_20_2_ljx_spark.queries import agg, core, ext, join_set, sink, udf_misc
+    from hadoop_0_20_2_ljx_spark.queries import (
+        agg,
+        analytic,
+        core,
+        ext,
+        join_set,
+        sink,
+        udf_misc,
+    )
 
-    for mod in (core, agg, join_set, sink, udf_misc, ext):
+    for mod in (core, agg, join_set, sink, udf_misc, ext, analytic):
         for k, v in mod.QUERIES.items():
             if k in registry:
                 raise ValueError(f"duplicate query name {k}")

@@ -1,0 +1,161 @@
+"""Declared queries: temporal joins + relevance scoring (engine extras).
+
+The reference's users build these by hand as reduce-side secondary-sort
+jobs (tag inputs, partition on key, sort by (key, time, tag), sweep);
+here they are single declarative plans. Oracles use DuckDB's native
+ASOF JOIN / inequality join, so the oracle exercises a *different*
+algorithm than the engine (window sweep / bin-equi-join) — a genuine
+cross-check, not the same plan twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import relevance, temporal
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+
+_HOUR_US = 3_600_000_000
+
+# --- as-of join: click -> latest prior purchase per user ---------------------
+def _join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution: each click picks the user's most recent purchase at or
+    before the click. Engine side is the union+window sweep
+    (extensions/temporal.py asof_join — one shuffle); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = T(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    # unique (user, ts) on the right => deterministic match
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("value").alias("pval"))
+    )
+    j = temporal.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="t_us", right_ts="t_us",
+        value_cols=["pval"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("click_us"),
+        F.round("pval", 2).alias("last_purchase"),
+        F.floor((F.col("t_us") - F.col("_asof_matched_ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("secs_since"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.t_us AS click_us,
+       round(p.pval, 2) AS last_purchase,
+       CAST(floor((c.t_us - p.t_us) / 1000000) AS BIGINT) AS secs_since
+FROM clicks c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.t_us >= p.t_us
+"""
+
+
+# --- binned range join: purchases inside each error's 1-hour window ----------
+def _join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyless point-in-interval join: every 'error' event opens a 1-hour
+    window; count/sum the purchases (any user) inside it. The engine
+    rewrites the inequality join as a bin equi-join
+    (extensions/temporal.py range_join_binned) so the plan never falls
+    back to BroadcastNestedLoopJoin; the oracle runs DuckDB's native
+    inequality (IE) join."""
+    ev = T(spark, sf, "events")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), F.unix_micros("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.lit(_HOUR_US))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("p_us"), "value"
+    )
+    j = temporal.range_join_binned(
+        purchases, errors, point_col="p_us", start_col="w_start", end_col="w_end",
+        bin_width=_HOUR_US,
+    )
+    return j.groupBy("err_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("window_value"),
+    )
+
+
+_RANGE_SQL = f"""
+WITH e AS (
+  SELECT event_id AS err_id, epoch_us(ts) AS w_start FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT epoch_us(ts) AS p_us, value FROM events WHERE event_type = 'purchase'
+)
+SELECT e.err_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(p.value), 2) AS window_value
+FROM e JOIN p ON p.p_us >= e.w_start AND p.p_us < e.w_start + {_HOUR_US}
+GROUP BY 1
+"""
+
+
+# --- BM25 relevance ----------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "window")
+
+
+def _text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed bag-of-terms query
+    (corpus-curation scoring). All-docs output (no top-k) so the result
+    set has no float-boundary sensitivity; score rounded to 4 dp on
+    both sides."""
+    return relevance.bm25_scores(
+        T(spark, sf, "documents"), "doc_id", "text", list(_BM25_TERMS)
+    )
+
+
+_BM25_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+  FROM documents
+), gstats AS (
+  SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM base
+), tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(
+         ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
+       ), 4) AS bm25
+FROM tf JOIN dfq USING (term) CROSS JOIN gstats g
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_join_asof": QueryDef(
+        _join_asof,
+        _ASOF_SQL,
+        "as-of (point-in-time) join via union+window sweep; oracle is native ASOF JOIN",
+    ),
+    "q_join_range": QueryDef(
+        _join_range,
+        _RANGE_SQL,
+        "keyless interval join via bin equi-join rewrite; oracle is a native IE join",
+    ),
+    "q_text_bm25": QueryDef(
+        _text_bm25,
+        _BM25_SQL,
+        "Okapi BM25 corpus scoring, pure built-ins, broadcast side inputs",
+    ),
+}

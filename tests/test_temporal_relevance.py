@@ -1,0 +1,109 @@
+"""Unit + plan tests for temporal joins (as-of, binned range) and BM25.
+
+The oracle suite (test_oracle_queries) cross-checks the fixture-scale
+results against DuckDB's native ASOF/IE joins; these tests pin the exact
+edge semantics (inclusivity, null-match, bin boundaries) on hand-built
+micro-frames and assert the range join's plan is the bin equi-join, not
+a nested-loop cross product.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import relevance, temporal
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 7, "L3")],
+        "k string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 8, 9.0)],
+        "k string, t long, v double",
+    )
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["v"])
+    rows = {r["tag"]: (r["v"], r["_asof_matched_ts"]) for r in out.collect()}
+    assert rows["L1"] == (1.0, 10)  # inclusive at equality
+    assert rows["L2"] == (2.0, 15)  # latest prior, not first
+    assert rows["L0"] == (None, None)  # nothing at or before t=5
+    assert rows["L3"] == (None, None)  # right row is strictly later
+    assert out.count() == left.count()  # left-join shape
+
+
+def test_asof_rejects_column_collision(spark):
+    df = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, v double")
+    try:
+        temporal.asof_join(df, df, ["k"], "t", "t", ["v"])
+        raise AssertionError("expected ValueError on value_cols collision")
+    except ValueError:
+        pass
+
+
+def test_range_join_binned_boundaries(spark):
+    points = spark.createDataFrame(
+        [(0, 100), (1, 199), (2, 200), (3, 99), (4, 1050)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 100, 200), (11, 950, 1100)], "iid long, s long, e long"
+    )
+    # bin width 64: interval [100,200) spans bins 1..3, [950,1100) spans 14..17
+    out = temporal.range_join_binned(points, intervals, "p", "s", "e", bin_width=64)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # start inclusive (100), end exclusive (200), multi-bin intervals exact,
+    # and no duplicate (pid, iid) pairs from the bin explode
+    assert got == [(0, 10), (1, 10), (4, 11)]
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    points = spark.range(1000).select(
+        F.col("id").alias("pid"), (F.col("id") * 37 % 5000).alias("p")
+    )
+    intervals = spark.range(100).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 50).alias("s"),
+        (F.col("id") * 50 + 40).alias("e"),
+    )
+    out = temporal.range_join_binned(points, intervals, "p", "s", "e", bin_width=50)
+    plan = plan_of(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("t"))
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 7).alias("t"), F.lit(1.0).alias("v"))
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["v"])
+    # one Exchange for the window partitioning; the union sides must not
+    # each shuffle separately on a different key
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y spark spark"), (2, "spark z"), (3, "y z w q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_terms"], r["bm25"])
+        for r in relevance.bm25_scores(docs, "doc_id", "text", ["spark"]).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    n, avgdl = 3, (4 + 2 + 4) / 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[1] == (1, round(score(2, 4), 4))
+    assert out[2] == (1, round(score(1, 2), 4))
+    # higher tf at same length ranks higher
+    assert out[1][1] > out[2][1]
