@@ -104,6 +104,7 @@ def range_join_binned(
     end_col: str,
     bin_width: int,
     extra_on: Sequence[str] = (),
+    max_bins_per_interval: int = 4096,
 ) -> DataFrame:
     """Join points to half-open intervals ``[start, end)`` via fixed-width
     binning so the plan is an equi-join, never a nested-loop cross
@@ -127,10 +128,26 @@ def range_join_binned(
 
     p = points.withColumn("_rj_bin", _bin(F.col(point_col)))
     # last covered bin belongs to end-1 (half-open interval)
-    iv = intervals.withColumn(
-        "_rj_bin",
-        F.explode(F.sequence(_bin(F.col(start_col)), _bin(F.col(end_col) - F.lit(1)))),
+    first_bin = _bin(F.col(start_col))
+    last_bin = _bin(F.col(end_col) - F.lit(1))
+    # runtime guard: a degenerate interval (end far beyond start relative
+    # to bin_width) would sequence-explode into millions of rows — fail
+    # loudly instead of OOMing an executor; pick a larger bin_width.
+    guarded = F.when(
+        last_bin - first_bin < F.lit(max_bins_per_interval),
+        F.sequence(first_bin, last_bin),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"range_join_binned: interval spans >{max_bins_per_interval} "
+                f"bins at bin_width={bin_width} (start=%s, end=%s) — "
+                "increase bin_width or max_bins_per_interval",
+                F.col(start_col).cast("string"),
+                F.col(end_col).cast("string"),
+            )
+        ).cast("array<bigint>")
     )
+    iv = intervals.withColumn("_rj_bin", F.explode(guarded))
     cond = [p["_rj_bin"] == iv["_rj_bin"]]
     cond += [p[c] == iv[c] for c in extra_on]
     cond += [p[point_col] >= iv[start_col], p[point_col] < iv[end_col]]

@@ -135,3 +135,30 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, window_k: int = 5
     return df.select(
         F.col(id_col), F.coalesce(h, F.lit(-1).cast("long")).alias("fingerprint")
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str, k: int = 5, min_doc_frac: float = 0.05
+) -> DataFrame:
+    """Heavy-hitter phrase detector: word k-grams occurring in at least
+    ``min_doc_frac`` of all documents — the template/boilerplate scan a
+    curation pipeline runs before dedup (navbars, license banners,
+    scraper artifacts repeat across pages and poison near-dup scoring).
+
+    Shape: per-doc *distinct* shingles explode once, one groupBy(gram)
+    counts document frequency (map-side partial agg applies), and the
+    corpus total re-enters as a broadcast 1-row aggregate — no driver
+    collect, no second corpus pass. Output: (gram, df) for the heavy
+    hitters only; at 100 TB the result stays small by construction
+    (bounded by 1/min_doc_frac · distinct heavy grams).
+    """
+    from hadoop_0_20_2_ljx_spark.extensions.dedup import word_shingles
+
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    grams = df.select(F.explode(word_shingles(F.col(text_col), k)).alias("gram"))
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        dfreq.join(F.broadcast(total))
+        .where(F.col("df") >= F.ceil(F.col("n_docs") * F.lit(min_doc_frac)))
+        .select("gram", "df")
+    )

@@ -48,6 +48,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_join_asof",
     "q_join_range",
     "q_text_bm25",
+    "q_text_boilerplate",
+    "q_agg_window_funcs",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

@@ -170,6 +170,39 @@ FROM events GROUP BY 1
 """
 
 
+# --- Q-agg-9b (extra): analytic window functions (lag / lead / ntile) --------
+def _window_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-stream analytics: seconds since the previous event
+    (lag), next event type (lead), activity quartile (ntile). Ordering
+    includes event_id so ties at equal timestamps are deterministic in
+    both engines. One shuffle on user_id shared by all three functions."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    base = T(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.floor((F.col("t_us") - F.lag("t_us", 1).over(w)) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_s"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_WINDOW_FUNCS_SQL = """
+SELECT event_id, user_id,
+  CAST(floor((t_us - lag(t_us) OVER w) / 1000000) AS BIGINT) AS gap_s,
+  lead(event_type) OVER w AS next_type,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+"""
+
+
 # --- Q-agg-9 (extra): window ranking functions -------------------------------
 def _window_rank(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 orders by price per priority via dense_rank — the window is
@@ -266,6 +299,12 @@ QUERIES: dict[str, QueryDef] = {
         _PIVOT_SQL,
         "Q-agg-8c (engine extra) pivot with explicit value list (no "
         "distinct-values pre-job)",
+    ),
+    "q_agg_window_funcs": QueryDef(
+        _window_funcs,
+        _WINDOW_FUNCS_SQL,
+        "Q-agg-9b (engine extra) lag/lead/ntile event-stream analytics, "
+        "one shared shuffle",
     ),
     "q_agg_window_rank": QueryDef(
         _window_rank,

@@ -917,6 +917,27 @@ FROM wav
 """
 
 
+# --- boilerplate heavy-hitter phrases ---------------------------------------
+def _text_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-2gram phrases present in >=5% of documents (template/banner
+    detection — the pre-dedup boilerplate scan). One explode + one
+    groupBy; corpus total re-enters as a broadcast 1-row agg."""
+    return textstats.boilerplate_ngrams(
+        T(spark, sf, "documents"), "text", k=2, min_doc_frac=0.05
+    )
+
+
+def _boilerplate_oracle() -> str:
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 2)
+    return f"""
+WITH g AS (SELECT unnest({sh}) AS gram FROM documents),
+d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+t AS (SELECT count(*) AS n_docs FROM documents)
+SELECT gram, df FROM d, t WHERE df >= ceil(n_docs * 0.05)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dedup_exact": QueryDef(
         _dedup_exact,
@@ -1002,6 +1023,12 @@ QUERIES: dict[str, QueryDef] = {
         _contamination_oracle(),
         "extension: benchmark-contamination scan — 8-gram overlap between "
         "the train split and a synthetic eval suite, per-n-gram equi-join",
+    ),
+    "q_text_boilerplate": QueryDef(
+        _text_boilerplate,
+        _boilerplate_oracle(),
+        "extension: boilerplate heavy-hitter 2-grams (>=5% of docs), "
+        "broadcast corpus total, single token shuffle",
     ),
     "q_sample_stratified": QueryDef(
         _sample_stratified,

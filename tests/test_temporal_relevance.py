@@ -107,3 +107,38 @@ def test_bm25_matches_hand_computation(spark):
     assert out[2] == (1, round(score(1, 2), 4))
     # higher tf at same length ranks higher
     assert out[1][1] > out[2][1]
+
+
+def test_range_join_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    points = [(i, rng.randint(0, 2000)) for i in range(300)]
+    intervals = []
+    for j in range(60):
+        s = rng.randint(0, 2000)
+        intervals.append((j, s, s + rng.randint(1, 300)))
+    p = spark.createDataFrame(points, "pid long, p long")
+    iv = spark.createDataFrame(intervals, "iid long, s long, e long")
+    for bw in (64, 256, 1000):
+        out = temporal.range_join_binned(p, iv, "p", "s", "e", bin_width=bw)
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        exp = sorted(
+            (pid, iid)
+            for pid, pt in points
+            for iid, s, e in intervals
+            if s <= pt < e
+        )
+        assert got == exp, f"bin_width={bw}"
+
+
+def test_range_join_guards_degenerate_intervals(spark):
+    import pytest as _pytest
+
+    p = spark.createDataFrame([(0, 5)], "pid long, p long")
+    iv = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, s long, e long")
+    out = temporal.range_join_binned(
+        p, iv, "p", "s", "e", bin_width=10, max_bins_per_interval=100
+    )
+    with _pytest.raises(Exception, match="range_join_binned"):
+        out.collect()
