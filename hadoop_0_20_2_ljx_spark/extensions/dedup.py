@@ -407,3 +407,32 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def fuzzy_name_pairs(df: DataFrame, col: str, max_dist: int = 3) -> DataFrame:
+    """Fuzzy vocabulary dedup: pairs of *distinct* values whose edit
+    distance is <= max_dist, blocked on the first token so the self-join
+    is per-block quadratic, never corpus-quadratic (same trade as every
+    LSH family here: the block key bounds recall AND cost; at 100 TB use
+    a tighter block — first token + length bucket — to cap block sizes).
+
+    Runs on the distinct value set, not raw rows: exact duplicates
+    collapse first (one shuffle), so the quadratic stage sees vocabulary
+    cardinality, not table cardinality.
+    """
+    names = df.select(F.col(col).alias("name")).distinct()
+    blocked = names.withColumn("_blk", F.split(F.col("name"), r"\s+").getItem(0))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .where(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

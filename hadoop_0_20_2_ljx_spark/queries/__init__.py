@@ -50,6 +50,10 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_bm25",
     "q_text_boilerplate",
     "q_agg_window_funcs",
+    "q_dedup_fuzzy",
+    "q_agg_numeric_hist",
+    "q_agg_stats",
+    "q_agg_daily",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

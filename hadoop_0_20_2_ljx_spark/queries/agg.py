@@ -170,6 +170,82 @@ FROM events GROUP BY 1
 """
 
 
+# --- Q-agg-5b (extra): equi-width numeric histogram --------------------------
+def _numeric_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width value histogram of order totals (50k-wide buckets via
+    constant floor-division — one partial+final agg, no sort). The
+    continuous-value companion of the categorical ValueHistogram
+    (reference ValueHistogram.java:35)."""
+    return (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_NUMERIC_HIST_SQL = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+# --- Q-agg-6b (extra): statistical aggregates (corr / covar / stddev) --------
+def _stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-flag correlation / sample covariance / sample stddev of
+    lineitem quantity vs extended price. Single-pass merged-moments
+    aggregation in both engines; rounded because the merge order differs."""
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+_STATS_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --- Q-agg-10 (extra): calendar-day rollup -----------------------------------
+def _daily_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Events per UTC calendar day with distinct-user counts — the
+    date_trunc time-series rollup every log pipeline starts with."""
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
 # --- Q-agg-9b (extra): analytic window functions (lag / lead / ntile) --------
 def _window_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user event-stream analytics: seconds since the previous event
@@ -299,6 +375,21 @@ QUERIES: dict[str, QueryDef] = {
         _PIVOT_SQL,
         "Q-agg-8c (engine extra) pivot with explicit value list (no "
         "distinct-values pre-job)",
+    ),
+    "q_agg_numeric_hist": QueryDef(
+        _numeric_hist,
+        _NUMERIC_HIST_SQL,
+        "Q-agg-5b (engine extra) equi-width numeric histogram",
+    ),
+    "q_agg_stats": QueryDef(
+        _stats_agg,
+        _STATS_SQL,
+        "Q-agg-6b (engine extra) corr/covar/stddev statistical aggregates",
+    ),
+    "q_agg_daily": QueryDef(
+        _daily_rollup,
+        _DAILY_SQL,
+        "Q-agg-10 (engine extra) calendar-day time-series rollup",
     ),
     "q_agg_window_funcs": QueryDef(
         _window_funcs,

@@ -917,6 +917,24 @@ FROM wav
 """
 
 
+# --- fuzzy vocabulary dedup --------------------------------------------------
+def _dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup pairs over the distinct part-name
+    vocabulary, first-token blocking (extensions/dedup.py
+    fuzzy_name_pairs)."""
+    return dedup.fuzzy_name_pairs(T(spark, sf, "part"), "p_name", max_dist=3)
+
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (SELECT name, split_part(name, ' ', 1) AS blk FROM names)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
 # --- boilerplate heavy-hitter phrases ---------------------------------------
 def _text_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """Word-2gram phrases present in >=5% of documents (template/banner
@@ -1023,6 +1041,12 @@ QUERIES: dict[str, QueryDef] = {
         _contamination_oracle(),
         "extension: benchmark-contamination scan — 8-gram overlap between "
         "the train split and a synthetic eval suite, per-n-gram equi-join",
+    ),
+    "q_dedup_fuzzy": QueryDef(
+        _dedup_fuzzy,
+        _FUZZY_SQL,
+        "extension: edit-distance near-dup pairs over the distinct "
+        "vocabulary, first-token blocking (never corpus-quadratic)",
     ),
     "q_text_boilerplate": QueryDef(
         _text_boilerplate,
