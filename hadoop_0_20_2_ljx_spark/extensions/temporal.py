@@ -17,6 +17,9 @@ This module expresses the same sweep relationally so Catalyst plans it:
   it covers, each point maps to its single bin, join on bin, then apply
   the exact containment filter. Plan is SMJ/BHJ on the bin key; cost is
   O(points + intervals * bins_per_interval), never |points|*|intervals|.
+- ``overlap_join_binned``: interval-interval overlap with the same bin
+  rewrite; pair dedup is free (each pair kept only in the bin owning the
+  later start) so no distinct shuffle follows the join.
 """
 
 from __future__ import annotations
@@ -96,6 +99,38 @@ def asof_join(
     )
 
 
+def _bin_of(c: Column, bin_width: int) -> Column:
+    """Floor-divided bin id — pure long arithmetic, exact (no float
+    round-trip), correct for negative values too."""
+    return ((c - (((c % bin_width) + bin_width) % bin_width)) / bin_width).cast("long")
+
+
+def _guarded_bin_explode(
+    start_col: str, end_col: str, bin_width: int, max_bins: int
+) -> Column:
+    """Explode expression for every bin a half-open interval covers (the
+    last covered bin belongs to ``end - 1``). Runtime guard: a degenerate
+    interval (end far beyond start relative to bin_width) would
+    sequence-explode into millions of rows — fail loudly instead of
+    OOMing an executor; pick a larger bin_width."""
+    first_bin = _bin_of(F.col(start_col), bin_width)
+    last_bin = _bin_of(F.col(end_col) - F.lit(1), bin_width)
+    return F.explode(
+        F.when(last_bin - first_bin < F.lit(max_bins), F.sequence(first_bin, last_bin))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"binned temporal join: interval spans >{max_bins} bins "
+                    f"at bin_width={bin_width} (start=%s, end=%s) — "
+                    "increase bin_width or max_bins_per_interval",
+                    F.col(start_col).cast("string"),
+                    F.col(end_col).cast("string"),
+                )
+            ).cast("array<bigint>")
+        )
+    )
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,
@@ -122,32 +157,11 @@ def range_join_binned(
         raise ValueError("bin_width must be positive")
     extra_on = list(extra_on)
 
-    def _bin(c: Column) -> Column:
-        # floor division on longs; exact, no float round-trip
-        return ((c - (((c % bin_width) + bin_width) % bin_width)) / bin_width).cast("long")
-
-    p = points.withColumn("_rj_bin", _bin(F.col(point_col)))
-    # last covered bin belongs to end-1 (half-open interval)
-    first_bin = _bin(F.col(start_col))
-    last_bin = _bin(F.col(end_col) - F.lit(1))
-    # runtime guard: a degenerate interval (end far beyond start relative
-    # to bin_width) would sequence-explode into millions of rows — fail
-    # loudly instead of OOMing an executor; pick a larger bin_width.
-    guarded = F.when(
-        last_bin - first_bin < F.lit(max_bins_per_interval),
-        F.sequence(first_bin, last_bin),
-    ).otherwise(
-        F.raise_error(
-            F.format_string(
-                f"range_join_binned: interval spans >{max_bins_per_interval} "
-                f"bins at bin_width={bin_width} (start=%s, end=%s) — "
-                "increase bin_width or max_bins_per_interval",
-                F.col(start_col).cast("string"),
-                F.col(end_col).cast("string"),
-            )
-        ).cast("array<bigint>")
+    p = points.withColumn("_rj_bin", _bin_of(F.col(point_col), bin_width))
+    iv = intervals.withColumn(
+        "_rj_bin",
+        _guarded_bin_explode(start_col, end_col, bin_width, max_bins_per_interval),
     )
-    iv = intervals.withColumn("_rj_bin", F.explode(guarded))
     cond = [p["_rj_bin"] == iv["_rj_bin"]]
     cond += [p[c] == iv[c] for c in extra_on]
     cond += [p[point_col] >= iv[start_col], p[point_col] < iv[end_col]]
@@ -156,3 +170,49 @@ def range_join_binned(
         iv[c] for c in intervals.columns if c not in extra_on
     ]
     return joined.select(*keep)
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Interval-interval overlap join (half-open: a overlaps b iff
+    ``a.start < b.end AND b.start < a.end``) as a bin equi-join.
+
+    Duplicate elimination without a distinct: both sides explode to
+    their covered bins, but a candidate pair is kept only in the single
+    bin containing ``max(left.start, right.start)`` (the later start lies
+    inside both intervals whenever they overlap, and lies in exactly one
+    bin) — so each overlapping pair surfaces exactly once and the plan
+    needs no post-join dedup shuffle. Same cost model as
+    ``range_join_binned``; pick ``bin_width`` ≥ typical interval length.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    lt = left.withColumn(
+        "_ov_bin",
+        _guarded_bin_explode(left_start, left_end, bin_width, max_bins_per_interval),
+    )
+    rt = right.withColumn(
+        "_ov_bin",
+        _guarded_bin_explode(right_start, right_end, bin_width, max_bins_per_interval),
+    )
+    later_start = F.greatest(lt[left_start], rt[right_start])
+    cond = [
+        lt["_ov_bin"] == rt["_ov_bin"],
+        lt[left_start] < rt[right_end],
+        rt[right_start] < lt[left_end],
+        # keep the pair only in the bin that owns the later start
+        lt["_ov_bin"] == _bin_of(later_start, bin_width),
+    ]
+    joined = lt.join(rt, cond, "inner")
+    return joined.select(
+        *[lt[c] for c in left.columns], *[rt[c] for c in right.columns]
+    )

@@ -54,6 +54,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_numeric_hist",
     "q_agg_stats",
     "q_agg_daily",
+    "q_join_overlap",
+    "q_agg_median_mode",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

@@ -222,6 +222,69 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- Q-agg-6c (extra): exact median + mode -----------------------------------
+def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group median (rank-based: avg of the one or two middle
+    sorted values — no percentile interpolation, which differs between
+    engines) and mode with a deterministic tie-break (highest count,
+    then lowest value). Both sides compute the identical definition.
+    The per-group sort is the unavoidable exact-median cost; groups
+    partition the shuffle, so parallelism is by group at scale."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    wr = Window.partitionBy("pri").orderBy("p")
+    wn = Window.partitionBy("pri")
+    ranked = o.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("pri")
+        .agg(F.round(F.avg("p"), 2).alias("median_price"))
+    )
+    cnt = o.groupBy("pri", "st").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("pri").orderBy(F.desc("c"), F.asc("st"))
+    mode = (
+        cnt.withColumn("r", F.row_number().over(wm))
+        .where(F.col("r") == 1)
+        .select("pri", F.col("st").alias("mode_status"))
+    )
+    return med.join(mode, "pri").select(
+        F.col("pri").alias("o_orderpriority"), "median_price", "mode_status"
+    )
+
+
+_MEDIAN_MODE_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS pri, o_totalprice AS p, o_orderstatus AS st FROM orders
+), ranked AS (
+  SELECT pri, p, row_number() OVER (PARTITION BY pri ORDER BY p) AS rn,
+         count(*) OVER (PARTITION BY pri) AS n
+  FROM o
+), med AS (
+  SELECT pri, round(avg(p), 2) AS median_price FROM ranked
+  WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2) GROUP BY 1
+), cnt AS (
+  SELECT pri, st, count(*) AS c FROM o GROUP BY 1, 2
+), md AS (
+  SELECT pri, st AS mode_status FROM (
+    SELECT pri, st, row_number() OVER (PARTITION BY pri ORDER BY c DESC, st) AS r
+    FROM cnt
+  ) WHERE r = 1
+)
+SELECT med.pri AS o_orderpriority, med.median_price, md.mode_status
+FROM med JOIN md ON med.pri = md.pri
+"""
+
+
 # --- Q-agg-10 (extra): calendar-day rollup -----------------------------------
 def _daily_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Events per UTC calendar day with distinct-user counts — the
@@ -385,6 +448,12 @@ QUERIES: dict[str, QueryDef] = {
         _stats_agg,
         _STATS_SQL,
         "Q-agg-6b (engine extra) corr/covar/stddev statistical aggregates",
+    ),
+    "q_agg_median_mode": QueryDef(
+        _median_mode,
+        _MEDIAN_MODE_SQL,
+        "Q-agg-6c (engine extra) exact rank-based median + deterministic "
+        "mode (no cross-engine percentile interpolation)",
     ),
     "q_agg_daily": QueryDef(
         _daily_rollup,

@@ -104,6 +104,53 @@ GROUP BY 1
 """
 
 
+# --- binned overlap join: pairs of overlapping error windows -----------------
+def _join_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-interval self-overlap: every 'error' event opens a
+    10-minute window; emit each overlapping window pair once (incident
+    clustering). Engine side dedups pairs WITHOUT a distinct — a pair is
+    kept only in the bin owning the later start (extensions/temporal.py
+    overlap_join_binned); the oracle runs DuckDB's native IE self-join."""
+
+    def windows():
+        ev = T(spark, sf, "events")
+        return (
+            ev.where(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("id"), F.unix_micros("ts").alias("w_s"))
+            .withColumn("w_e", F.col("w_s") + F.lit(600_000_000))
+        )
+
+    a = windows()
+    b = (
+        windows()
+        .withColumnRenamed("id", "id_b")
+        .withColumnRenamed("w_s", "b_s")
+        .withColumnRenamed("w_e", "b_e")
+    )
+    j = temporal.overlap_join_binned(a, b, "w_s", "w_e", "b_s", "b_e", bin_width=600_000_000)
+    return (
+        j.where(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("err_a"),
+            F.col("id_b").alias("err_b"),
+            F.floor((F.least("w_e", "b_e") - F.greatest("w_s", "b_s")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("overlap_s"),
+        )
+    )
+
+
+_OVERLAP_SQL = """
+WITH e AS (
+  SELECT event_id AS id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.id AS err_a, b.id AS err_b,
+       CAST(floor((least(a.e, b.e) - greatest(a.s, b.s)) / 1000000) AS BIGINT) AS overlap_s
+FROM e a JOIN e b ON a.id < b.id AND a.s < b.e AND b.s < a.e
+"""
+
+
 # --- BM25 relevance ----------------------------------------------------------
 _BM25_TERMS = ("spark", "hash", "window")
 
@@ -152,6 +199,12 @@ QUERIES: dict[str, QueryDef] = {
         _join_range,
         _RANGE_SQL,
         "keyless interval join via bin equi-join rewrite; oracle is a native IE join",
+    ),
+    "q_join_overlap": QueryDef(
+        _join_overlap,
+        _OVERLAP_SQL,
+        "interval-interval overlap pairs via later-start-bin dedup (no "
+        "distinct); oracle is a native IE self-join",
     ),
     "q_text_bm25": QueryDef(
         _text_bm25,

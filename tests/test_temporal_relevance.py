@@ -140,5 +140,27 @@ def test_range_join_guards_degenerate_intervals(spark):
     out = temporal.range_join_binned(
         p, iv, "p", "s", "e", bin_width=10, max_bins_per_interval=100
     )
-    with _pytest.raises(Exception, match="range_join_binned"):
+    with _pytest.raises(Exception, match="binned temporal join"):
         out.collect()
+
+
+def test_overlap_join_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(23)
+    lefts = [(i, s := rng.randint(0, 1500), s + rng.randint(1, 200)) for i in range(80)]
+    rights = [(j, s := rng.randint(0, 1500), s + rng.randint(1, 200)) for j in range(70)]
+    l = spark.createDataFrame(lefts, "lid long, ls long, le long")
+    r = spark.createDataFrame(
+        [(j, s, e) for j, s, e in rights], "rid long, rs long, re long"
+    )
+    for bw in (64, 250, 2000):
+        out = temporal.overlap_join_binned(l, r, "ls", "le", "rs", "re", bin_width=bw)
+        got = sorted((x["lid"], x["rid"]) for x in out.collect())
+        exp = sorted(
+            (lid, rid)
+            for lid, ls, le in lefts
+            for rid, rs, re in rights
+            if ls < re and rs < le
+        )
+        assert got == exp, f"bin_width={bw}"
