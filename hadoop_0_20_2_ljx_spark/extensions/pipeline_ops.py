@@ -177,3 +177,41 @@ def pack_sequences(
     return ranged.withColumn(
         bin_col, F.floor(cum_before / ctx).cast("long")
     ).drop("_pid")
+
+
+def temperature_sample(
+    df: DataFrame, group_col: str, key_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-flattened mixture resampling (the multilingual-LM
+    recipe: target share of group g ∝ share_g^alpha, alpha<1 flattens
+    the mix toward uniform). Realized as per-row keep/drop with
+    keep-rate r_g = (n_min/n_g)^(1-alpha), so the smallest group keeps
+    everything and dominant groups are thinned toward it.
+
+    Same determinism machinery as stratified_sample: the rate becomes
+    integer basis points and each row's fate is a hash threshold on
+    ``key_col`` — reproducible across retries, partitionings, engines.
+    Group counts are a tiny aggregate re-entering via broadcast; the
+    data-sized pass is a single stateless filter.
+    """
+    counts = df.groupBy(F.col(group_col).alias("_tg")).agg(
+        F.count(F.lit(1)).alias("_tn")
+    )
+    n_min = counts.agg(F.min("_tn").alias("_tnmin"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        "_tg",
+        "_tn",
+        F.floor(
+            F.pow(F.col("_tnmin").cast("double") / F.col("_tn"), F.lit(1.0 - alpha))
+            * 10000
+        )
+        .cast("long")
+        .alias("_tbps"),
+    )
+    bucket = portable_hash32(F.col(key_col)) % 10000
+    return (
+        df.join(F.broadcast(rates), df[group_col] == rates["_tg"])
+        .where(bucket < F.col("_tbps"))
+        .drop("_tg", "_tbps")
+        .withColumnRenamed("_tn", "group_total")
+    )

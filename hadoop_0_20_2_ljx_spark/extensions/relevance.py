@@ -82,3 +82,33 @@ def bm25_scores(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality score: average unigram log-probability of
+    each document under the corpus's own unigram LM (the classic cheap
+    LM-based quality filter — gibberish and boilerplate-free text score
+    low/high respectively before any neural scorer runs).
+
+    p(t) = count(t) / total_tokens over the whole corpus;
+    score(d) = mean over d's token *occurrences* of ln p(t).
+
+    Shape: one token explode feeds BOTH the vocabulary aggregation and
+    the scoring join (token->logp is an equi-join on the token — the
+    vocabulary can be arbitrarily large, it shuffles; only the 1-row
+    total broadcasts). No driver collect.
+    """
+    base = df.select(F.col(id_col).alias("_id"), _words(text_col).alias("_ws"))
+    toks = base.select("_id", F.explode("_ws").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = toks.join(vocab, "tok").join(F.broadcast(total))
+    logp = F.log(F.col("c") / F.col("n_total"))
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

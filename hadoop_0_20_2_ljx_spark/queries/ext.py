@@ -917,6 +917,61 @@ FROM wav
 """
 
 
+# --- unigram LM (perplexity-proxy) scoring -----------------------------------
+def _text_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Average unigram log-probability per doc under the corpus's own
+    unigram LM (extensions/relevance.py unigram_logprob_scores)."""
+    from hadoop_0_20_2_ljx_spark.extensions import relevance
+
+    return relevance.unigram_logprob_scores(T(spark, sf, "documents"), "doc_id", "text")
+
+
+def _logprob_oracle() -> str:
+    words = _WORDS.format(col="text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({words}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+total AS (SELECT sum(c) AS n_total FROM vocab)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(ln(v.c / tt.n_total)), 4) AS avg_logprob
+FROM toks t JOIN vocab v USING (tok) CROSS JOIN total tt
+GROUP BY 1
+"""
+
+
+# --- temperature mixture resampling ------------------------------------------
+def _sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened source mix (alpha=0.5): dominant sources are
+    hash-thinned toward the smallest source's size
+    (extensions/pipeline_ops.py temperature_sample). Output: per-source
+    kept counts + id hash sum (proves the exact surviving row set)."""
+    kept = pipeline_ops.temperature_sample(
+        T(spark, sf, "documents"), "source", "doc_id", alpha=0.5
+    )
+    return kept.groupBy("source").agg(
+        F.max("group_total").cast("long").alias("n_orig"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("doc_id") % 1000003).cast("long").alias("id_hash_sum"),
+    )
+
+
+def _temperature_oracle() -> str:
+    bucket = h32_sql("doc_id") + " % 10000"
+    return f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (SELECT source, n,
+             CAST(floor(pow(CAST(n_min AS DOUBLE) / n, 0.5) * 10000) AS BIGINT) AS bps
+      FROM c, m)
+SELECT d.source, CAST(max(r.n) AS BIGINT) AS n_orig,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.doc_id % 1000003) AS BIGINT) AS id_hash_sum
+FROM documents d JOIN r ON d.source = r.source
+WHERE {bucket} < r.bps
+GROUP BY 1
+"""
+
+
 # --- fuzzy vocabulary dedup --------------------------------------------------
 def _dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance near-dup pairs over the distinct part-name
@@ -1041,6 +1096,18 @@ QUERIES: dict[str, QueryDef] = {
         _contamination_oracle(),
         "extension: benchmark-contamination scan — 8-gram overlap between "
         "the train split and a synthetic eval suite, per-n-gram equi-join",
+    ),
+    "q_text_logprob": QueryDef(
+        _text_logprob,
+        _logprob_oracle(),
+        "extension: unigram-LM average log-probability per doc "
+        "(perplexity-proxy quality filter)",
+    ),
+    "q_sample_temperature": QueryDef(
+        _sample_temperature,
+        _temperature_oracle(),
+        "extension: temperature-flattened (alpha=0.5) source-mix "
+        "resampling via deterministic hash thresholds",
     ),
     "q_dedup_fuzzy": QueryDef(
         _dedup_fuzzy,

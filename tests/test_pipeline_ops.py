@@ -143,3 +143,43 @@ def test_pq_codes_reconstruct_within_quantization_error(spark):
     # encode plan: one projection, no join/exchange
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_temperature_sample_flattens_mix(spark):
+    """Smallest group survives fully (rate 1.0); larger groups are thinned
+    monotonically; alpha=1 keeps everything (rates all 1.0)."""
+    from hadoop_0_20_2_ljx_spark.extensions.pipeline_ops import temperature_sample
+
+    rows = (
+        [("big", i) for i in range(400)]
+        + [("mid", 1000 + i) for i in range(100)]
+        + [("small", 2000 + i) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "src string, k long")
+
+    kept = temperature_sample(df, "src", "k", alpha=0.5)
+    counts = {r["src"]: r["n"] for r in kept.groupBy("src").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts["small"] == 25  # n_min group: rate (25/25)^0.5 = 1.0
+    # expected basis points: (25/400)^.5=0.25 -> 2500; (25/100)^.5=0.5 -> 5000
+    assert 0 < counts["big"] < 400 and 0 < counts["mid"] < 100
+    frac_big, frac_mid = counts["big"] / 400, counts["mid"] / 100
+    assert frac_big < frac_mid < 1.0  # monotone thinning toward the small group
+
+    all_kept = temperature_sample(df, "src", "k", alpha=1.0)
+    assert all_kept.count() == len(rows)  # alpha=1: original mix untouched
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from hadoop_0_20_2_ljx_spark.extensions.relevance import unigram_logprob_scores
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tok"], r["avg_logprob"]) for r in
+           unigram_logprob_scores(docs, "doc_id", "text").collect()}
+    # corpus: a:2 b:2 c:1, total 5
+    la, lb, lc = math.log(2 / 5), math.log(2 / 5), math.log(1 / 5)
+    assert out[1] == (3, round((la + la + lb) / 3, 4))
+    assert out[2] == (2, round((lb + lc) / 2, 4))
