@@ -58,6 +58,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_median_mode",
     "q_text_logprob",
     "q_sample_temperature",
+    "q_agg_profile",
+    "q_sink_csv_json_roundtrip",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

@@ -222,6 +222,67 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- Q-agg-11 (extra): table profiling (ANALYZE-style column stats) ----------
+_PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-statistics profile of lineitem (null count, exact distinct,
+    min/max) for 3 numeric + 2 string columns — the ANALYZE TABLE /
+    data-quality pass. ONE scan: a single aggregate computes every
+    per-column stat, then an explode unpivots to one row per column
+    (numeric min/max printf'd at fixed precision so both engines render
+    identically)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.format_string("%.2f", F.min(c)).alias(f"{c}__mn"),
+            F.format_string("%.2f", F.max(c)).alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
+    a = T(spark, sf, "lineitem").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col(f"{c}__nn").cast("long").alias("n_null"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_s"),
+                F.col(f"{c}__mx").alias("max_s"),
+            )
+            for c in _PROFILE_NUM + _PROFILE_STR
+        ]
+    )
+    return a.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for c in _PROFILE_NUM:
+        branches.append(
+            f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"printf('%.2f', min({c})) AS min_s, printf('%.2f', max({c})) AS max_s "
+            f"FROM lineitem"
+        )
+    for c in _PROFILE_STR:
+        branches.append(
+            f"SELECT '{c}', CAST(count(*) AS BIGINT), "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            f"CAST(count(DISTINCT {c}) AS BIGINT), min({c}), max({c}) FROM lineitem"
+        )
+    return " UNION ALL ".join(branches)
+
+
 # --- Q-agg-6c (extra): exact median + mode -----------------------------------
 def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-group median (rank-based: avg of the one or two middle
@@ -448,6 +509,12 @@ QUERIES: dict[str, QueryDef] = {
         _stats_agg,
         _STATS_SQL,
         "Q-agg-6b (engine extra) corr/covar/stddev statistical aggregates",
+    ),
+    "q_agg_profile": QueryDef(
+        _profile,
+        _profile_oracle(),
+        "Q-agg-11 (engine extra) ANALYZE-style column profile — all "
+        "stats for 5 columns in ONE scan, exploded to rows",
     ),
     "q_agg_median_mode": QueryDef(
         _median_mode,

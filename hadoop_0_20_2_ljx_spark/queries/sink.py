@@ -90,6 +90,44 @@ def _sink_named_outputs(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# --- Q-sink-6 (extra): CSV + JSON-lines round trips --------------------------
+def _sink_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write the same slice as header-CSV and JSON-lines, read both back
+    with explicit schemas (never inference — nondeterministic at scale),
+    and prove both pipes lossless with the same aggregate the oracle
+    computes straight from parquet. These are the two interchange
+    formats every migration off the reference's TextOutputFormat uses."""
+    src = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    csv_path, json_path = _tmp("q_sink_csv"), _tmp("q_sink_json")
+    src.write.mode("overwrite").option("header", True).csv(csv_path)
+    src.write.mode("overwrite").json(json_path)
+    back_csv = spark.read.schema(schema).option("header", True).csv(csv_path)
+    back_json = spark.read.schema(schema).json(json_path)
+
+    def roll(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_orderkey") % 1000003).cast("long").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    return roll(back_csv, "csv").unionByName(roll(back_json, "json"))
+
+
+_CSV_JSON_SQL = """
+SELECT 'csv' AS fmt, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+UNION ALL
+SELECT 'json', CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey % 1000003) AS BIGINT), round(sum(o_totalprice), 2)
+FROM orders
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_sink_text_roundtrip": QueryDef(
         _sink_text_roundtrip,
@@ -122,5 +160,11 @@ QUERIES: dict[str, QueryDef] = {
         "UNION ALL SELECT 'open', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey % 1000003) AS BIGINT) "
         "FROM orders WHERE o_orderstatus='O'",
         "Q-sink-5 MultipleOutputs named outputs (mapred/lib/MultipleOutputs.java:70-104)",
+    ),
+    "q_sink_csv_json_roundtrip": QueryDef(
+        _sink_csv_json_roundtrip,
+        _CSV_JSON_SQL,
+        "Q-sink-6 (engine extra) CSV(header) + JSON-lines round trips with "
+        "explicit schemas — float totals survive both text formats",
     ),
 }
