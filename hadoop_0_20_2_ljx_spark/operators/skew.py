@@ -85,14 +85,18 @@ def top_hot_keys(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     """Diagnose skew: the heaviest keys and their share of all rows.
 
     The count aggregate is itself skew-safe (partial aggregation collapses
-    each partition's hot-key rows to one record before the shuffle).
+    each partition's hot-key rows to one record before the shuffle), and
+    the grand total re-enters as a broadcast 1-row aggregate — one scan,
+    fully lazy (no eager df.count() action). Ties at the cutoff are
+    broken by key so the result is partitioning-invariant.
     """
-    total = df.count()
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("share", F.round(F.col("cnt") / F.lit(total), 6))
-        .orderBy(F.desc("cnt"))
+        counts.join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("_total"), 6))
+        .drop("_total")
+        .orderBy(F.desc("cnt"), F.col(key))
         .limit(top_n)
     )
 

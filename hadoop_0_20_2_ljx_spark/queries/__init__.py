@@ -60,6 +60,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sample_temperature",
     "q_agg_profile",
     "q_sink_csv_json_roundtrip",
+    "q_agg_hot_keys",
+    "q_agg_string_agg",
     "q_scan_kv_split",
     "q_sink_text_roundtrip",
     "q_sink_named_outputs",

@@ -222,6 +222,42 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- Q-agg-13 (extra): deterministic string aggregation ----------------------
+def _string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-status sorted roster of distinct priorities as one delimited
+    string. collect_set is order-nondeterministic, so sort_array before
+    joining — the only way string aggregation is reproducible across
+    partitionings (and the only form an oracle can match)."""
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --- Q-agg-12 (extra): hot-key skew diagnosis --------------------------------
+def _hot_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew diagnosis over event types (operators/skew.py top_hot_keys).
+    top_n exceeds the key cardinality here so the oracle needs no LIMIT —
+    the top-k cutoff itself is plan-asserted in tests/test_skew.py."""
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    return skew.top_hot_keys(T(spark, sf, "events"), "event_type", top_n=50)
+
+
 # --- Q-agg-11 (extra): table profiling (ANALYZE-style column stats) ----------
 _PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount")
 _PROFILE_STR = ("l_returnflag", "l_linestatus")
@@ -509,6 +545,20 @@ QUERIES: dict[str, QueryDef] = {
         _stats_agg,
         _STATS_SQL,
         "Q-agg-6b (engine extra) corr/covar/stddev statistical aggregates",
+    ),
+    "q_agg_string_agg": QueryDef(
+        _string_agg,
+        _STRING_AGG_SQL,
+        "Q-agg-13 (engine extra) deterministic string aggregation "
+        "(sorted collect_set -> join; order-stable across partitionings)",
+    ),
+    "q_agg_hot_keys": QueryDef(
+        _hot_keys,
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM events), 6) AS share "
+        "FROM events GROUP BY 1",
+        "Q-agg-12 (engine extra) skew diagnosis — heaviest keys + row "
+        "share, lazy broadcast total, TakeOrderedAndProject top-k",
     ),
     "q_agg_profile": QueryDef(
         _profile,
