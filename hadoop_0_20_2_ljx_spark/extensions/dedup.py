@@ -27,6 +27,8 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_0_20_2_ljx_spark.extensions.textstats import tokens as _tokens
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Exact dedup on a key: keep one row per key (hash-groupBy)."""
@@ -34,8 +36,11 @@ def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams of a text column (the shingle set)."""
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    """Distinct word k-grams of a text column (the shingle set).
+    Tokenization is the ONE shared corpus tokenizer (textstats.tokens) —
+    every text family (dedup, contamination, BM25, logprob) and the
+    _WORDS SQL rendering in queries/ext.py must stay bit-identical."""
+    words = _tokens(text)
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),

@@ -201,7 +201,11 @@ def temperature_sample(
     rates = counts.join(F.broadcast(n_min)).select(
         "_tg",
         "_tn",
-        F.floor(
+        # round-to-nearest, not floor: pow isn't correctly rounded (Java
+        # vs C libm may differ by 1 ulp), and floor flips a whole hash
+        # bucket of rows exactly when pow*10000 lands ON an integer (e.g.
+        # share ratio 1/4 at alpha=.5 -> 5000.0); nearest is ulp-immune
+        F.round(
             F.pow(F.col("_tnmin").cast("double") / F.col("_tn"), F.lit(1.0 - alpha))
             * 10000
         )

@@ -17,9 +17,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_0_20_2_ljx_spark.extensions.textstats import tokens
+
 
 def _words(col: str):
-    return F.filter(F.split(F.col(col), r"\s+"), lambda w: w != "")
+    # the ONE corpus tokenizer (textstats.tokens) — BM25/logprob must stay
+    # bit-identical with the dedup/contamination family and the _WORDS SQL
+    # rendering in queries/ext.py
+    return tokens(F.col(col))
 
 
 def term_frequencies(

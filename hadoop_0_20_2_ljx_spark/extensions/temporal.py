@@ -81,9 +81,20 @@ def asof_join(
         .orderBy("_asof_ts", "_asof_src")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = [F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols]
-    matched_ts = F.last(
-        F.when(F.col("_asof_src") == 0, F.col("_asof_ts")), ignorenulls=True
+    # the carried state is the whole matched right ROW (a struct), not the
+    # bare value columns: last(value, ignorenulls) would skip a right row
+    # whose value is genuinely NULL and resurrect a stale older match —
+    # the struct is non-NULL for every right row, so NULL values propagate
+    # faithfully and _asof_matched_ts always belongs to the value returned
+    marker = F.last(
+        F.when(
+            F.col("_asof_src") == 0,
+            F.struct(
+                F.col("_asof_ts").alias("_mts"),
+                *[F.col(c).alias(c) for c in value_cols],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
     return (
         u.select(
@@ -91,8 +102,8 @@ def asof_join(
             F.col("_asof_ts").alias(left_ts),
             F.col("_asof_src"),
             *l_cols,
-            *matched,
-            matched_ts.alias("_asof_matched_ts"),
+            *[marker[c].alias(c) for c in value_cols],
+            marker["_mts"].alias("_asof_matched_ts"),
         )
         .where(F.col("_asof_src") == 1)
         .drop("_asof_src")
@@ -100,27 +111,44 @@ def asof_join(
 
 
 def _bin_of(c: Column, bin_width: int) -> Column:
-    """Floor-divided bin id — pure long arithmetic, exact (no float
-    round-trip), correct for negative values too."""
-    return ((c - (((c % bin_width) + bin_width) % bin_width)) / bin_width).cast("long")
+    """Floor-divided bin id, exact for the full long range. The final
+    division goes through decimal(38,0), not `/` (double): the numerator
+    is already an exact multiple of bin_width, and double division would
+    mis-round values above 2^53 (epoch nanos are ~1.7e18) into the
+    neighboring bin. Negative values floor correctly via the pmod."""
+    m = ((c % bin_width) + bin_width) % bin_width
+    return ((c - m).cast("decimal(38,0)") / F.lit(bin_width)).cast("long")
 
 
 def _guarded_bin_explode(
     start_col: str, end_col: str, bin_width: int, max_bins: int
 ) -> Column:
     """Explode expression for every bin a half-open interval covers (the
-    last covered bin belongs to ``end - 1``). Runtime guard: a degenerate
-    interval (end far beyond start relative to bin_width) would
-    sequence-explode into millions of rows — fail loudly instead of
-    OOMing an executor; pick a larger bin_width."""
+    last covered bin belongs to ``end - 1``).
+
+    Edge handling, in precedence order:
+    - NULL or empty/inverted bounds (end <= start) match nothing — they
+      explode to zero bins, the same rows a SQL range predicate drops
+      (Spark ``sequence(a, b)`` with a > b would otherwise auto-generate
+      a DESCENDING array, silently bypassing the size guard).
+    - An interval spanning >= max_bins bins would sequence-explode into
+      millions of rows — fail loudly instead of OOMing an executor;
+      pick a larger bin_width."""
+    empty = F.array().cast("array<bigint>")
     first_bin = _bin_of(F.col(start_col), bin_width)
     last_bin = _bin_of(F.col(end_col) - F.lit(1), bin_width)
     return F.explode(
-        F.when(last_bin - first_bin < F.lit(max_bins), F.sequence(first_bin, last_bin))
+        F.when(
+            F.col(start_col).isNull()
+            | F.col(end_col).isNull()
+            | (F.col(end_col) <= F.col(start_col)),
+            empty,
+        )
+        .when(last_bin - first_bin < F.lit(max_bins), F.sequence(first_bin, last_bin))
         .otherwise(
             F.raise_error(
                 F.format_string(
-                    f"binned temporal join: interval spans >{max_bins} bins "
+                    f"binned temporal join: interval spans >={max_bins} bins "
                     f"at bin_width={bin_width} (start=%s, end=%s) — "
                     "increase bin_width or max_bins_per_interval",
                     F.col(start_col).cast("string"),

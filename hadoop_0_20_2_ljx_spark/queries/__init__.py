@@ -62,12 +62,15 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sink_csv_json_roundtrip",
     "q_agg_hot_keys",
     "q_agg_string_agg",
-    "q_scan_kv_split",
-    "q_sink_text_roundtrip",
+    # reimplemented-this-round re-proofs, ordered by how invasive the
+    # rewrite was (a 50-row driver cap drops from the BOTTOM of this list,
+    # so the least-changed queries are the ones that risk going unproven)
+    "q_dedup_simhash",
+    "q_join_bloom",
     "q_sink_named_outputs",
     "q_join_salted",
-    "q_join_bloom",
-    "q_dedup_simhash",
+    "q_sink_text_roundtrip",
+    "q_scan_kv_split",
 ]
 
 

@@ -333,8 +333,11 @@ def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
         F.col("o_totalprice").alias("p"),
         F.col("o_orderstatus").alias("st"),
+        F.col("o_orderkey").alias("ok"),
     )
-    wr = Window.partitionBy("pri").orderBy("p")
+    # ok tie-break: the median VALUE is permutation-invariant, but the
+    # repo rule is every rank window orders totally (both engines do)
+    wr = Window.partitionBy("pri").orderBy("p", "ok")
     wn = Window.partitionBy("pri")
     ranked = o.withColumn("rn", F.row_number().over(wr)).withColumn(
         "n", F.count(F.lit(1)).over(wn)
@@ -361,9 +364,10 @@ def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
 
 _MEDIAN_MODE_SQL = """
 WITH o AS (
-  SELECT o_orderpriority AS pri, o_totalprice AS p, o_orderstatus AS st FROM orders
+  SELECT o_orderpriority AS pri, o_totalprice AS p, o_orderstatus AS st,
+         o_orderkey AS ok FROM orders
 ), ranked AS (
-  SELECT pri, p, row_number() OVER (PARTITION BY pri ORDER BY p) AS rn,
+  SELECT pri, p, row_number() OVER (PARTITION BY pri ORDER BY p, ok) AS rn,
          count(*) OVER (PARTITION BY pri) AS n
   FROM o
 ), med AS (

@@ -961,7 +961,7 @@ def _temperature_oracle() -> str:
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
 m AS (SELECT min(n) AS n_min FROM c),
 r AS (SELECT source, n,
-             CAST(floor(pow(CAST(n_min AS DOUBLE) / n, 0.5) * 10000) AS BIGINT) AS bps
+             CAST(round(pow(CAST(n_min AS DOUBLE) / n, 0.5) * 10000) AS BIGINT) AS bps
       FROM c, m)
 SELECT d.source, CAST(max(r.n) AS BIGINT) AS n_orig,
        CAST(count(*) AS BIGINT) AS n_kept,
@@ -982,7 +982,7 @@ def _dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
 
 _FUZZY_SQL = """
 WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-blocked AS (SELECT name, split_part(name, ' ', 1) AS blk FROM names)
+blocked AS (SELECT name, regexp_split_to_array(name, '\\s+')[1] AS blk FROM names)
 SELECT a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
 FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name

@@ -164,3 +164,39 @@ def test_overlap_join_matches_brute_force(spark):
             if ls < re and rs < le
         )
         assert got == exp, f"bin_width={bw}"
+
+
+def test_bin_of_exact_beyond_double_range(spark):
+    """Bin ids must be exact for epoch-nanos-scale longs (~1.7e18):
+    double division mis-rounds above 2^53."""
+    from hadoop_0_20_2_ljx_spark.extensions.temporal import _bin_of
+
+    bw = 3_600_000_000_000  # 1h in nanos
+    vals = [1_700_000_000_123_456_789, 2**62 - 3, 1_699_999_999_999_999_999]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["b"] for r in df.select("v", _bin_of(F.col("v"), bw).alias("b")).collect()}
+    assert got == {v: v // bw for v in vals}
+
+
+def test_range_join_inverted_and_null_intervals_match_nothing(spark):
+    points = spark.createDataFrame([(0, 50)], "pid long, p long")
+    intervals = spark.createDataFrame(
+        [(1, 100, 40), (2, 60, 60), (3, None, 100), (4, 40, None), (5, 40, 60)],
+        "iid long, s long, e long",
+    )
+    out = temporal.range_join_binned(points, intervals, "p", "s", "e", bin_width=32)
+    # inverted (100,40), empty (60,60), and NULL-bound intervals drop
+    # silently (SQL-predicate semantics) — only the valid [40,60) matches
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(0, 5)]
+
+
+def test_asof_null_value_rows_are_real_matches(spark):
+    """A right row whose value is NULL is still the match (DuckDB ASOF /
+    pandas merge_asof semantics) — it must not be skipped in favor of a
+    stale older row."""
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 1, 3.0), ("a", 5, None)], "k string, t long, v double"
+    )
+    row = temporal.asof_join(left, right, ["k"], "t", "t", ["v"]).collect()[0]
+    assert row["v"] is None and row["_asof_matched_ts"] == 5
