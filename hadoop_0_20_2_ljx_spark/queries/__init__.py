@@ -62,6 +62,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sink_csv_json_roundtrip",
     "q_agg_hot_keys",
     "q_agg_string_agg",
+    "q_stream_late_data",
     # reimplemented-this-round re-proofs, ordered by how invasive the
     # rewrite was (a 50-row driver cap drops from the BOTTOM of this list,
     # so the least-changed queries are the ones that risk going unproven)

@@ -258,6 +258,36 @@ def _stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_counts(T(spark, sf, "events"), "1 hour")
 
 
+# --- Q-stream-4: watermark late-data accounting ------------------------------
+def _stream_late_data(spark: SparkSession, sf: str) -> DataFrame:
+    """Terminal state of a 2h event-time watermark over the events table:
+    a row is 'late' (dropped by a watermarked streaming agg once the
+    stream has advanced to max(ts)) iff ts < max(ts) - 2h. The global
+    high-water mark is a 1-row broadcast aggregate; the data-sized pass
+    is one stateless comparison + groupBy — the batch twin of
+    streaming/windows.py's withWatermark forms."""
+    ev = T(spark, sf, "events").select("event_type", F.unix_micros("ts").alias("t_us"))
+    hwm = ev.agg((F.max("t_us") - F.lit(7_200_000_000)).alias("thr"))
+    return (
+        ev.join(F.broadcast(hwm))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("t_us") < F.col("thr")).cast("long")).alias("n_late"),
+            F.sum((F.col("t_us") >= F.col("thr")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+_LATE_DATA_SQL = """
+WITH hwm AS (SELECT max(epoch_us(ts)) - 7200000000 AS thr FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN epoch_us(ts) < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN epoch_us(ts) >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM events CROSS JOIN hwm
+GROUP BY 1
+"""
+
+
 # --- Q-stream-2: sessionization ----------------------------------------------
 def _stream_session(spark: SparkSession, sf: str) -> DataFrame:
     s = sessionize(T(spark, sf, "events"), gap_seconds=1800)
@@ -342,6 +372,13 @@ QUERIES: dict[str, QueryDef] = {
         "Q-fn-3 DistributedPentomino: prefix-split exact-cover search, 3x20 "
         "board — exact published solution count as oracle "
         "(examples/dancing/DistributedPentomino.java:40-60, Pentomino.java:269)",
+    ),
+    "q_stream_late_data": QueryDef(
+        _stream_late_data,
+        _LATE_DATA_SQL,
+        "Q-stream-4 (engine extra) watermark late-data accounting — the "
+        "terminal state of a 2h-watermark stream: per type, rows a "
+        "streaming agg would have dropped vs kept",
     ),
     "q_stream_tumbling": QueryDef(
         _stream_tumbling,
