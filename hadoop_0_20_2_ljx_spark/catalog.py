@@ -28,10 +28,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fixture parquet stores TIMESTAMP(NANOS,false); with
-# spark.sql.legacy.parquet.nanosAsLong these arrive as long nanos and we
-# rebuild a micros timestamp (floor division — matches DuckDB's TIMESTAMP_NS
-# -> TIMESTAMP truncation, keeping the oracle comparable).
+# Fixture parquet stores TIMESTAMP(NANOS,false). Depending on the Spark
+# build these arrive either as long nanos (spark.sql.legacy.parquet.
+# nanosAsLong, pre-4.1) or natively as TIMESTAMP_NTZ truncated to micros
+# (4.1+, where the legacy conf is inert). Both are normalized here to a
+# session-TZ TIMESTAMP at micro precision; truncation is floor in both
+# paths (integer `div 1000` / Spark's native nanos->micros drop), matching
+# DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation so oracles stay comparable.
 _TS_COLUMNS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -52,10 +55,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             # integer `div`, not float `/`: epoch nanos (~1.7e18) exceed a
             # double's 2^53 exact range, so float division is off by ±1us
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # session TZ is pinned to UTC, so NTZ -> LTZ is identity on the
+            # epoch value; unix_micros/window functions need LTZ TIMESTAMP
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

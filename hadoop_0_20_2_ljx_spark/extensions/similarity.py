@@ -50,12 +50,28 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries x scan corpus.
 
     Output: (q_id, neighbor_id, cos) — rank by (cos desc, neighbor_id) for
     deterministic ties; excludes self-matches.
+
+    The crossJoin(broadcast(queries)) shape is correct ONLY while the
+    query set is broadcast-small: the corpus side streams through one scan
+    and is never shuffled, but every executor holds all queries. The guard
+    below makes that precondition explicit instead of letting a 10 M-row
+    query side OOM executors (or silently degrade to a nested-loop join).
+    The probe is bounded — limit(max_queries+1).count() scans at most
+    one row past the cap, never the full query side.
     """
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"brute_force_knn: query side exceeds max_queries={max_queries}; "
+            "the query set must be broadcast-small. For large query sets "
+            "use bucketed_ann/ivf_ann (sign-LSH / inverted-list probes), "
+            "or chunk the queries and union the per-chunk results."
+        )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = c.crossJoin(broadcast(q)).filter(F.col("q_id") != F.col("neighbor_id")).select(

@@ -149,6 +149,164 @@ def bloom_prefilter(
     )
 
 
+def _bits_set_udf(packed_bytes: bytes, spark_context):
+    """Shared probe: broadcast a packed bitmap once, return a pandas UDF
+    testing 'all positions set' (unpacks once per task, not per batch)."""
+    bc = spark_context.broadcast(packed_bytes)
+    _cache: dict[str, np.ndarray] = {}
+
+    @pandas_udf("boolean")
+    def bits_set(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = _cache.get("bits")
+        if arr is None:
+            arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
+            _cache["bits"] = arr
+        mat = np.vstack(pos.to_numpy())
+        return pd.Series(arr[mat].all(axis=1))
+
+    return bits_set
+
+
+class DynamicBloom:
+    """Growable bloom: util/bloom/DynamicBloomFilter.java:88 (the INFOCOM'06
+    dynamic bloom filter backing BloomMapFile's key bloom,
+    io/BloomMapFile.java:38) — an s x m bit matrix where each row is a
+    standard bloom recording at most ~``nr`` keys; a key belongs to the
+    filter iff some row reports it. Per-row FP stays bounded as the set
+    grows because new rows are added instead of saturating one vector.
+
+    Batch rendering of the per-key insert loop: each ``add_frame`` seals
+    the active row when it would overflow, and a batch larger than ``nr``
+    is hash-bucketed into ceil(n/nr) fresh rows (deterministic xxhash64
+    routing — retry-safe where insertion order is not; rows stay ~<= nr
+    keys, which is the invariant the FP bound needs). Each row build is
+    the collect-free ``build_bloom`` (mapInArrow + treeReduce).
+    """
+
+    def __init__(self, nr: int, fpp: float = 0.01) -> None:
+        self.nr = int(nr)
+        self.fpp = fpp
+        self.m_bits, self.k = optimal_params(self.nr, fpp)
+        # sealed rows: packed uint8 bitmaps; active row may keep growing
+        self._rows: list[np.ndarray] = []
+        self._active_count = 0
+
+    @property
+    def num_rows(self) -> int:
+        return len(self._rows)
+
+    def add_frame(self, df: DataFrame, key_col: str) -> "DynamicBloom":
+        n = df.count()
+        if n == 0:
+            return self
+        if self._rows and self._active_count + n <= self.nr:
+            # fits in the active row: OR the batch's bitmap into it
+            bits = build_bloom(df, key_col, self.m_bits, self.k)
+            self._rows[-1] = np.bitwise_or(self._rows[-1], np.packbits(bits))
+            self._active_count += n
+            return self
+        n_buckets = max(1, -(-n // self.nr))  # ceil
+        if n_buckets == 1:
+            bits = build_bloom(df, key_col, self.m_bits, self.k)
+            self._rows.append(np.packbits(bits))
+            self._active_count = n
+            return self
+        bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+        for b in range(n_buckets):
+            part = df.filter(bucket == b)
+            bits = build_bloom(part, key_col, self.m_bits, self.k)
+            self._rows.append(np.packbits(bits))
+        self._active_count = self.nr  # hash buckets are ~full; seal them
+        return self
+
+    def prefilter(self, big: DataFrame, key: str) -> DataFrame:
+        """Keep rows whose key matches ANY matrix row (no false negatives
+        across every add_frame ever made)."""
+        if not self._rows:
+            return big.filter(F.lit(False))
+        sc = big.sparkSession.sparkContext
+        pos = _positions_expr(F.col(key), self.k, self.m_bits)
+        probed = big.withColumn("_dbf_pos", pos)
+        cond = F.lit(False)
+        for packed in self._rows:
+            member = _bits_set_udf(packed.tobytes(), sc)
+            cond = cond | member(F.col("_dbf_pos"))
+        return probed.filter(cond).drop("_dbf_pos")
+
+
+class CountingBloom:
+    """util/bloom/CountingBloomFilter.java:48: bloom with per-position
+    counters so keys can be DELETED. Counters saturate at 15 (the 4-bit
+    bucket model, :86-96): a saturated counter never increments nor
+    decrements again — deletes under saturation must not create false
+    negatives.
+
+    Build is distributed: per-partition ``np.bincount`` of the JVM-computed
+    positions (mapInArrow), uint32 partials treeReduce-summed executor-side,
+    saturation applied once at the end (add beyond 15 is indistinguishable
+    from 15 in the 4-bit model, so post-hoc clipping matches the sticky
+    semantics for batch builds). Driver traffic O(m) counters, never rows.
+    """
+
+    def __init__(self, expected_items: int, fpp: float = 0.01) -> None:
+        self.m_bits, self.k = optimal_params(expected_items, fpp)
+        self.counters = np.zeros(self.m_bits, dtype=np.uint8)
+
+    def _position_counts(self, df: DataFrame, key_col: str) -> np.ndarray:
+        import pyarrow as pa
+
+        m_bits = self.m_bits
+
+        def _part_counts(batches):
+            counts = np.zeros(m_bits, dtype=np.uint32)
+            for b in batches:
+                p = b.column(0).to_numpy(zero_copy_only=False)
+                counts += np.bincount(p, minlength=m_bits).astype(np.uint32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([counts.tobytes()], type=pa.binary())], ["c"]
+            )
+
+        pos_df = df.select(
+            F.explode(_positions_expr(F.col(key_col), self.k, m_bits)).alias("p")
+        )
+        partials = pos_df.mapInArrow(_part_counts, "c binary").rdd.map(
+            lambda r: np.frombuffer(r[0], dtype=np.uint32).copy()
+        )
+        try:
+            return partials.treeReduce(np.add)
+        except ValueError:  # empty RDD
+            return np.zeros(m_bits, dtype=np.uint32)
+
+    def add_frame(self, df: DataFrame, key_col: str) -> "CountingBloom":
+        total = self.counters.astype(np.uint32) + self._position_counts(df, key_col)
+        # sticky saturation: anything that ever reaches 15 pins there
+        self.counters = np.minimum(total, 15).astype(np.uint8)
+        return self
+
+    def remove_frame(self, df: DataFrame, key_col: str) -> "CountingBloom":
+        dec = self._position_counts(df, key_col)
+        at_max = self.counters == 15  # unknown true count: never decrement
+        dec_applied = np.minimum(dec, self.counters.astype(np.uint32))
+        out = self.counters.astype(np.int64) - np.where(at_max, 0, dec_applied)
+        self.counters = out.astype(np.uint8)
+        return self
+
+    def prefilter(self, big: DataFrame, key: str) -> DataFrame:
+        """Keep rows whose every position has counter > 0."""
+        packed = np.packbits(self.counters > 0)
+        member = _bits_set_udf(
+            packed.tobytes(), big.sparkSession.sparkContext
+        )
+        pos = _positions_expr(F.col(key), self.k, self.m_bits)
+        return (
+            big.withColumn("_cbf_pos", pos)
+            .filter(member(F.col("_cbf_pos")))
+            .drop("_cbf_pos")
+        )
+
+
 def write_parquet_with_bloom(
     df: DataFrame, path: str, bloom_cols: list[str], expected_ndv: int = 100_000
 ) -> None:

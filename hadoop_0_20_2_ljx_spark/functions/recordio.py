@@ -215,3 +215,182 @@ def from_xml_records(
 def unpack(df: DataFrame, record_col: str = "record") -> DataFrame:
     """Flatten the record back to top-level columns."""
     return df.select(f"{record_col}.*")
+
+
+# --- binary wire form --------------------------------------------------------
+# record/BinaryRecordOutput.java:68-118 / BinaryRecordInput.java: field
+# values in declaration order, no tags or framing; int/long are
+# WritableUtils zero-compressed vints (record/Utils.java:470 delegates to
+# WritableUtils.writeVLong — NOT the tfile encoding), byte/bool raw bytes,
+# float/double IEEE big-endian, ustring/buffer = vint byte-length + UTF-8/
+# raw bytes (Utils.toBinaryString:304), vector = vint count + elements,
+# map = vint count + alternating key/value (generated code keeps maps in a
+# TreeMap, so entries serialize sorted by key — mirrored here for
+# deterministic bytes).
+
+import io as _io
+import struct as _struct
+
+
+def _write_wvlong(out: _io.BytesIO, i: int) -> None:
+    """WritableUtils.writeVLong (io/WritableUtils.java)."""
+    if -112 <= i <= 127:
+        out.write(_struct.pack(">b", i))
+        return
+    length = -112
+    if i < 0:
+        i = ~i
+        length = -120
+    tmp = i
+    while tmp:
+        tmp >>= 8
+        length -= 1
+    out.write(_struct.pack(">b", length))
+    k = -(length + 120) if length < -120 else -(length + 112)
+    for idx in range(k - 1, -1, -1):
+        out.write(bytes([(i >> (8 * idx)) & 0xFF]))
+
+
+def _read_wvlong(buf: _io.BytesIO) -> int:
+    (fb,) = _struct.unpack(">b", buf.read(1))
+    if fb >= -112:
+        return fb
+    neg = fb < -120
+    k = -(fb + 120) if neg else -(fb + 112)
+    i = int.from_bytes(buf.read(k), "big")
+    return ~i if neg else i
+
+
+def _bin_write(out: _io.BytesIO, value, dtype: DataType) -> None:
+    if isinstance(dtype, ByteType):
+        out.write(_struct.pack(">b", int(value)))
+    elif isinstance(dtype, BooleanType):
+        out.write(b"\x01" if value else b"\x00")
+    elif isinstance(dtype, (IntegerType, LongType)):
+        _write_wvlong(out, int(value))
+    elif isinstance(dtype, FloatType):
+        out.write(_struct.pack(">f", float(value)))
+    elif isinstance(dtype, DoubleType):
+        out.write(_struct.pack(">d", float(value)))
+    elif isinstance(dtype, StringType):
+        b = str(value).encode("utf-8")
+        _write_wvlong(out, len(b))
+        out.write(b)
+    elif isinstance(dtype, BinaryType):
+        b = bytes(value)
+        _write_wvlong(out, len(b))
+        out.write(b)
+    elif isinstance(dtype, ArrayType):
+        _write_wvlong(out, len(value))
+        for v in value:
+            _bin_write(out, v, dtype.elementType)
+    elif isinstance(dtype, MapType):
+        items = sorted(value.items())  # TreeMap order
+        _write_wvlong(out, len(items))
+        for k, v in items:
+            _bin_write(out, k, dtype.keyType)
+            _bin_write(out, v, dtype.valueType)
+    elif isinstance(dtype, StructType):
+        for f in dtype.fields:
+            # dict access first: a field named like a dict method (`items`)
+            # must not resolve to the method via getattr
+            fv = value[f.name] if isinstance(value, dict) else getattr(value, f.name)
+            _bin_write(out, fv, f.dataType)
+    else:
+        raise NotImplementedError(f"record binary form: unsupported type {dtype}")
+
+
+def _bin_read(buf: _io.BytesIO, dtype: DataType):
+    if isinstance(dtype, ByteType):
+        return _struct.unpack(">b", buf.read(1))[0]
+    if isinstance(dtype, BooleanType):
+        return buf.read(1) != b"\x00"
+    if isinstance(dtype, (IntegerType, LongType)):
+        return _read_wvlong(buf)
+    if isinstance(dtype, FloatType):
+        return _struct.unpack(">f", buf.read(4))[0]
+    if isinstance(dtype, DoubleType):
+        return _struct.unpack(">d", buf.read(8))[0]
+    if isinstance(dtype, StringType):
+        return buf.read(_read_wvlong(buf)).decode("utf-8")
+    if isinstance(dtype, BinaryType):
+        return buf.read(_read_wvlong(buf))
+    if isinstance(dtype, ArrayType):
+        return [_bin_read(buf, dtype.elementType) for _ in range(_read_wvlong(buf))]
+    if isinstance(dtype, MapType):
+        return {
+            _bin_read(buf, dtype.keyType): _bin_read(buf, dtype.valueType)
+            for _ in range(_read_wvlong(buf))
+        }
+    if isinstance(dtype, StructType):
+        return {f.name: _bin_read(buf, f.dataType) for f in dtype.fields}
+    raise NotImplementedError(f"record binary form: unsupported type {dtype}")
+
+
+def pack_binary(value, schema: StructType) -> bytes:
+    """Serialize one record (dict/Row keyed by field name) to the rcc
+    binary wire form."""
+    out = _io.BytesIO()
+    _bin_write(out, value, schema)
+    return out.getvalue()
+
+
+def unpack_binary(data: bytes, schema: StructType) -> dict:
+    """Deserialize one rcc-binary record back to a nested dict."""
+    buf = _io.BytesIO(data)
+    value = _bin_read(buf, schema)
+    trailing = buf.read()
+    if trailing:
+        raise ValueError(f"record binary form: {len(trailing)} trailing bytes")
+    return value
+
+
+def to_binary_records(
+    df: DataFrame, record_col: str = "record", out: str = "bin"
+) -> DataFrame:
+    """Struct column -> rcc-binary bytes column. Arrow-batched (mapInPandas
+    — the same honest Python boundary as the multimodal decoders): the
+    reference format predates any JVM-side Spark codec, so the row cost is
+    the price of true wire compat; bulk storage stays Parquet."""
+    schema = record_schema(df, record_col)
+    other = [c for c in df.columns if c != record_col]
+
+    def encode(batches):
+        for pdf in batches:
+            recs = pdf[record_col]
+            pdf = pdf[other].copy()
+            pdf[out] = [pack_binary(_as_plain(r), schema) for r in recs]
+            yield pdf
+
+    out_schema = StructType(
+        [df.schema[c] for c in other] + [StructField(out, BinaryType())]
+    )
+    return df.mapInPandas(encode, out_schema)
+
+
+def from_binary_records(
+    df: DataFrame, schema: StructType, bin_col: str = "bin", out: str = "record"
+) -> DataFrame:
+    """rcc-binary bytes column -> struct column (inverse of
+    to_binary_records)."""
+    other = [c for c in df.columns if c != bin_col]
+
+    def decode(batches):
+        for pdf in batches:
+            blobs = pdf[bin_col]
+            pdf = pdf[other].copy()
+            pdf[out] = [unpack_binary(bytes(b), schema) for b in blobs]
+            yield pdf
+
+    out_schema = StructType(
+        [df.schema[c] for c in other] + [StructField(out, schema)]
+    )
+    return df.mapInPandas(decode, out_schema)
+
+
+def _as_plain(value):
+    """Arrow hands struct cells over as dicts; Rows appear in local use.
+    Normalize both to dict-like access for _bin_write."""
+    if hasattr(value, "asDict"):
+        return value.asDict(recursive=True)
+    return value

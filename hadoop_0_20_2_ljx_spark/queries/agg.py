@@ -62,9 +62,28 @@ def _distinct_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- Q-agg-4b: UniqValueCount capped == approx -------------------------------
+# Oracle-gradeable form: the HLL++ estimate itself is engine-specific (no
+# DuckDB hash match possible), but its CONTRACT is oracle-expressible —
+# |approx - exact| / exact <= bound. So the query emits, per bucket, the
+# exact distinct count (value-hashed against DuckDB like any other column)
+# plus `approx_ok`, Spark-side evidence the estimate met the bound; the
+# oracle pins approx_ok to TRUE. A broken HLL would flip approx_ok to
+# false and fail the hash — a real gate, not rows-only. Bound: rsd=0.05 is
+# HLL++'s standard deviation, so 4*rsd catches a broken sketch without
+# flaking on an honest one (and small buckets sit in exact sparse mode).
 def _approx_distinct_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem").withColumn("bucket", F.col("l_partkey") % 100)
-    return aggregates.uniq_value_count(li, "bucket", "l_suppkey", approx=True)
+    both = li.groupBy("bucket").agg(
+        F.countDistinct("l_suppkey").alias("uniq_cnt"),
+        F.approx_count_distinct("l_suppkey", rsd=0.05).alias("_approx"),
+    )
+    return both.select(
+        "bucket",
+        "uniq_cnt",
+        (
+            F.abs(F.col("_approx") - F.col("uniq_cnt")) / F.col("uniq_cnt") <= F.lit(0.2)
+        ).alias("approx_ok"),
+    )
 
 
 # --- Q-agg-5: ValueHistogram -------------------------------------------------
@@ -495,9 +514,15 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_agg_approx_distinct": QueryDef(
         _approx_distinct_per_bucket,
-        None,  # HLL++ estimates are engine-specific; driver records rows-only
+        # Exact counts hash-match DuckDB; the engine-specific HLL estimate
+        # enters as the Spark-computed relative-error assertion approx_ok,
+        # which the oracle requires to be TRUE for every bucket.
+        "SELECT l_partkey % 100 AS bucket, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS uniq_cnt, "
+        "TRUE AS approx_ok FROM lineitem GROUP BY 1",
         "Q-agg-4b UniqValueCount with maxNumItems cap == bounded-memory approx "
-        "(mapred/lib/aggregate/UniqValueCount.java:36)",
+        "(mapred/lib/aggregate/UniqValueCount.java:36); gated on "
+        "|approx-exact|/exact <= 4*rsd",
     ),
     "q_agg_histogram": QueryDef(
         _histogram,

@@ -90,6 +90,37 @@ def _sink_named_outputs(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# --- Q-sink-7: TFile container round trip ------------------------------------
+def _sink_tfile_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write orders as sorted TFiles (one per partition — the reference's
+    reducer-output layout), re-read them block-parallel through the
+    BCFile/TFile index machinery, and prove the container lossless with an
+    aggregate the oracle computes from parquet
+    (io/file/tfile/TFile.java:128, BCFile.java:614)."""
+    from hadoop_0_20_2_ljx_spark.sources import tfile
+
+    src = T(spark, sf, "orders").select(
+        # zero-padded text key: memcmp order == numeric order (the TFile
+        # sorted-container contract with the default memcmp comparator)
+        F.format_string("%012d", F.col("o_orderkey")).alias("k"),
+        F.col("o_orderstatus").alias("v"),
+    )
+    path = _tmp("q_sink_tfile")
+    tfile.write_tfile_dir(src.repartition(4, "k"), path, "k", "v")
+    back = tfile.read_tfile_dir(spark, path)
+    return (
+        back.select(
+            F.decode("key", "UTF-8").cast("long").alias("okey"),
+            F.decode("value", "UTF-8").alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("okey") % 1000003).cast("long").alias("key_sum"),
+        )
+    )
+
+
 # --- Q-sink-6 (extra): CSV + JSON-lines round trips --------------------------
 def _sink_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Write the same slice as header-CSV and JSON-lines, read both back
@@ -166,5 +197,14 @@ QUERIES: dict[str, QueryDef] = {
         _CSV_JSON_SQL,
         "Q-sink-6 (engine extra) CSV(header) + JSON-lines round trips with "
         "explicit schemas — float totals survive both text formats",
+    ),
+    "q_sink_tfile_roundtrip": QueryDef(
+        _sink_tfile_roundtrip,
+        "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum "
+        "FROM orders GROUP BY 1",
+        "Q-sink-7 TFile sorted block-compressed container round trip "
+        "(io/file/tfile/TFile.java:128, BCFile.java:614, "
+        "tfile/Utils.java:91 chunked-VLong wire encoding)",
     ),
 }

@@ -131,9 +131,12 @@ module ljx.examples {
 
 
 def _fn_recordio(spark: SparkSession, sf: str) -> DataFrame:
-    """rcc IDL -> StructType -> CSV wire form -> parse back -> aggregate;
-    any roundtrip corruption breaks the checksum (record/compiler grammar
-    rcc.jj:154-171, CsvRecordInput.java)."""
+    """rcc IDL -> StructType -> CSV *and* binary wire forms -> parse back
+    -> aggregate; any roundtrip corruption in either codec breaks the
+    checksum (record/compiler grammar rcc.jj:154-171, CsvRecordInput.java,
+    BinaryRecordOutput.java:68-118). The binary path is exact (vint longs,
+    IEEE doubles), so its decoded aggregates must equal the CSV path's —
+    the oracle computes both from the base table."""
     from hadoop_0_20_2_ljx_spark.functions import recordio
 
     schema = recordio.schema_from_idl(_ORDER_IDL, "OrderRec")
@@ -146,11 +149,20 @@ def _fn_recordio(spark: SparkSession, sf: str) -> DataFrame:
     back = recordio.unpack(
         recordio.from_csv_records(recordio.to_csv_records(packed), recordio.ddl(schema))
     )
+    bin_back = recordio.unpack(
+        recordio.from_binary_records(
+            recordio.to_binary_records(packed), schema
+        )
+    )
+    bin_agg = bin_back.agg(
+        F.sum(F.col("okey") % 1000003).alias("bin_key_sum"),
+        F.round(F.sum("price"), 2).alias("bin_total_price"),
+    )
     return back.agg(
         F.count("*").alias("n"),
         F.sum(F.col("okey") % 1000003).alias("key_sum"),
         F.round(F.sum("price"), 2).alias("total_price"),
-    )
+    ).crossJoin(bin_agg)
 
 
 # --- Q-udf-3: Python UDTF (one input row -> many output rows) ----------------
@@ -356,9 +368,12 @@ QUERIES: dict[str, QueryDef] = {
         _fn_recordio,
         "SELECT CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum, "
-        "round(sum(o_totalprice), 2) AS total_price FROM orders",
-        "Q-fn-2 Record IDL: rcc DDL compiled to a Spark schema, CSV wire roundtrip "
-        "(record/compiler/generated/rcc.jj:154-171, RccConstants.java:25-46)",
+        "round(sum(o_totalprice), 2) AS total_price, "
+        "CAST(sum(o_orderkey % 1000003) AS BIGINT) AS bin_key_sum, "
+        "round(sum(o_totalprice), 2) AS bin_total_price FROM orders",
+        "Q-fn-2 Record IDL: rcc DDL compiled to a Spark schema, CSV + binary "
+        "wire roundtrips (record/compiler/generated/rcc.jj:154-171, "
+        "RccConstants.java:25-46, BinaryRecordOutput.java:68-118)",
     ),
     "q_udf_tokenize_udtf": QueryDef(
         _udf_tokenize_udtf,

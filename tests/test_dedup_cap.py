@@ -36,3 +36,33 @@ def test_loose_cap_is_noop(spark):
         docs, "doc_id", "text", shingle_k=3, threshold=0.2, max_shingle_freq=10**9
     )
     assert sorted(map(tuple, uncapped.collect())) == sorted(map(tuple, capped.collect()))
+
+
+def test_connected_components_chain_olog_rounds(spark):
+    """Large-star/small-star must converge in O(log n) rounds on the
+    worst-case shape for label propagation: a 1000-node chain (diameter
+    999). Plain min-label propagation would need ~1000 rounds; the
+    two-phase star algorithm needs ~log2(n)."""
+    n = 1000
+    chain = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    stats: dict = {}
+    cc = dedup.connected_components(chain, max_iter=20, stats=stats)
+    rows = {r["node"]: r["comp"] for r in cc.collect()}
+    assert len(rows) == n
+    assert set(rows.values()) == {0}, "chain is one component rooted at 0"
+    assert stats["rounds"] <= 14, f"expected O(log n) rounds, got {stats['rounds']}"
+
+
+def test_connected_components_multi_component_with_singletons(spark):
+    """Two separate cliques + isolated nodes: components labeled by min
+    member; singletons keep their own id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.range(15).selectExpr("id AS doc_id")
+    cc = dedup.connected_components(edges, nodes=nodes, node_col="doc_id")
+    rows = {r["node"]: r["comp"] for r in cc.collect()}
+    assert rows[1] == rows[2] == rows[3] == 1
+    assert rows[10] == rows[11] == rows[12] == 10
+    for singleton in (0, 4, 5, 6, 7, 8, 9, 13, 14):
+        assert rows[singleton] == singleton

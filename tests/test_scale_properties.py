@@ -145,6 +145,26 @@ def test_bloom_build_no_distinct_shuffle(spark):
     assert bits.any() and not bits.all()
 
 
+def test_knn_query_side_guard(spark):
+    """brute_force_knn must refuse a query side over its broadcast cap
+    (the crossJoin shape is only safe while queries broadcast) and must
+    broadcast the QUERY side, never the corpus."""
+    import pytest
+
+    from hadoop_0_20_2_ljx_spark.extensions import similarity
+
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.brute_force_knn(emb, emb, max_queries=3)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = plan_of(similarity.brute_force_knn(emb, q, k=2))
+    # The only broadcast exchange feeds the nested-loop probe; the corpus
+    # (full embeddings scan) must arrive as the streamed side.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastExchange") == 1
+
+
 def test_ivf_assign_is_single_projection(spark):
     """IVF coarse assignment must be one scan + projection — no join or
     shuffle against a centroid table."""

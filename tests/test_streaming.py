@@ -147,3 +147,79 @@ def test_interval_join_stream_matches_batch(spark):
     key = lambda r: (r["user_id"], r["left_id"], r["right_id"])
     assert sorted(map(key, batch.collect())) == sorted(map(key, streamed.collect()))
     assert batch.count() > 0
+
+
+def test_late_rows_dropped_by_watermark_two_micro_batches(spark):
+    """Real 2-micro-batch watermark semantics, the live twin of
+    q_stream_late_data's accounting model: micro-batch 1 advances the
+    2h watermark to max(ts)-2h; micro-batch 2 delivers 5 rows below it
+    (dropped by the state operator) and 1 on-time row (kept). The second
+    run resumes from the SAME checkpoint, so the watermark genuinely
+    crosses micro-batch (and query-restart) boundaries."""
+    import datetime as dt
+    import json
+
+    from hadoop_0_20_2_ljx_spark.streaming.windows import tumbling_counts_stream
+
+    src_dir = "/root/repo/.tmp/late_src"
+    ckpt = "/root/repo/.tmp/late_ckpt"
+    out_dir = "/root/repo/.tmp/late_out"
+    for d in (src_dir, ckpt, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def frame(hours, typ):
+        rows = [
+            (i, t0 + dt.timedelta(hours=h), 1, typ, 0.0, "{}")
+            for i, h in enumerate(hours)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def run_once():
+        # file sink, not memory: only durable sinks can RESUME from a
+        # checkpoint, and the resume is what carries the watermark into
+        # the second micro-batch
+        src = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        out = tumbling_counts_stream(src, "1 hour", watermark="2 hours")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    # batch 1: three on-time rows + a high-water-mark row at t0+10h
+    frame([0, 0.5, 1, 10], "on_time").write.mode("overwrite").parquet(src_dir)
+    run_once()
+    # batch 2: 5 rows far below the 8h watermark + 1 on-time row. One row
+    # per hour window: the drop metric counts post-partial-agg GROUP rows
+    # reaching the state store, so distinct windows make rows == groups.
+    frame([2.5, 3.5, 4.5, 5.5, 6.5], "late").unionByName(
+        frame([10.5], "on_time2")
+    ).write.mode("append").parquet(src_dir)
+    q2 = run_once()
+
+    dropped = sum(
+        int(json.loads(p.json)["stateOperators"][0]["numRowsDroppedByWatermark"])
+        for p in q2.recentProgress
+        if json.loads(p.json)["stateOperators"]
+    )
+    assert dropped == 5
+    # and the dropped rows never surface in any emitted result
+    emitted = spark.read.schema(
+        "window_start timestamp, event_type string, cnt long"
+    ).parquet(out_dir)
+    assert emitted.filter(F.col("event_type") == "late").count() == 0
+    assert emitted.filter(F.col("event_type") == "on_time").count() > 0
+    for d in (src_dir, ckpt, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
