@@ -91,6 +91,44 @@ def bench_terasort(spark) -> None:
         assert a["hi"] <= b["lo"], f"partition boundary out of order: {a['hi']!r} > {b['lo']!r}"
 
 
+def bench_skew_join(spark, timings, shuffle_b, input_b) -> None:
+    """Hot-key join: 70% of lineitem rows collapse onto one key (a Zipf-1
+    head far beyond AQE's skew threshold), dim side = orders. Broadcast is
+    disabled for the workload — it simulates the cluster regime where the
+    dim is 10^9 rows and broadcast-ineligible, which is exactly when the
+    salted rewrite matters; both variants then shuffle. Records plain
+    (AQE skew-split) vs skew.salted_join so BENCH tracks the measured
+    delta, with row-count equality asserted."""
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    fact = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 7, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        counts = {}
+        for label, df in (
+            ("skew_join_plain", fact.join(dim, "k")),
+            ("skew_join_salted", skew.salted_join(fact, dim, "k", buckets=16)),
+        ):
+            sw0, ib0 = _stage_bytes(spark)
+            t = time.time()
+            counts[label] = df.count()
+            timings[label] = time.time() - t
+            sw1, ib1 = _stage_bytes(spark)
+            shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
+        assert counts["skew_join_plain"] == counts["skew_join_salted"], counts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
 def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # UI on so the REST stage metrics (shuffle/input bytes) are readable.
@@ -157,6 +195,8 @@ def main() -> int:
         timings[label] = time.time() - t
         sw1, ib1 = _stage_bytes(spark)
         shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
+
+    bench_skew_join(spark, timings, shuffle_b, input_b)
 
     total = time.time() - t0
     print(

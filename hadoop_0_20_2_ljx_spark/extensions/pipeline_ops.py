@@ -56,6 +56,74 @@ def repetition_score(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-window preparation step between curation and packing (the
+    1->N emission shape of the reference Mapper contract,
+    mapred/Mapper.java:124-158, as a pure relational explode).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the last
+    chunk may be short; a doc shorter than one chunk yields exactly one
+    chunk. Pure expressions (sequence + posexplode + slice) — per-row
+    codegen, no shuffle, no UDF; chunk_hash is the portable md5 of the
+    re-joined token span so the chunk CONTENT (not just counts) is
+    oracle-checkable.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - chunk_tokens) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / F.lit(stride)
+        ).cast("int")
+    )
+    ids = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(ids).alias("chunk_id", "_i")
+    )
+    span = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(span).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(span, " ")).alias("chunk_hash"),
+    )
+
+
+def keep_latest_versions(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """CDC-style upsert compaction: keep each key's newest row (by ts,
+    ties broken by a unique id so the winner is deterministic under any
+    partitioning — the cross-engine window rule from queries/base.py).
+    The relational form of the reference's override() composite join
+    semantics (mapred/join/OverrideRecordReader.java:44: rightmost source
+    wins) applied time-wise: latest version wins.
+
+    One shuffle on the key; row_number (not max+join) so the whole row
+    survives without a second pass over the input."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     bench: DataFrame,

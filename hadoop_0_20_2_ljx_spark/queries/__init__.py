@@ -20,6 +20,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_approx_distinct",  # reworked: rows-only -> relative-error gate
     "q_sink_tfile_roundtrip",  # new: TFile container wire compat
     "q_fn_recordio",  # extended: + binary wire form
+    "q_text_chunk",  # new: context-window chunking
+    "q_dedup_keep_latest",  # new: CDC keep-latest compaction
+    "q_agg_domain_mix",  # new: domain-mix accounting
     # (b) r1-only evidence, oldest proofs in the registry
     "q_scan_text_count",
     "q_scan_kv_split",

@@ -1011,7 +1011,127 @@ SELECT gram, df FROM d, t WHERE df >= ceil(n_docs * 0.05)
 """
 
 
+# --- chunking: context-window preparation ------------------------------------
+def _text_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 32-token chunks with stride 24; every chunk's CONTENT
+    pinned via md5 of the re-joined token span (pure explode+slice
+    expressions — no UDF, no shuffle)."""
+    docs = T(spark, sf, "documents")
+    out = pipeline_ops.chunk_documents(docs, chunk_tokens=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        "chunk_hash",
+    )
+
+
+def _chunk_oracle() -> str:
+    words = _WORDS.format(col="text")
+    return f"""
+WITH d AS (SELECT doc_id, {words} AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(generate_series(
+           0, CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS INT))) AS chunk_id
+  FROM d)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(w[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_hash
+FROM c
+"""
+
+
+# --- CDC compaction: keep-latest version per key -----------------------------
+def _dedup_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Upsert compaction over the events stream: each (user, event_type)
+    keeps its newest row. Ordering runs on integer epoch micros on BOTH
+    engines (DuckDB sees nanos; ordering on raw ts could pick a different
+    winner within one microsecond), tie-broken by event_id."""
+    ev = T(spark, sf, "events").withColumn("t_us", F.unix_micros("ts"))
+    latest = pipeline_ops.keep_latest_versions(
+        ev, ["user_id", "event_type"], "t_us", "event_id"
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("t_us").alias("last_t_us"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+_KEEP_LATEST_SQL = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       epoch_us(ts) AS last_t_us, round(value, 2) AS last_value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# --- domain-mix report -------------------------------------------------------
+def _agg_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix accounting per (source, lang): docs, words, and each
+    cell's share of all corpus words in integer basis points (integer div
+    — float shares differ in the last ulp across engines). Corpus total
+    re-enters as a broadcast 1-row aggregate; one scan of documents."""
+    docs = T(spark, sf, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("nw"),
+    )
+    g = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").alias("words"),
+    )
+    total = g.agg(F.sum("words").alias("_tw"))
+    return g.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "words",
+        F.expr("(words * 10000) div _tw").alias("mix_bp"),
+    )
+
+
+def _domain_mix_oracle() -> str:
+    words = _WORDS.format(col="text")
+    return f"""
+WITH per AS (SELECT source, lang, len({words}) AS nw FROM documents),
+g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS words
+      FROM per GROUP BY 1, 2),
+t AS (SELECT sum(words) AS tw FROM g)
+SELECT source, lang, n_docs, words,
+       CAST((words * 10000) // tw AS BIGINT) AS mix_bp
+FROM g CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_text_chunk": QueryDef(
+        _text_chunk,
+        _chunk_oracle(),
+        "extension: overlapping fixed-token-budget document chunking "
+        "(context-window prep; Mapper 1->N as a relational explode)",
+    ),
+    "q_dedup_keep_latest": QueryDef(
+        _dedup_keep_latest,
+        _KEEP_LATEST_SQL,
+        "extension: CDC keep-latest compaction — the override() rightmost-"
+        "wins composite (mapred/join/OverrideRecordReader.java:44) applied "
+        "time-wise",
+    ),
+    "q_agg_domain_mix": QueryDef(
+        _agg_domain_mix,
+        _domain_mix_oracle(),
+        "extension: training domain-mix report (per source x lang share of "
+        "corpus words, integer basis points)",
+    ),
     "q_dedup_exact": QueryDef(
         _dedup_exact,
         f"SELECT CAST(count(*) AS BIGINT) AS n_unique, "

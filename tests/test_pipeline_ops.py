@@ -183,3 +183,38 @@ def test_unigram_logprob_hand_case(spark):
     la, lb, lc = math.log(2 / 5), math.log(2 / 5), math.log(1 / 5)
     assert out[1] == (3, round((la + la + lb) / 3, 4))
     assert out[2] == (2, round((lb + lc) / 2, 4))
+
+
+def test_chunk_documents_edges_and_plan(spark):
+    """Chunk boundaries: short doc -> 1 chunk; exact multiples; overlap
+    content; and the plan must stay shuffle-free (pure explode)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(32))),
+         (3, " ".join(f"w{i}" for i in range(33)))],
+        "doc_id long, text string",
+    )
+    out = pipeline_ops.chunk_documents(df, chunk_tokens=32, stride=24)
+    rows = {(r["doc_id"], r["chunk_id"]): r["n_tokens"] for r in out.collect()}
+    assert rows[(1, 0)] == 3 and (1, 1) not in rows  # short doc: one chunk
+    assert rows[(2, 0)] == 32 and (2, 1) not in rows  # exact fit: one chunk
+    assert rows[(3, 0)] == 32 and rows[(3, 1)] == 9  # 33 tokens: tail chunk
+    assert "Exchange" not in plan_of(out)
+    with pytest.raises(ValueError, match="stride"):
+        pipeline_ops.chunk_documents(df, chunk_tokens=8, stride=9)
+
+
+def test_keep_latest_deterministic_tiebreak(spark):
+    """Equal timestamps must resolve by the tiebreak id, not partitioning."""
+    df = spark.createDataFrame(
+        [(1, "a", 100, 7, 1.0), (1, "a", 100, 9, 2.0), (1, "a", 50, 99, 3.0),
+         (2, "a", 10, 1, 4.0)],
+        "user_id long, event_type string, t_us long, event_id long, value double",
+    )
+    out = pipeline_ops.keep_latest_versions(
+        df, ["user_id", "event_type"], "t_us", "event_id"
+    )
+    got = {(r["user_id"]): (r["event_id"], r["value"]) for r in out.collect()}
+    assert got[1] == (9, 2.0)  # ts tie -> higher event_id wins
+    assert got[2] == (1, 4.0)
