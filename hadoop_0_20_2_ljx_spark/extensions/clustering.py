@@ -138,17 +138,15 @@ def pq_train(
     return books
 
 
-def pq_encode(
-    df: DataFrame, id_col: str, vec_col: str, books: list[dict[int, list[float]]]
-) -> DataFrame:
-    """Encode every vector as m codebook indices (the int8-per-subspace PQ
-    code) in ONE projection — all m argmin assignments are literal-centroid
-    expressions, so the scan has no join and no shuffle. At 64 dims /
-    m=8 this stores 8 bytes per vector instead of 256/512."""
+def pq_code_exprs(
+    vec: Column, books: list[dict[int, list[float]]]
+) -> tuple[list[Column], int]:
+    """The m argmin code columns for an array<double> vector column —
+    literal-centroid expressions only (codegen, no join, no shuffle).
+    Returns (code columns named code_0..code_{m-1}, subspace width)."""
     dim = sum(len(next(iter(b.values()))) for b in books)
     sub = dim // len(books)
-    vec = F.col(vec_col).cast("array<double>")
-    cols = [F.col(id_col)]
+    cols = []
     for j, book in enumerate(books):
         subv = F.slice(vec, j * sub + 1, sub)
         pairs = [
@@ -156,4 +154,16 @@ def pq_encode(
             for ci, c in sorted(book.items())
         ]
         cols.append(F.least(*pairs).getField("c").alias(f"code_{j}"))
-    return df.select(*cols)
+    return cols, sub
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, books: list[dict[int, list[float]]]
+) -> DataFrame:
+    """Encode every vector as m codebook indices (the int8-per-subspace PQ
+    code) in ONE projection — all m argmin assignments are literal-centroid
+    expressions, so the scan has no join and no shuffle. At 64 dims /
+    m=8 this stores 8 bytes per vector instead of 256/512."""
+    vec = F.col(vec_col).cast("array<double>")
+    cols, _sub = pq_code_exprs(vec, books)
+    return df.select(F.col(id_col), *cols)

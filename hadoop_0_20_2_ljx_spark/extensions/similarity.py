@@ -208,6 +208,77 @@ def ivf_ann(
     )
 
 
+def ivfpq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist_ids: list[int],
+    books: list[dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF coarse routing + PQ asymmetric-distance scoring — the composed
+    billion-scale ANN shape (FAISS IVFPQ): route by inverted list, score
+    candidates against their 8-byte PQ codes instead of raw vectors.
+
+    The asymmetric distance (ADC) keeps the QUERY exact and reconstructs
+    only the candidate: adc(q, x) = sum_j ||q_j - codebook_j[code_j(x)]||².
+    Everything is one scan + one equi-join on list_id: coarse assignment
+    and the m code columns are literal-centroid projections (no shuffle),
+    queries broadcast, and the per-pair score is a codegen'd fold over
+    m x sub doubles — at 100 TB the candidate side streams its CODES
+    (m bytes/vector), never raw vectors, which is the whole point of PQ:
+    the probe's shuffle/IO is dim/ (m·1 byte) smaller than exact scoring.
+    Ranking is (adc asc, neighbor_id) so ties are deterministic.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col).isin(nlist_ids))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import pq_code_exprs
+
+    vec_dbl = F.col(vec_col).cast("array<double>")
+    code_cols, sub = pq_code_exprs(vec_dbl, books)
+    for book in books:
+        codes = sorted(book)
+        if codes != list(range(len(codes))):
+            raise ValueError("ivfpq_ann needs contiguous 0..k-1 code ids")
+    cand = ivf_assign(_spread(corpus), cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "list_id", *code_cols
+    )
+    q = ivf_assign(queries, cents, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), vec_dbl.alias("q_vec"), "list_id"
+    )
+    # per-subspace codebooks as literal array-of-arrays, indexed by code
+    book_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in book[c]]) for c in sorted(book)])
+        for book in books
+    ]
+    adc = F.lit(0.0)
+    for j, lit in enumerate(book_lits):
+        cent = F.element_at(lit, F.col(f"code_{j}") + 1)
+        qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
+        adc = adc + F.aggregate(
+            F.zip_with(qsub, cent, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    scored = (
+        cand.join(broadcast(q), on="list_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", F.round("adc", 6).alias("adc"))
+    )
+
+
 def bucketed_ann(
     corpus: DataFrame,
     queries: DataFrame,

@@ -23,6 +23,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_chunk",  # new: context-window chunking
     "q_dedup_keep_latest",  # new: CDC keep-latest compaction
     "q_agg_domain_mix",  # new: domain-mix accounting
+    "q_embed_ivfpq",  # new: composed IVF-PQ ANN
     # (b) r1-only evidence, oldest proofs in the registry
     "q_scan_text_count",
     "q_scan_kv_split",

@@ -799,7 +799,10 @@ def _embed_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_chain_parts() -> list[str]:
+    """The replayed one-round Lloyd chain per subspace, shared by the PQ
+    and IVF-PQ oracles: sv{j} sub-vectors, c0{j} seeds, a1{j} assignment,
+    c1{j} trained codebook, enc{j} final codes."""
     sub, k, m = _PQ_SUB, _PQ_K, _PQ_M
     dist = (
         f"list_sum(list_transform(generate_series(1, {sub}), "
@@ -822,6 +825,12 @@ def _pq_oracle() -> str:
             f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn "
             f"FROM sv{j} e CROSS JOIN c1{j} c) WHERE rn = 1)",
         ]
+    return parts
+
+
+def _pq_oracle() -> str:
+    m = _PQ_M
+    parts = _pq_chain_parts()
     mix = " + ".join(
         f"(SELECT sum(code * {(j + 1) * 1009} * (vec_id % 997)) FROM enc{j})"
         for j in range(m)
@@ -830,6 +839,66 @@ def _pq_oracle() -> str:
         "WITH " + ",\n".join(parts) + f"""
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
   CAST({mix} AS BIGINT) AS code_hash
+"""
+    )
+
+
+# --- ANN: composed IVF routing + PQ asymmetric scoring -----------------------
+def _embed_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """The billion-scale ANN composition (FAISS-IVFPQ shape): IVF coarse
+    lists route the probe, PQ codes replace raw vectors in the scoring
+    join (8 bytes/candidate instead of 256). Every ranked neighbor AND
+    its asymmetric distance is pinned; the oracle replays the coarse
+    assignment, all 8 codebook chains, and the ADC sum."""
+    emb = T(spark, sf, "embeddings")
+    books = clustering.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_K, iters=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_ann(
+        emb, queries, nlist_ids=list(range(8)), books=books, k=5
+    )
+
+
+def _ivfpq_oracle() -> str:
+    sub, m = _PQ_SUB, _PQ_M
+    parts = _pq_chain_parts()
+    parts += [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "coarse AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)",
+        """ascore AS (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_inner_product(e.v, c.cv) /
+        (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+      c.cid) AS rn
+  FROM e CROSS JOIN coarse c)""",
+        "assign AS (SELECT vec_id, cid AS list_id FROM ascore WHERE rn = 1)",
+        "q AS (SELECT vec_id AS q_id, list_id FROM assign WHERE vec_id < 10)",
+        """pairs AS (
+  SELECT q.q_id, a.vec_id AS neighbor_id
+  FROM assign a JOIN q USING (list_id)
+  WHERE a.vec_id <> q.q_id)""",
+    ]
+    term = (
+        "list_sum(list_transform(generate_series(1, {sub}), "
+        "i -> (qs{j}.sv[i] - cb{j}.cv[i]) * (qs{j}.sv[i] - cb{j}.cv[i])))"
+    )
+    terms = " + ".join(term.format(sub=sub, j=j) for j in range(m))
+    joins = "\n".join(
+        f"  JOIN sv{j} qs{j} ON qs{j}.vec_id = p.q_id\n"
+        f"  JOIN enc{j} e{j} ON e{j}.vec_id = p.neighbor_id\n"
+        f"  JOIN c1{j} cb{j} ON cb{j}.cluster = e{j}.code"
+        for j in range(m)
+    )
+    parts.append(
+        f"adc AS (\n  SELECT p.q_id, p.neighbor_id, {terms} AS adc\n"
+        f"  FROM pairs p\n{joins})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT q_id, neighbor_id, round(adc, 6) AS adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS rnk
+  FROM adc)
+WHERE rnk <= 5
 """
     )
 
@@ -1276,6 +1345,13 @@ QUERIES: dict[str, QueryDef] = {
         _pq_oracle(),
         "extension: product quantization — per-subspace Lloyd codebooks + "
         "shuffle-free encode; all 8 codes of every vector pinned",
+    ),
+    "q_embed_ivfpq": QueryDef(
+        _embed_ivfpq,
+        _ivfpq_oracle(),
+        "extension: IVF-PQ composed ANN — coarse-list routing + asymmetric "
+        "PQ distance scoring (the FAISS-IVFPQ shape); ranked neighbors and "
+        "ADC values pinned vs the fully replayed chain",
     ),
     "q_multimodal_decode": QueryDef(
         _multimodal_decode,
