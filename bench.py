@@ -155,6 +155,10 @@ def main() -> int:
         "asof_join": "q_join_asof",
         "range_join": "q_join_range",
         "bm25": "q_text_bm25",
+        "embed_ivfpq": "q_embed_ivfpq",
+        "text_chunk": "q_text_chunk",
+        "keep_latest": "q_dedup_keep_latest",
+        "tfile_roundtrip": "q_sink_tfile_roundtrip",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

@@ -26,6 +26,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal; repr round-trips the exact IEEE value."""
+    return repr(float(x)) + "D"
+
+
+def _sq_dist_sql(vec_sql: str, cent: list[float]) -> str:
+    """Squared L2 distance of a vector SQL expression against a literal
+    centroid, as the same left-to-right aggregate/zip_with fold the Column
+    form builds (index order — matches DuckDB's list_sum of a
+    list_transform, keeping the replayed-chain oracles bitwise-equal).
+
+    Why SQL text instead of Column operators: a k-centroid argmin is
+    O(k·dim) literal nodes, and every Column operator is a py4j
+    round-trip — building the tree in Python costs seconds per query
+    while one F.expr parse is milliseconds. The parsed tree is
+    IDENTICAL."""
+    arr = "array(" + ", ".join(_dlit(x) for x in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_sql(vec_sql: str, book: dict[int, list[float]]) -> str:
+    """least(struct(dist, id)) over a codebook: min distance, ties to the
+    smaller cluster id — identical to the Column-form argmin."""
+    pairs = ", ".join(
+        f"struct({_sq_dist_sql(vec_sql, c)} AS d, {int(ci)} AS c)"
+        for ci, c in sorted(book.items())
+    )
+    return f"least({pairs})"
+
+
 def sq_dist(vec: Column, cent: list[float]) -> Column:
     """Squared L2 distance between an array<double> column and a literal
     centroid, as a left-to-right fold (index order — matches list_sum of a
@@ -42,13 +75,12 @@ def assign_clusters(
     df: DataFrame, vec_col: str, centroids: dict[int, list[float]], out_col: str = "cluster"
 ) -> DataFrame:
     """Nearest-centroid assignment as one projection: `least` over
-    (distance, cluster_id) structs = argmin with lowest-id tie-break."""
-    vec = F.col(vec_col).cast("array<double>")
-    pairs = [
-        F.struct(sq_dist(vec, c).alias("d"), F.lit(int(j)).alias("c"))
-        for j, c in sorted(centroids.items())
-    ]
-    return df.withColumn(out_col, F.least(*pairs).getField("c"))
+    (distance, cluster_id) structs = argmin with lowest-id tie-break.
+    Built as one parsed SQL expression (see _sq_dist_sql)."""
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    return df.withColumn(
+        out_col, F.expr(_argmin_sql(vec_sql, centroids)).getField("c")
+    )
 
 
 def kmeans_lloyd(
@@ -109,24 +141,18 @@ def pq_train(
     # (j, code_j, subvector) exploded, then a single groupBy(j, code) with
     # per-dim partial avgs — the same one-shuffle relational shape as the
     # simhash bit votes. Driver receives m*k centroid rows per round.
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     for _ in range(iters):
         structs = []
         for j, book in enumerate(books):
-            subv = F.slice(vec, j * sub + 1, sub)
-            pairs = [
-                F.struct(sq_dist(subv, c).alias("d"), F.lit(int(ci)).alias("c"))
-                for ci, c in sorted(book.items())
-            ]
+            subv_sql = f"slice({vec_sql}, {j * sub + 1}, {sub})"
             structs.append(
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.least(*pairs).getField("c").alias("code"),
-                    subv.alias("sv"),
-                )
+                f"struct({j} AS j, {_argmin_sql(subv_sql, book)}.c AS code, "
+                f"{subv_sql} AS sv)"
             )
-        exploded = df.select(F.explode(F.array(*structs)).alias("s")).select(
-            "s.j", "s.code", "s.sv"
-        )
+        exploded = df.select(
+            F.expr("explode(array(" + ", ".join(structs) + "))").alias("s")
+        ).select("s.j", "s.code", "s.sv")
         rows = (
             exploded.groupBy("j", "code")
             .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(sub)])
@@ -139,21 +165,20 @@ def pq_train(
 
 
 def pq_code_exprs(
-    vec: Column, books: list[dict[int, list[float]]]
+    vec_sql: str, books: list[dict[int, list[float]]]
 ) -> tuple[list[Column], int]:
-    """The m argmin code columns for an array<double> vector column —
-    literal-centroid expressions only (codegen, no join, no shuffle).
+    """The m argmin code columns for a vector given as a SQL expression
+    string (e.g. ``CAST(`embedding` AS ARRAY<DOUBLE>)``) — literal-centroid
+    expressions only (no join, no shuffle), one F.expr parse per column.
     Returns (code columns named code_0..code_{m-1}, subspace width)."""
     dim = sum(len(next(iter(b.values()))) for b in books)
     sub = dim // len(books)
     cols = []
     for j, book in enumerate(books):
-        subv = F.slice(vec, j * sub + 1, sub)
-        pairs = [
-            F.struct(sq_dist(subv, c).alias("d"), F.lit(int(ci)).alias("c"))
-            for ci, c in sorted(book.items())
-        ]
-        cols.append(F.least(*pairs).getField("c").alias(f"code_{j}"))
+        subv_sql = f"slice({vec_sql}, {j * sub + 1}, {sub})"
+        cols.append(
+            F.expr(_argmin_sql(subv_sql, book)).getField("c").alias(f"code_{j}")
+        )
     return cols, sub
 
 
@@ -164,6 +189,5 @@ def pq_encode(
     code) in ONE projection — all m argmin assignments are literal-centroid
     expressions, so the scan has no join and no shuffle. At 64 dims /
     m=8 this stores 8 bytes per vector instead of 256/512."""
-    vec = F.col(vec_col).cast("array<double>")
-    cols, _sub = pq_code_exprs(vec, books)
+    cols, _sub = pq_code_exprs(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", books)
     return df.select(F.col(id_col), *cols)

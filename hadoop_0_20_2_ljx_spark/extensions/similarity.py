@@ -149,17 +149,33 @@ def ivf_assign(
 
     Output: corpus columns + list_id.
     """
-    v = F.col(vec_col)
-    nv = norm(v)
+    # Built as ONE parsed SQL expression: a k-centroid argmax is O(k·dim)
+    # literal nodes and each Column operator is a py4j round-trip —
+    # Python-side tree construction costs seconds; one F.expr parse is
+    # milliseconds for the identical tree (same fold, same order, same
+    # doubles as before — the oracle chains stay bitwise-equal).
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+
+    v_sql = f"`{vec_col}`"
+    nv_sql = f"sqrt({dot_sql(v_sql, v_sql)})"
     scored = []
     for cid, cvec in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        arr = "array(" + ", ".join(_dlit(x) for x in cvec) + ")"
         cnorm = float(sum(x * x for x in cvec)) ** 0.5
-        cos = dot(v, lit) / (nv * F.lit(cnorm))
         # struct max compares fields left-to-right; negate cid so cosine
         # ties resolve to the SMALLEST centroid id under max()
-        scored.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("ncid")))
-    best = F.array_max(F.array(*scored))
+        scored.append(
+            f"struct({dot_sql(v_sql, arr)} / ({nv_sql} * {_dlit(cnorm)}) AS cos, "
+            f"{-int(cid)} AS ncid)"
+        )
+    best = F.expr("array_max(array(" + ", ".join(scored) + "))")
     return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
 
 
@@ -238,10 +254,9 @@ def ivfpq_ann(
         .orderBy(id_col)
         .collect()
     ]
-    from hadoop_0_20_2_ljx_spark.extensions.clustering import pq_code_exprs
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit, pq_code_exprs
 
-    vec_dbl = F.col(vec_col).cast("array<double>")
-    code_cols, sub = pq_code_exprs(vec_dbl, books)
+    code_cols, sub = pq_code_exprs(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", books)
     for book in books:
         codes = sorted(book)
         if codes != list(range(len(codes))):
@@ -250,22 +265,30 @@ def ivfpq_ann(
         F.col(id_col).alias("neighbor_id"), "list_id", *code_cols
     )
     q = ivf_assign(queries, cents, id_col, vec_col).select(
-        F.col(id_col).alias("q_id"), vec_dbl.alias("q_vec"), "list_id"
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        "list_id",
     )
-    # per-subspace codebooks as literal array-of-arrays, indexed by code
-    book_lits = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in book[c]]) for c in sorted(book)])
-        for book in books
-    ]
-    adc = F.lit(0.0)
-    for j, lit in enumerate(book_lits):
-        cent = F.element_at(lit, F.col(f"code_{j}") + 1)
-        qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
-        adc = adc + F.aggregate(
-            F.zip_with(qsub, cent, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # per-subspace codebooks as literal array-of-arrays indexed by code;
+    # the whole ADC is ONE parsed SQL expression (py4j-cheap) with the
+    # same per-subspace fold order as before — oracle doubles unchanged
+    terms = []
+    for j, book in enumerate(books):
+        arr = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_dlit(x) for x in book[c]) + ")"
+                for c in sorted(book)
+            )
+            + ")"
         )
+        cent = f"element_at({arr}, code_{j} + 1)"
+        qsub = f"slice(q_vec, {j * sub + 1}, {sub})"
+        terms.append(
+            f"aggregate(zip_with({qsub}, {cent}, (x, c) -> (x - c) * (x - c)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+    adc = F.expr("0.0D + " + " + ".join(terms))
     scored = (
         cand.join(broadcast(q), on="list_id")
         .filter(F.col("q_id") != F.col("neighbor_id"))
