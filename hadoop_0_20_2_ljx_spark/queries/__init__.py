@@ -24,6 +24,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_dedup_keep_latest",  # new: CDC keep-latest compaction
     "q_agg_domain_mix",  # new: domain-mix accounting
     "q_embed_ivfpq",  # new: composed IVF-PQ ANN
+    "q_sink_tar_shards",  # new: tar training-shard export
+    "q_text_bigram_lm",  # new: bigram LM table
     # (b) r1-only evidence, oldest proofs in the registry
     "q_scan_text_count",
     "q_scan_kv_split",

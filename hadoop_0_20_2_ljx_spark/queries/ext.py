@@ -1080,6 +1080,43 @@ SELECT gram, df FROM d, t WHERE df >= ceil(n_docs * 0.05)
 """
 
 
+# --- bigram LM: conditional-probability table --------------------------------
+def _text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model table: the top bigrams with P(w2|w1) in
+    integer basis points (integer div — float probabilities differ in the
+    last ulp across engines). One bigram explode + one groupBy; the w1
+    marginals come from re-aggregating the counts (vocabulary-sized, not
+    corpus-sized), joined back on w1. The training-prep step after
+    tokenization; extends the unigram-LM scorer (textstats) one order up."""
+    docs = T(spark, sf, "documents")
+    grams = docs.select(
+        F.explode(pipeline_ops.word_ngrams(F.col("text"), 2)).alias("g")
+    )
+    bi = grams.select(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").cast("long").alias("n_w1"))
+    out = counts.join(tot, "w1").select(
+        "w1", "w2", "n", "n_w1", F.expr("(n * 10000) div n_w1").alias("cond_bp")
+    )
+    return out.orderBy(F.desc("n"), "w1", "w2").limit(20)
+
+
+def _bigram_lm_oracle() -> str:
+    bg = _ngrams_sql(_WORDS.format(col="lower(text)"), 2)
+    return f"""
+WITH g AS (SELECT unnest({bg}) AS g FROM documents),
+bi AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2 FROM g),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1, 2),
+t AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM c GROUP BY 1)
+SELECT c.w1, c.w2, n, n_w1, CAST((n * 10000) // n_w1 AS BIGINT) AS cond_bp
+FROM c JOIN t USING (w1)
+ORDER BY n DESC, c.w1, c.w2 LIMIT 20
+"""
+
+
 # --- chunking: context-window preparation ------------------------------------
 def _text_chunk(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping 32-token chunks with stride 24; every chunk's CONTENT
@@ -1182,6 +1219,12 @@ FROM g CROSS JOIN t
 
 
 QUERIES: dict[str, QueryDef] = {
+    "q_text_bigram_lm": QueryDef(
+        _text_bigram_lm,
+        _bigram_lm_oracle(),
+        "extension: bigram LM conditional-probability table (integer basis "
+        "points; one explode + vocabulary-sized marginal join)",
+    ),
     "q_text_chunk": QueryDef(
         _text_chunk,
         _chunk_oracle(),

@@ -121,6 +121,29 @@ def _sink_tfile_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-sink-8: size-budgeted tar training shards -----------------------------
+def _sink_tar_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Export documents as WebDataset-style size-budgeted tar shards (one
+    task per partition, rolls a new tar when the byte budget fills), read
+    them back with a stock tar decoder, and prove the export lossless
+    with content hashes the oracle recomputes from parquet."""
+    from hadoop_0_20_2_ljx_spark.extensions import shards
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    path = _tmp("q_sink_tar")
+    shards.write_tar_shards(
+        docs.repartition(4, "doc_id"), path, "doc_id", "text",
+        shard_budget_bytes=256 * 1024,
+    )
+    back = shards.read_tar_shards(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(portable_hash32(F.col("text")) % 1000003).cast("long").alias("text_hash_sum"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
 # --- Q-sink-6 (extra): CSV + JSON-lines round trips --------------------------
 def _sink_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Write the same slice as header-CSV and JSON-lines, read both back
@@ -197,6 +220,16 @@ QUERIES: dict[str, QueryDef] = {
         _CSV_JSON_SQL,
         "Q-sink-6 (engine extra) CSV(header) + JSON-lines round trips with "
         "explicit schemas — float totals survive both text formats",
+    ),
+    "q_sink_tar_shards": QueryDef(
+        _sink_tar_shards,
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CAST(('0x' || substring(md5(CAST(text AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 1000003) AS BIGINT) AS text_hash_sum, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents",
+        "Q-sink-8 (engine extra) size-budgeted tar training shards "
+        "(WebDataset layout; MultipleOutputFormat file routing with a byte "
+        "budget, mapred/lib/MultipleOutputFormat.java:51)",
     ),
     "q_sink_tfile_roundtrip": QueryDef(
         _sink_tfile_roundtrip,
