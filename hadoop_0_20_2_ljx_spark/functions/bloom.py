@@ -120,28 +120,13 @@ def bloom_prefilter(
     n = expected_items if expected_items is not None else small.count()
     m_bits, k = optimal_params(n, fpp)
     bits = build_bloom(small, key, m_bits, k)
-    packed = np.packbits(bits)
-    sc = big.sparkSession.sparkContext
-    bc = sc.broadcast(packed.tobytes())
-
     # Bit positions are computed JVM-side (same expression as the build,
     # so build/probe agree by construction); the Python side only does a
     # vectorized numpy gather over the broadcast bitmap — no per-row
-    # hashing in Python. The unpacked bitmap is cached in the closure so
-    # it's unpacked at most once per task, not once per Arrow batch.
-    _cache: dict[str, np.ndarray] = {}
-
-    @pandas_udf("boolean")
-    def bits_set(pos: pd.Series) -> pd.Series:
-        if len(pos) == 0:
-            return pd.Series([], dtype=bool)
-        arr = _cache.get("bits")
-        if arr is None:
-            arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
-            _cache["bits"] = arr
-        mat = np.vstack(pos.to_numpy())
-        return pd.Series(arr[mat].all(axis=1))
-
+    # hashing in Python (the shared probe in _bits_set_udf).
+    bits_set = _bits_set_udf(
+        np.packbits(bits).tobytes(), big.sparkSession.sparkContext
+    )
     return (
         big.withColumn("_bloom_pos", _positions_expr(F.col(key), k, m_bits))
         .filter(bits_set(F.col("_bloom_pos")))

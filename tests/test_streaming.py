@@ -223,3 +223,59 @@ def test_late_rows_dropped_by_watermark_two_micro_batches(spark):
     assert emitted.filter(F.col("event_type") == "on_time").count() > 0
     for d in (src_dir, ckpt, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_apply_stream_matches_batch_compaction(spark):
+    """Streamed keep-latest upserts (foreachBatch, bucket-pruned dynamic
+    overwrite) over two micro-batch runs must equal one batch compaction
+    of the full input — and re-applying a batch must be idempotent."""
+    import datetime as dt
+
+    from hadoop_0_20_2_ljx_spark.extensions.pipeline_ops import keep_latest_versions
+    from hadoop_0_20_2_ljx_spark.streaming import cdc
+
+    src_dir = "/root/repo/.tmp/cdc_src"
+    table = "/root/repo/.tmp/cdc_table"
+    ckpt = "/root/repo/.tmp/cdc_ckpt"
+    for d in (src_dir, table, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, t_us long, event_id long, value double"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    b1 = frame([(u, 1000 + u, u * 10, float(u)) for u in range(50)])
+    b2 = frame(
+        [(u, 2000 + u, u * 10 + 1, float(u) + 0.5) for u in range(0, 30)]  # updates
+        + [(u, 1500, u * 10 + 2, -1.0) for u in range(50, 60)]  # inserts
+        + [(5, 900, 999, 7.0)]  # stale update: must lose to b1's ts
+    )
+
+    def run(batch):
+        batch.write.mode("overwrite").parquet(src_dir + "_stage")
+        batch.write.mode("append").parquet(src_dir)
+        src = spark.readStream.schema(batch.schema).parquet(src_dir)
+        q = cdc.cdc_apply_stream(
+            src, table, ckpt, ["user_id"], "t_us", "event_id", n_buckets=8
+        )
+        q.awaitTermination(120)
+
+    run(b1)
+    run(b2)
+    got = sorted(map(tuple, cdc.read_cdc_table(spark, table).collect()))
+    want = sorted(
+        map(
+            tuple,
+            keep_latest_versions(
+                b1.unionByName(b2), ["user_id"], "t_us", "event_id"
+            ).collect(),
+        )
+    )
+    assert got == want
+    # idempotence: re-applying the last batch changes nothing
+    cdc.apply_cdc_batch(b2, table, ["user_id"], "t_us", "event_id", n_buckets=8)
+    again = sorted(map(tuple, cdc.read_cdc_table(spark, table).collect()))
+    assert again == want
+    for d in (src_dir, src_dir + "_stage", table, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
