@@ -26,6 +26,16 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_ivfpq",  # new: composed IVF-PQ ANN
     "q_sink_tar_shards",  # new: tar training-shard export
     "q_text_bigram_lm",  # new: bigram LM table
+    # reworked this round (large-star CC; kNN guard; SQL-expr rewrite of
+    # the kmeans/PQ/IVF assignment builders; bloom probe refactor) — their
+    # r2 proofs predate the change, so they re-prove before the old set
+    "q_dedup_clusters",
+    "q_embed_knn",
+    "q_embed_kmeans",
+    "q_embed_pq",
+    "q_embed_ivf",
+    "q_embed_ann",
+    "q_join_bloom",
     # (b) r1-only evidence, oldest proofs in the registry
     "q_scan_text_count",
     "q_scan_kv_split",
