@@ -55,6 +55,81 @@ def test_map_file_directory_roundtrip(spark):
     shutil.rmtree(TMP, ignore_errors=True)
 
 
+def test_set_file_roundtrip(spark):
+    """SetFile = MapFile with NullWritable values (io/SetFile.java:27):
+    the data member is a sorted DISTINCT key sequence."""
+    from hadoop_0_20_2_ljx_spark.sources import read_set_file, write_set_file
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    cust = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_mktsegment").cast("string")
+    )
+    write_set_file(cust, TMP, "c_mktsegment")
+    members = [r[0] for r in read_set_file(spark, TMP).collect()]
+    expect = sorted({r[0] for r in cust.collect()})
+    assert sorted(members) == expect
+    assert len(members) == len(set(members))  # set semantics: no dups
+    # ordering contract inherited from MapFile: data is key-sorted
+    in_file_order = [r[0] for r in read_set_file(spark, TMP).collect()]
+    assert in_file_order == sorted(in_file_order)
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_array_file_roundtrip(spark):
+    """ArrayFile = MapFile keyed by the append counter 0..n-1
+    (io/ArrayFile.java:53-56); get(n) is a pushed-down idx filter."""
+    from hadoop_0_20_2_ljx_spark.sources import read_array_file, write_array_file
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    cust = catalog.load(spark, SF_SMOKE, "customer").orderBy("c_custkey").select(
+        F.col("c_name").cast("string")
+    )
+    names = [r[0] for r in cust.collect()]
+    write_array_file(cust, TMP, "c_name")
+    back = read_array_file(spark, TMP, value_name="c_name")
+    got = {r["idx"]: r["c_name"] for r in back.collect()}
+    assert sorted(got) == list(range(len(names)))
+    assert [got[i] for i in range(len(names))] == names
+    # point access get(7): a single-row filter on the index column
+    assert back.filter(F.col("idx") == 7).collect()[0]["c_name"] == names[7]
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_sorter_sort_and_merge(spark):
+    """SequenceFile.Sorter (io/SequenceFile.java:2211): sort one unsorted
+    file; merge two pre-sorted files — output part files are ordered,
+    non-overlapping key ranges (part order = global order)."""
+    import glob
+
+    from hadoop_0_20_2_ljx_spark.sources import (
+        read_sequence_file,
+        sort_sequence_file,
+        write_sequence_file,
+    )
+
+    for d in (f"{TMP}_in_a", f"{TMP}_in_b", f"{TMP}_out"):
+        shutil.rmtree(d, ignore_errors=True)
+    cust = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_name").cast("string"), F.col("c_mktsegment").cast("string")
+    )
+    half_a = cust.filter(F.crc32(F.col("c_name")) % 2 == 0)
+    half_b = cust.filter(F.crc32(F.col("c_name")) % 2 == 1)
+    write_sequence_file(half_a.sort("c_name"), f"{TMP}_in_a", "c_name", "c_mktsegment")
+    write_sequence_file(half_b.sort("c_name"), f"{TMP}_in_b", "c_name", "c_mktsegment")
+    sort_sequence_file(spark, [f"{TMP}_in_a", f"{TMP}_in_b"], f"{TMP}_out")
+    # global order: concatenating parts in name order yields sorted keys
+    keys = []
+    parts = sorted(
+        p for p in glob.glob(f"{TMP}_out/part-*") if not p.endswith(".crc")
+    )
+    for p in parts:
+        keys.extend(r[0] for r in read_sequence_file(spark, p).collect())
+    assert keys == sorted(keys)
+    assert sorted(keys) == sorted(r[0] for r in cust.collect())
+    for d in (f"{TMP}_in_a", f"{TMP}_in_b", f"{TMP}_out"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sequence_file_compressed_roundtrip(spark):
     """zlib-compressed SequenceFiles (the reference's DefaultCodec) must
     roundtrip; the header must name the codec class so the reference
