@@ -492,3 +492,69 @@ def fuzzy_name_pairs(df: DataFrame, col: str, max_dist: int = 3) -> DataFrame:
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicate-substring detection (the ExactSubstr shape of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every doc, how much of it is covered by a word n-gram
+    that also occurs in a DIFFERENT document.
+
+    Relational plan (never doc x doc, never a suffix array on the driver):
+      1. posexplode ordered n-gram windows -> (doc, pos, gram_hash);
+      2. gram -> distinct-doc count (one shuffle); grams with >= 2 docs
+         are the corpus-duplicated vocabulary;
+      3. equi-join positions back on gram_hash (shuffle join — the dup
+         vocabulary can be corpus-sized, so no broadcast assumption);
+      4. coverage = distinct token indices under any duplicated window
+         (explode each surviving window into its n token slots — the
+         blowup is n x duplicated windows only, not n x corpus).
+
+    Intra-doc repeats are pipeline_ops.repetition_score's job; this op
+    counts a gram duplicated only when a second DOCUMENT has it, so the
+    two signals compose without double-counting. Hashes are md5-derived
+    (functions/portable.py) for cross-engine oracle parity.
+    """
+    from hadoop_0_20_2_ljx_spark.extensions.pipeline_ops import word_ngrams
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
+
+    toks = _tokens(F.lower(F.col(text_col)))
+    grams = word_ngrams(F.col(text_col), n)
+    windows = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select("doc", "n_tokens", "pos", portable_hash64(F.col("gram")).alias("gh"))
+    dup_vocab = (
+        windows.select("doc", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    dup_wins = windows.join(dup_vocab, "gh")
+    cov = (
+        dup_wins.select(
+            "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("ti")
+        )
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_cov_tokens"))
+    )
+    per_doc = (
+        dup_wins.groupBy("doc", "n_tokens")
+        .agg(F.count("*").alias("n_dup_windows"))
+        .join(cov, "doc")
+    )
+    return per_doc.select(
+        F.col("doc"),
+        F.col("n_tokens"),
+        F.col("n_dup_windows"),
+        F.col("n_cov_tokens"),
+        F.round(F.col("n_cov_tokens") / F.col("n_tokens").cast("double"), 6).alias(
+            "dup_frac"
+        ),
+    )

@@ -162,3 +162,68 @@ def boilerplate_ngrams(
         .where(F.col("df") >= F.ceil(F.col("n_docs") * F.lit(min_doc_frac)))
         .select("gram", "df")
     )
+
+
+def hashed_linear_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 4096,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """fastText-shaped linear quality classifier over hashed bag-of-words
+    features: token -> feature bucket via the hashing trick, bucket ->
+    integer weight, score = sum of weights over token OCCURRENCES.
+
+    This is the Spark-side plumbing of the standard quality-filter stage
+    (a linear model scoring every document): swap ``_weight`` for a
+    broadcast array of trained weights in production. Here weights are a
+    deterministic keyed hash of the bucket id so the whole chain — and
+    the ship/no-ship decision — is reproducible and cross-engine
+    checkable (md5-derived, functions/portable.py).
+
+    Pure per-row expressions (transform + aggregate over the token
+    array): no shuffle, no UDF, whole-stage codegen — the per-doc cost a
+    100 TB scoring pass wants. Score stays an exact integer (weights in
+    [-weight_scale, weight_scale]); the normalized score is integer
+    parts-per-million (truncating integer division, bit-exact in DuckDB).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _weight(tok: Column) -> Column:
+        # bucket = hash(token) % dim; weight = hash("w:" + bucket) mapped
+        # onto [-weight_scale, weight_scale] — both md5-derived so DuckDB
+        # reproduces them bit-for-bit.
+        from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+
+        bucket = portable_hash32(tok) % dim
+        return (
+            portable_hash32(F.concat(F.lit("w:"), bucket.cast("string")))
+            % (2 * weight_scale + 1)
+        ) - weight_scale
+
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + _weight(t)
+    )
+    n_tok = F.size(toks).cast("long")
+    # normalized score in integer parts-per-million (score / (n_tok *
+    # weight_scale) * 1e6, truncated): Spark `div` and DuckDB `//` both
+    # truncate toward zero, so the norm is bit-exact cross-engine — a
+    # float round() here would split on exact .5-ulp ties (CLAUDE.md).
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), score.alias("score_int")
+    )
+    ppm_mult = 1_000_000 // weight_scale
+    return base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("score_int"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(score_int * {ppm_mult}) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("score_ppm"),
+        (F.col("score_int") > 0).alias("keep"),
+    )

@@ -94,3 +94,60 @@ def multi_aggregate(df: DataFrame, key: str, exprs: dict[str, Column]) -> DataFr
     pass' framework (~900 LoC in the reference) is a single groupBy().agg()
     with N expressions in Spark — one shuffle, all partials combined."""
     return df.groupBy(key).agg(*[c.alias(name) for name, c in exprs.items()])
+
+
+def count_min_estimates(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min Sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    next to the exact counts — the sketch companion to UniqValueCount's
+    capped-distinct trade (mapred/lib/aggregate/UniqValueCount.java:36):
+    bounded memory (depth x width counters) in exchange for one-sided
+    overestimation error <= eps * N.
+
+    Fully relational build: one explode to (row, bucket) pairs, one
+    groupBy fills all depth counter rows in a single shuffle with map-side
+    partial agg; the counter table (<= depth*width rows) re-enters as
+    broadcast joins, so per-key estimation never shuffles the data again.
+    Deterministic md5-derived bucket hashes (functions/portable.py) make
+    the estimate itself exactly reproducible — in a cross-engine oracle,
+    CMS estimates hash-match, they don't just bound-check.
+
+    Returns (key, exact, cms_est); cms_est >= exact always (the CMS
+    guarantee), equality when none of the key's depth buckets collide.
+    """
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+
+    k = F.col(key_col).cast("string")
+
+    def bucket(j: int) -> Column:
+        return portable_hash32(F.concat(F.lit(f"cms{j}:"), k)) % width
+
+    rows = df.select(
+        k.alias("k"), *[bucket(j).alias(f"b{j}") for j in range(depth)]
+    )
+    pairs = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.b")
+    counters = pairs.groupBy("j", "b").agg(F.count("*").alias("c"))
+    keyed = rows.groupBy("k", *[f"b{j}" for j in range(depth)]).agg(
+        F.count("*").alias("exact")
+    )
+    est = keyed
+    for j in range(depth):
+        cj = counters.where(F.col("j") == j).select(
+            F.col("b").alias(f"b{j}"), F.col("c").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(cj), f"b{j}")
+    return est.select(
+        "k",
+        F.col("exact").cast("long").alias("exact"),
+        F.least(*[F.col(f"c{j}") for j in range(depth)]).cast("long").alias("cms_est"),
+    )

@@ -26,6 +26,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_ivfpq",  # new: composed IVF-PQ ANN
     "q_sink_tar_shards",  # new: tar training-shard export
     "q_text_bigram_lm",  # new: bigram LM table
+    "q_dedup_substring",  # new: exact duplicate-substring spans
+    "q_text_classifier",  # new: hashed linear quality classifier
+    "q_agg_cms",  # new: Count-Min Sketch heavy hitters
     # reworked this round (large-star CC; kNN guard; SQL-expr rewrite of
     # the kmeans/PQ/IVF assignment builders; bloom probe refactor) — their
     # r2 proofs predate the change, so they re-prove before the old set

@@ -480,7 +480,49 @@ def _window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-agg-14 (engine extra): Count-Min Sketch heavy hitters -----------------
+def _cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS(depth=4, width=64) over events.user_id, narrow enough that
+    buckets genuinely collide at sf0.01 — the estimate column exercises
+    the min-over-rows path, not a trivially exact one. Deterministic
+    hashes: the ESTIMATE hash-matches DuckDB, not just the exact count."""
+    est = aggregates.count_min_estimates(
+        T(spark, sf, "events"), "user_id", depth=4, width=64
+    )
+    return est.orderBy(F.desc("cms_est"), F.asc("k")).limit(10)
+
+
+def _cms_oracle() -> str:
+    from hadoop_0_20_2_ljx_spark.queries.base import h32_sql
+
+    def b(j: int) -> str:
+        inner = h32_sql(f"'cms{j}:' || k")
+        return f"{inner} % 64"
+
+    return f"""
+WITH r AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+b AS (SELECT k, {b(0)} AS b0, {b(1)} AS b1, {b(2)} AS b2, {b(3)} AS b3 FROM r),
+keyed AS (SELECT k, b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS exact
+          FROM b GROUP BY k, b0, b1, b2, b3),
+c0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS c0 FROM b GROUP BY b0),
+c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY b1),
+c2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY b2),
+c3 AS (SELECT b3, CAST(count(*) AS BIGINT) AS c3 FROM b GROUP BY b3)
+SELECT k, exact, least(c0, c1, c2, c3) AS cms_est
+FROM keyed JOIN c0 USING (b0) JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
+ORDER BY cms_est DESC, k ASC LIMIT 10
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_agg_cms": QueryDef(
+        _cms_heavy_hitters,
+        _cms_oracle(),
+        "Q-agg-14 (engine extra) Count-Min Sketch heavy hitters — "
+        "deterministic md5 bucket hashes, the ESTIMATE hash-matches the "
+        "oracle (sketch replayed relationally), bounded depth*width state",
+    ),
+
     "q_agg_wordcount": QueryDef(
         _wordcount,
         "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("

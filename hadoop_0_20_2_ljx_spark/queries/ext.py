@@ -1218,7 +1218,94 @@ FROM g CROSS JOIN t
 """
 
 
+# --- dedup: exact duplicate-substring spans (ExactSubstr) --------------------
+def _dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Lee et al. ExactSubstr shape: per doc, windows whose word 8-gram
+    also occurs in a DIFFERENT doc, plus the token positions they cover."""
+    out = dedup.duplicate_substring_spans(
+        T(spark, sf, "documents"), "doc_id", "text", n=8
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "n_dup_windows",
+        "n_cov_tokens",
+        "dup_frac",
+    )
+
+
+def _substring_oracle() -> str:
+    w = _WORDS.format(col="lower(text)")
+    gh = h64_sql("array_to_string(w[pos+1:pos+8], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {w} AS w FROM documents),
+posed AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w,
+         unnest(CASE WHEN len(w) >= 8 THEN generate_series(0, len(w) - 8)
+                ELSE [] END) AS pos
+  FROM toks),
+wins AS (SELECT doc_id, n_tokens, pos, {gh} AS gh FROM posed),
+dupv AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM wins)
+         GROUP BY gh HAVING count(*) >= 2),
+dwin AS (SELECT wins.* FROM wins JOIN dupv USING (gh)),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT pos + off) AS BIGINT) AS n_cov_tokens
+  FROM dwin CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off) offs
+  GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_dup_windows
+  FROM dwin GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens, a.n_dup_windows, c.n_cov_tokens,
+       round(c.n_cov_tokens / CAST(a.n_tokens AS DOUBLE), 6) AS dup_frac
+FROM agg a JOIN cov c USING (doc_id)
+"""
+
+
+# --- text: hashed linear quality classifier ----------------------------------
+def _text_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.hashed_linear_classifier(
+        T(spark, sf, "documents"), "doc_id", "text", dim=4096, weight_scale=1000
+    )
+
+
+def _classifier_oracle() -> str:
+    w = _WORDS.format(col="lower(text)")
+    tok_h = h32_sql("t")
+    bucket = f"({tok_h} % 4096)"
+    weight_h = h32_sql(f"'w:' || CAST({bucket} AS VARCHAR)")
+    return f"""
+WITH toks AS (SELECT doc_id, {w} AS w FROM documents),
+scored AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+    CAST(coalesce(list_sum(list_transform(w,
+      t -> ({weight_h} % 2001) - 1000)), 0) AS BIGINT) AS score_int
+  FROM toks)
+SELECT doc_id, n_tokens, score_int,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (score_int * 1000) // n_tokens
+       ELSE 0 END AS BIGINT) AS score_ppm,
+  score_int > 0 AS keep
+FROM scored
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_dedup_substring": QueryDef(
+        _dedup_substring,
+        _substring_oracle(),
+        "extension: exact duplicate-substring spans (ExactSubstr, Lee et "
+        "al. 2022) — cross-doc duplicated 8-gram windows + token coverage, "
+        "gram-vocabulary equi-join, never doc x doc",
+    ),
+    "q_text_classifier": QueryDef(
+        _text_classifier,
+        _classifier_oracle(),
+        "extension: fastText-shaped hashed linear quality classifier — "
+        "hashing-trick buckets + integer weights, pure per-row "
+        "expressions, exact integer score",
+    ),
+
     "q_text_bigram_lm": QueryDef(
         _text_bigram_lm,
         _bigram_lm_oracle(),
