@@ -159,6 +159,9 @@ def main() -> int:
         "text_chunk": "q_text_chunk",
         "keep_latest": "q_dedup_keep_latest",
         "tfile_roundtrip": "q_sink_tfile_roundtrip",
+        "dedup_incremental": "q_dedup_incremental",
+        "dedup_paragraph": "q_dedup_paragraph",
+        "pagerank": "q_graph_pagerank",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

@@ -53,26 +53,56 @@ def _h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# Double-hashing (Kirsch-Mitzenmacher) minhash family: ONE md5 per shingle,
+# split into two 30-bit halves (h1 = v >> 30, h2 = v & (2^30-1) from the
+# 60-bit md5 prefix), seed s's hash = (h1 + s*h2) mod 2^30. Affine combos of
+# two independent base hashes are the standard minhash family (Indyk-style
+# a*x+b); cutting 16 md5 evaluations per (doc, shingle) row to 1 halved the
+# dedup_minhash bench. All values stay < 2^34, well inside BIGINT on both
+# engines, so the formula renders identically in DuckDB.
+_MH_MOD = 1 << 30
+
+
+def _mh_base(g: Column) -> Column:
+    """60-bit md5-derived base value for the double-hash family."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
+def _mh_hash(v: Column, s: int) -> Column:
+    """Seed-s member of the family, from the shared base value."""
+    return (F.shiftright(v, 30) + F.lit(s) * v.bitwiseAND(F.lit(_MH_MOD - 1))) % F.lit(
+        _MH_MOD
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
     """MinHash signature: for each of num_hashes seeded hash functions,
     the min hash over the shingle set. array<long> of length num_hashes.
 
     Entirely higher-order-function expressions — whole-stage codegen, no
-    Python in the loop.
+    Python in the loop. One md5 per shingle (double-hash family; the md5
+    subexpression is eliminated by codegen CSE across the seed loop).
+    Docs shorter than one shingle hash the sentinel empty gram, matching
+    minhash_band_buckets (all short docs share one signature).
     """
-    sh = word_shingles(text, shingle_k)
+    raw = word_shingles(text, shingle_k)
+    sh = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.coalesce(
-            F.array_min(
-                F.transform(sh, lambda g: _h32(F.concat_ws("#", g, s.cast("string"))))
-            ),
-            F.lit(-1).cast("long"),
+        lambda s: F.array_min(
+            F.transform(
+                sh,
+                lambda g: (
+                    F.shiftright(_mh_base(g), 30)
+                    + s.cast("long") * _mh_base(g).bitwiseAND(F.lit(_MH_MOD - 1))
+                )
+                % F.lit(_MH_MOD),
+            )
         ),
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -80,37 +110,40 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate CANDIDATE pairs.
-
-    signature -> `bands` bands of num_hashes/bands rows -> bucket key =
-    hash(band values) -> self-equi-join on (band_idx, bucket) -> distinct
-    (id_a < id_b) pairs. Two docs collide iff some band matches exactly —
-    standard LSH probability semantics.
-    """
+    """(doc, band, bucket) LSH band-bucket rows — the shared core of the
+    self-join candidate generator and the incremental (new-vs-index)
+    variant. Bucket = md5-derived hash of one band's signature slice."""
     rows_per_band = num_hashes // bands
     ids = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
-    # Relational minhash: explode shingles so each (doc, shingle) row hashes
-    # each seed exactly ONCE, then min-aggregate per doc. The groupBy is a
-    # barrier (signatures never recomputed downstream) and its shuffle — not
-    # the input split count — provides the parallelism, so a single small
-    # parquet file still uses every core, and at 100 TB the same plan holds.
-    exploded = ids.select("doc", F.explode(word_shingles(F.col("_text"), shingle_k)).alias("g"))
     sc = df.sparkSession.sparkContext
-    exploded = exploded.repartition(sc.defaultParallelism, "doc")
-    mins = exploded.groupBy("doc").agg(
-        *[
-            F.min(_h32(F.concat_ws("#", F.col("g"), F.lit(str(s))))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
+    # ONE exchange, and it carries doc TEXT, not exploded shingles: hash-
+    # repartition the docs, then shingle-build -> explode -> md5 -> min-agg
+    # all run partition-local (explode preserves partitioning, and
+    # HashPartitioning(doc) satisfies the groupBy's clustering, so Catalyst
+    # plans no second Exchange — asserted in tests/test_scale_properties).
+    # Shuffling the input once also decouples parallelism from the input
+    # split count (a single small parquet file still uses every core); the
+    # earlier shape shuffled the exploded (doc, 3-gram string) rows — ~3x
+    # the bytes of the raw text — and serialized shingle construction onto
+    # the map side's splits.
+    spread = ids.repartition(sc.defaultParallelism, "doc")
+    # Docs shorter than one shingle get the sentinel empty gram instead of
+    # an empty set, so every doc survives the explode — this removes the
+    # join-back that previously restored shingle-less docs (a join whose
+    # build side was the WHOLE signature table: broadcast-fine at test
+    # scale, a full extra shuffle at 100 TB). All short docs share the
+    # sentinel signature and pair with each other, exactly as the all--1
+    # signature did.
+    sh = word_shingles(F.col("_text"), shingle_k)
+    padded = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    # One md5 per (doc, shingle) row (double-hash family), materialized
+    # BEFORE the seed fan-out so the num_hashes partial-agg expressions
+    # share it.
+    hashed = spread.select("doc", F.explode(padded).alias("g")).select(
+        "doc", _mh_base(F.col("g")).alias("v")
     )
-    # Docs with no shingles (shorter than k words) still get the all--1
-    # signature, matching minhash_signature()'s coalesce semantics.
-    sigd = ids.select("doc").join(mins, "doc", "left").select(
-        "doc",
-        *[
-            F.coalesce(F.col(f"h{s}"), F.lit(-1).cast("long")).alias(f"h{s}")
-            for s in range(num_hashes)
-        ],
+    sigd = hashed.groupBy("doc").agg(
+        *[F.min(_mh_hash(F.col("v"), s)).alias(f"h{s}") for s in range(num_hashes)]
     )
     banded = sigd.select(
         "doc",
@@ -134,6 +167,25 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return banded
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate CANDIDATE pairs.
+
+    signature -> `bands` bands of num_hashes/bands rows -> bucket key =
+    hash(band values) -> self-equi-join on (band_idx, bucket) -> distinct
+    (id_a < id_b) pairs. Two docs collide iff some band matches exactly —
+    standard LSH probability semantics.
+    """
+    banded = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_k)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -150,6 +202,40 @@ def minhash_lsh_candidates(
     )
 
 
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental dedup: LSH candidates of NEW docs against an existing
+    INDEX corpus (the daily-ingest shape: never re-pair the historical
+    corpus against itself). Equi-join of the new batch's band buckets
+    against the index's — at 100 TB the index's bucket table is computed
+    once and persisted; each ingest joins only its own buckets against it,
+    so per-batch cost is O(batch) + one shuffle, not O(corpus).
+
+    Returns distinct (new_id, index_id) candidate pairs.
+    """
+    nb = minhash_band_buckets(new_df, id_col, text_col, num_hashes, bands, shingle_k)
+    ib = minhash_band_buckets(index_df, id_col, text_col, num_hashes, bands, shingle_k)
+    return (
+        nb.alias("n")
+        .join(
+            ib.alias("i"),
+            on=[
+                F.col("n.band") == F.col("i.band"),
+                F.col("n.bucket") == F.col("i.bucket"),
+            ],
+        )
+        .select(F.col("n.doc").alias("new_id"), F.col("i.doc").alias("index_id"))
+        .distinct()
+    )
+
+
 def simhash64(text: Column, bits: int = 60) -> Column:
     """SimHash of the token stream (60 bits: the md5-derived hash width).
 
@@ -157,8 +243,11 @@ def simhash64(text: Column, bits: int = 60) -> Column:
     sign of each bit's tally. The bit loop is unrolled in Python (Spark's
     shift functions take only literal shift amounts), testing each bit
     with bitwiseAND against a literal mask — still pure JVM expressions.
+    Token-less docs vote the sentinel empty token (matching
+    simhash_signatures).
     """
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    raw = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    words = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
@@ -191,17 +280,29 @@ def simhash_signatures(
     once (not once per bit), the shuffle carries (doc, h) pairs, and the
     vote aggregation is pure whole-stage-codegen sums.
 
-    Docs with no tokens get signature 0 (matching simhash64's semantics on
-    an empty token array) via the left join back to the id set.
+    Docs with no tokens vote the sentinel empty token (signature =
+    md5('')'s 60-bit value, same as simhash64) — no join-back needed.
 
     Output: (doc, simhash) with doc named after `id_col`.
     """
     ids = df.select(F.col(id_col).alias(id_col), F.col(text_col).alias("_text"))
     words = F.filter(F.split(F.col("_text"), r"\s+"), lambda w: w != "")
     sc = df.sparkSession.sparkContext
+    # Repartition the DOCS, not the exploded tokens: the one exchange
+    # carries raw text, explode+md5 run partition-local on every core, and
+    # HashPartitioning(doc) satisfies the groupBy clustering so the vote
+    # aggregation needs no second Exchange (same restructuring as
+    # minhash_band_buckets — shuffling exploded token strings was ~2-3x
+    # the bytes and serialized tokenization onto the input splits).
+    # Token-less docs explode the sentinel empty token instead of
+    # vanishing, so no join-back is needed to restore them (the join's
+    # build side was the whole signature table — a full extra shuffle at
+    # scale). A one-token doc's signature is its token's hash, so the
+    # sentinel doc signature is md5('')'s 60-bit value.
+    padded = F.when(F.size(words) > 0, words).otherwise(F.array(F.lit("")))
     tok = (
-        ids.select(id_col, F.explode(words).alias("w"))
-        .repartition(sc.defaultParallelism, id_col)
+        ids.repartition(sc.defaultParallelism, id_col)
+        .select(id_col, F.explode(padded).alias("w"))
         .select(
             id_col,
             F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
@@ -227,12 +328,7 @@ def simhash_signatures(
             for j in range(bits)
         ],
     )
-    sigd = votes.select(id_col, sig.cast("long").alias("simhash"))
-    return (
-        ids.select(id_col)
-        .join(sigd, id_col, "left")
-        .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
-    )
+    return votes.select(id_col, sig.cast("long").alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -557,4 +653,87 @@ def duplicate_substring_spans(
         F.round(F.col("n_cov_tokens") / F.col("n_tokens").cast("double"), 6).alias(
             "dup_frac"
         ),
+    )
+
+
+def keep_best_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Canonicalizing dedup: group docs whose NORMALIZED text is identical
+    (lowercase, trimmed, internal whitespace collapsed — the C4/RefinedWeb
+    canonical-form step) and keep the best-scoring doc per group, ties
+    broken by smallest id (deterministic under retry).
+
+    One hash shuffle on the normalized-text key with a max(struct) agg —
+    partial aggregation applies map-side, no window sort, no distinct.
+    Returns (id, score, n_dups) for each kept (canonical) doc.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # max over (score, -id): best score wins, then the SMALLEST id.
+    pick = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+    )
+    out = df.select(norm.alias("_k"), pick.alias("_p")).groupBy("_k").agg(
+        F.max("_p").alias("best"), F.count(F.lit(1)).cast("long").alias("n_dups")
+    )
+    return out.select(
+        (-F.col("best.negid")).cast("long").alias(id_col),
+        F.col("best.s").alias(score_col),
+        "n_dups",
+    )
+
+
+def chunk_first_occurrence_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Paragraph-level (chunk-level) dedup, C4-style: split each doc into
+    consecutive non-overlapping `chunk_tokens`-word chunks, keep only the
+    globally FIRST occurrence of each distinct chunk text (ordered by
+    (doc_id, position)), and re-aggregate per doc.
+
+    Two shuffles total: one groupBy on the chunk hash (min(struct) — the
+    winner per chunk, partial-agg map-side), one re-aggregate per doc.
+    Never doc×doc; state per distinct chunk is O(1). Returns per-doc
+    (id, n_chunks, n_kept, kept_hash) where kept_hash summarizes the
+    SURVIVING chunk set (order-insensitive sum of chunk hashes), so the
+    oracle checks content, not just counts.
+    """
+    toks = _tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias(
+            "pos", "_i"
+        ),
+    )
+    chunk = F.array_join(
+        F.slice(F.col("_toks"), F.col("pos") * chunk_tokens + 1, chunk_tokens), " "
+    )
+    chunks = exploded.select(
+        "doc", "pos", F.conv(F.substring(F.md5(chunk), 1, 15), 16, 10).cast("long").alias("ch")
+    )
+    winners = chunks.groupBy("ch").agg(
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("w")
+    )
+    kept = winners.select(F.col("w.doc").alias("doc"), F.col("w.pos").alias("pos"), "ch")
+    per_doc = chunks.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    kept_agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("ch") % F.lit(1000003)).cast("long").alias("kept_hash"),
+    )
+    return (
+        per_doc.join(kept_agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_hash", F.lit(0)).cast("long").alias("kept_hash"),
+        )
     )

@@ -1,0 +1,77 @@
+"""Iterative link analysis (PageRank) in exact integer arithmetic.
+
+No reference counterpart (nearest shape: chained iterative jobs via
+mapred/jobcontrol/JobControl.java:141 — PageRank was THE canonical
+hand-rolled Hadoop iteration); expressed Spark-first as one
+join+aggregate round per iteration.
+
+Determinism contract: ranks are kept as scaled BIGINTs and every
+operation is integer (`div`), so the per-node inflow sum is
+order-independent — bit-identical across partitionings, retries, and
+engines (float PageRank is NOT: double addition is non-associative and
+the shuffle order differs run to run). The DuckDB oracle replays the
+same rounds as chained CTEs and hash-matches exactly.
+
+Design for scale:
+  - edges are distinct (src, dst) pairs, shuffled ONCE by src
+    (repartition) and localCheckpoint-pinned; each round's
+    join(ranks, on src) then reuses that partitioning on one side.
+  - per round: one equi-join (ranks are (node, long) rows — narrow),
+    one groupBy(dst) sum with map-side partials, one left join back to
+    the node set. Lineage truncated per round (localCheckpoint), the
+    same iterative pattern as dedup.connected_components.
+  - dangling nodes follow the simplified model (their mass leaks);
+    documented, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # rank 1.0 == 10^9
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over distinct (src, dst) edges, `iterations` rounds of
+    rank_v = (100-d)% * SCALE + d% * sum(rank_u div outdeg_u), all in
+    scaled integers. Returns (node, rank) with rank a scaled BIGINT."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    sc = edges.sparkSession.sparkContext
+    e = e.repartition(sc.defaultParallelism, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    base = F.lit((100 - damping_pct) * PR_SCALE // 100).cast("long")
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(iterations):
+        shares = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank div deg").cast("long").alias("share"))
+        )
+        inflow = shares.groupBy("dst").agg(F.sum("share").cast("long").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, 0L)) div 100"
+                    ).cast("long")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

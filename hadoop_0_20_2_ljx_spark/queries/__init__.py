@@ -17,6 +17,15 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # the round-2-proven set sits at the back where a driver cap drops rows.
 _NEEDS_FRESH_EVIDENCE = [
     # (a) changed/new this round — first-time or re-proof required
+    "q_text_bpe",  # new: distributed BPE merge learning
+    "q_graph_pagerank",  # new: integer-exact iterative PageRank
+    "q_dedup_canonical",  # new: canonicalizing keep-best dedup
+    "q_dedup_paragraph",  # new: C4-style chunk-level first-occurrence dedup
+    "q_dedup_incremental",  # new: new-batch-vs-index LSH dedup
+    "q_filter_blocklist",  # new: deny-list filtering funnel
+    "q_agg_approx_quantile",  # new: rank-error-gated quantile sketch
+    "q_sink_orc_roundtrip",  # new: ORC columnar roundtrip
+    "q_dedup_minhash",  # reworked: double-hash minhash family (1 md5/shingle)
     "q_agg_approx_distinct",  # reworked: rows-only -> relative-error gate
     "q_sink_tfile_roundtrip",  # new: TFile container wire compat
     "q_fn_recordio",  # extended: + binary wire form
@@ -84,7 +93,6 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_tumbling",
     "q_stream_session",
     "q_dedup_exact",
-    "q_dedup_minhash",
     "q_dedup_jaccard",
 ]
 
@@ -95,13 +103,14 @@ def _build() -> dict[str, QueryDef]:
         agg,
         analytic,
         core,
+        curation,
         ext,
         join_set,
         sink,
         udf_misc,
     )
 
-    for mod in (core, agg, join_set, sink, udf_misc, ext, analytic):
+    for mod in (core, agg, join_set, sink, udf_misc, ext, analytic, curation):
         for k, v in mod.QUERIES.items():
             if k in registry:
                 raise ValueError(f"duplicate query name {k}")

@@ -1,0 +1,412 @@
+"""Declared queries: corpus-curation extras (round 3 batch).
+
+Canonical keep-best dedup, paragraph-level (chunk) dedup, incremental
+LSH dedup against an index corpus, blocklist filtering, and an
+oracle-gated approximate-quantile sketch. No reference counterpart
+(the reference's dedup surface is reduce-emits-key-once,
+mapred/lib/aggregate/UniqValueCount.java:30); these are the operators a
+100 TB training-data pipeline runs daily, shaped per SCALE.md: hash
+shuffles with map-side partial agg, broadcast small sides, never
+doc×doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import dedup
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h64_sql
+
+_WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), w -> w <> '')"
+
+
+# --- canonical keep-best dedup ----------------------------------------------
+def _dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep the best doc (longest, tie = smallest id) per normalized-text
+    group. One hash shuffle, max(struct) partial agg — no window sort."""
+    d = dedup.keep_best_dedup(T(spark, sf, "documents"), "doc_id", "text", "n_chars")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.sum(F.col("doc_id") % F.lit(1000003)).cast("long").alias("id_hash_sum"),
+        F.sum("n_dups").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_dups") > 1, F.col("n_dups") - 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+_CANONICAL_SQL = """
+WITH g AS (
+  SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k,
+         max(struct_pack(s := n_chars, negid := -doc_id)) AS best,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM documents GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_canonical,
+       CAST(sum((-best.negid) % 1000003) AS BIGINT) AS id_hash_sum,
+       CAST(sum(n_dups) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_dups > 1 THEN n_dups - 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM g
+"""
+
+
+# --- paragraph-level (chunk) first-occurrence dedup --------------------------
+def _dedup_paragraph(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style chunk dedup: 10-word non-overlapping chunks, keep the
+    globally first occurrence (by (doc_id, pos)) of each distinct chunk."""
+    return dedup.chunk_first_occurrence_dedup(
+        T(spark, sf, "documents"), "doc_id", "text", chunk_tokens=10
+    )
+
+
+def _paragraph_sql() -> str:
+    ws = _WORDS.format(col="text")
+    ch = h64_sql("array_to_string(ws[i*10+1:i*10+10], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {ws} AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, i AS pos, {ch} AS ch
+  FROM toks, LATERAL unnest(range(greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS t(i)
+), winners AS (
+  SELECT ch, min(struct_pack(doc := doc_id, pos := pos)) AS w FROM chunks GROUP BY 1
+), kept AS (
+  SELECT w.doc AS doc_id, ch FROM winners
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY 1
+), kept_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(ch % 1000003) AS BIGINT) AS kept_hash
+  FROM kept GROUP BY 1
+)
+SELECT p.doc_id, p.n_chunks,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_hash, 0) AS kept_hash
+FROM per_doc p LEFT JOIN kept_agg k USING (doc_id)
+"""
+
+
+# --- incremental dedup: new batch vs historical index ------------------------
+def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest dedup: docs with doc_id % 10 == 0 are the NEW batch;
+    the rest are the historical INDEX. LSH candidates only across the
+    boundary — the index is never self-paired, so per-batch cost is
+    O(batch), the property that matters at a 100 TB corpus."""
+    docs = T(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    index = docs.where(F.col("doc_id") % 10 != 0)
+    pairs = dedup.incremental_lsh_candidates(
+        new, index, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3
+    )
+    return pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("index_id").cast("long").alias("first_match"),
+    )
+
+
+def _incremental_sql() -> str:
+    # Same signature derivation as queries/ext.py's _minhash_oracle, with
+    # the corpus split into new (doc_id%10=0) and index sides.
+    from hadoop_0_20_2_ljx_spark.queries.ext import (
+        _minhash_sig_elem_sql,
+        _shingles_sql,
+    )
+    from hadoop_0_20_2_ljx_spark.queries.base import h32_sql
+
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 3)
+    sig_elem = _minhash_sig_elem_sql()
+    bucket = h32_sql(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (
+  SELECT doc_id, list_transform(range(16), s -> {sig_elem}) AS sig FROM shingled
+),
+bands AS (
+  SELECT doc_id, b, {bucket} AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS b)
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+  FROM bands n JOIN bands i ON n.b = i.b AND n.bucket = i.bucket
+  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+)
+SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(index_id) AS BIGINT) AS first_match
+FROM pairs GROUP BY 1
+"""
+
+
+# --- blocklist filtering -----------------------------------------------------
+_BLOCKED_SOURCES = ("src1", "src4")
+_BLOCKED_TERMS = ("slow", "merge")
+
+
+def _filter_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Deny-list curation: drop docs from blocked sources (broadcast
+    anti-join against the blocklist table — the DistributedCache shape)
+    and docs containing any blocked term; report the funnel per source."""
+    docs = T(spark, sf, "documents")
+    bl = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], "source string"
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    has_term = F.arrays_overlap(
+        toks, F.array(*[F.lit(t) for t in _BLOCKED_TERMS])
+    )
+    survivors = (
+        docs.join(F.broadcast(bl), "source", "left_anti")
+        .where(~has_term)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(has_term.cast("long")).cast("long").alias("n_term_hits"),
+    )
+    return (
+        totals.join(survivors, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "n_term_hits",
+        )
+    )
+
+
+_BLOCKLIST_SQL = f"""
+WITH t AS (
+  SELECT source,
+         list_has_any({_WORDS.format(col="text")},
+                      ['{_BLOCKED_TERMS[0]}', '{_BLOCKED_TERMS[1]}']) AS hit
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN source NOT IN ('{_BLOCKED_SOURCES[0]}', '{_BLOCKED_SOURCES[1]}')
+                      AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_term_hits
+FROM t GROUP BY 1
+"""
+
+
+# --- approx quantile with an oracle-expressible gate -------------------------
+# Same contract pattern as q_agg_approx_distinct: the sketch value itself
+# is engine-specific, but its rank-error CONTRACT is checkable. The query
+# emits the EXACT rank-based quantiles (hash-matched against DuckDB) plus
+# `approx_ok`: the RANK of Spark's percentile_approx output must sit
+# within 2% of the target rank (percentile_approx guarantees rank error
+# <= n/accuracy; accuracy=10000 -> 0.01%, so 2% catches a broken sketch
+# without flaking). Rank-of-value, not value-distance: robust to value
+# clustering, and no cross-engine float interpolation anywhere
+# (CLAUDE.md: never percentile oracles — exact side is element-at-rank).
+def _approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events").select("event_type", "value", "event_id")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "event_type"
+    )
+    r50 = (F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1).cast("long")
+    r95 = (F.floor(F.lit(0.95) * (F.col("n") - 1)) + 1).cast("long")
+    exact = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max(F.when(F.col("rn") == r50, F.col("value"))), 6).alias("q50"),
+        F.round(F.max(F.when(F.col("rn") == r95, F.col("value"))), 6).alias("q95"),
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("a")
+    )
+    gate = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("a")[0]).cast("long")).alias("rank_a50"),
+            F.sum((F.col("value") <= F.col("a")[1]).cast("long")).alias("rank_a95"),
+        )
+    )
+    out = exact.join(gate, "event_type")
+    tol = F.greatest((F.col("n") * 0.02).cast("long"), F.lit(2))
+    ok = (
+        (F.abs(F.col("rank_a50") - (F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1)) <= tol)
+        & (F.abs(F.col("rank_a95") - (F.floor(F.lit(0.95) * (F.col("n") - 1)) + 1)) <= tol)
+    )
+    return out.select("event_type", "n", "q50", "q95", ok.alias("approx_ok"))
+
+
+_APPROX_QUANTILE_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END), 6) AS q50,
+       round(max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN value END), 6) AS q95,
+       TRUE AS approx_ok
+FROM ranked GROUP BY event_type
+"""
+
+
+# --- BPE merge learning ------------------------------------------------------
+_BPE_MERGES = 6
+
+
+def _text_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Learn 6 BPE merges over the documents vocabulary. One aggregate
+    job per round, ONE row per round to the driver; the oracle replays
+    every round as chained CTEs (same tie-break, same single-pass
+    replace semantics — see extensions/bpe.py's determinism contract)."""
+    from hadoop_0_20_2_ljx_spark.extensions.bpe import learn_bpe
+
+    out, _ = learn_bpe(T(spark, sf, "documents"), "text", n_merges=_BPE_MERGES)
+    return out
+
+
+def _bpe_sql(n: int = _BPE_MERGES) -> str:
+    words = _WORDS.format(col="text")
+    chars = "list_transform(range(1, length(w) + 1), i -> substring(w, i, 1))"
+    parts = [
+        f"""v0 AS (
+  SELECT ' ' || array_to_string({chars}, ' ') || ' ' AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({words}) AS w FROM documents) GROUP BY 1
+)"""
+    ]
+    selects = []
+    for r in range(1, n + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(CASE WHEN len(syms) >= 2
+      THEN list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])
+      ELSE [] END) AS pair, freq
+    FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM v{r-1})
+  ) GROUP BY 1
+),
+b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{r} AS (
+  SELECT replace(seq,
+                 ' ' || (SELECT pair FROM b{r}) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ') AS seq,
+         freq
+  FROM v{r-1}
+)"""
+        )
+        selects.append(
+            f"SELECT {r} AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+# --- PageRank (exact integer arithmetic) -------------------------------------
+_PR_ITERS = 3
+
+
+def _graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the bipartite user<->item graph from events (item =
+    the props JSON 'k'), 3 rounds of scaled-integer updates — integer
+    sums are order-independent, so the ranks hash-match DuckDB exactly
+    (float PageRank never would). Returns the item-side ranks."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import pagerank_int
+
+    ev = T(spark, sf, "events").select(
+        F.col("user_id").alias("u"),
+        (F.get_json_object(F.col("props"), "$.k").cast("long") + F.lit(1_000_000)).alias(
+            "i"
+        ),
+    )
+    edges = ev.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionByName(
+        ev.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank_int(edges, "src", "dst", iterations=_PR_ITERS)
+    return pr.where(F.col("node") >= 1_000_000).select(
+        (F.col("node") - 1_000_000).alias("item"), F.col("rank").alias("rank_scaled")
+    )
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    parts = [
+        """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) + 1000000 AS dst
+    FROM events
+    UNION ALL
+    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) + 1000000,
+           user_id
+    FROM events
+  )
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""inflow{t} AS (
+  SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+  FROM e JOIN r{t-1} r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY 1
+),
+r{t} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN inflow{t} i ON n.node = i.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node - 1000000 AS item, rank AS rank_scaled FROM r{iters} WHERE node >= 1000000"
+    )
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_text_bpe": QueryDef(
+        _text_bpe,
+        _bpe_sql(),
+        "distributed BPE merge learning: one TakeOrdered aggregate per "
+        "round, oracle replays every round as chained CTEs",
+    ),
+    "q_graph_pagerank": QueryDef(
+        _graph_pagerank,
+        _pagerank_sql(),
+        "iterative PageRank in scaled-integer arithmetic (order-independent "
+        "sums -> bit-exact cross-engine); bipartite user-item graph",
+    ),
+    "q_dedup_canonical": QueryDef(
+        _dedup_canonical,
+        _CANONICAL_SQL,
+        "canonicalizing keep-best dedup: normalized-text groups, max(struct) "
+        "winner — one shuffle, no window sort",
+    ),
+    "q_dedup_paragraph": QueryDef(
+        _dedup_paragraph,
+        _paragraph_sql(),
+        "C4-style chunk-level dedup: global first occurrence per distinct "
+        "10-word chunk, content-hash-verified reassembly",
+    ),
+    "q_dedup_incremental": QueryDef(
+        _dedup_incremental,
+        _incremental_sql(),
+        "incremental LSH dedup: new batch vs historical index, never "
+        "index x index",
+    ),
+    "q_filter_blocklist": QueryDef(
+        _filter_blocklist,
+        _BLOCKLIST_SQL,
+        "deny-list filtering: broadcast anti-join on sources + blocked-term "
+        "scan, per-source funnel accounting",
+    ),
+    "q_agg_approx_quantile": QueryDef(
+        _approx_quantile,
+        _APPROX_QUANTILE_SQL,
+        "approximate quantile sketch under a rank-error oracle gate; exact "
+        "element-at-rank quantiles hash-matched",
+    ),
+}

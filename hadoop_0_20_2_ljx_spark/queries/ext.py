@@ -52,14 +52,23 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _minhash_sig_elem_sql() -> str:
+    """DuckDB rendering of dedup._mh_hash over dedup._mh_base: the
+    double-hash minhash family ((v>>30) + s*(v & 2^30-1)) % 2^30 from one
+    60-bit md5-derived base value per shingle. Shingle-less docs hash the
+    sentinel empty gram (matching minhash_band_buckets' padding)."""
+    v = h64_sql("g")
+    return (
+        "list_min(list_transform(CASE WHEN len(sh) = 0 THEN [''] ELSE sh END, g -> "
+        f"(({v} >> 30) + s * ({v} & 1073741823)) % 1073741824"
+        "))"
+    )
+
+
 def _minhash_oracle() -> str:
     words = _WORDS.format(col="text")
     sh = _shingles_sql(words, 3)
-    sig_elem = (
-        "coalesce(list_min(list_transform(sh, g -> "
-        + h32_sql("g || '#' || CAST(s AS VARCHAR)")
-        + ")), -1)"
-    )
+    sig_elem = _minhash_sig_elem_sql()
     bucket = h32_sql(
         "array_to_string(list_transform(sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), ',')"
     )
@@ -89,7 +98,7 @@ def _simhash_oracle() -> str:
     h = h64_sql("w")
     return f"""
 WITH hashed AS (
-  SELECT doc_id, list_transform({words}, w -> {h}) AS hashes FROM documents
+  SELECT doc_id, list_transform(CASE WHEN len({words}) = 0 THEN [''] ELSE {words} END, w -> {h}) AS hashes FROM documents
 )
 SELECT doc_id,
   CAST(coalesce(list_sum(list_transform(range(60), j ->
@@ -111,7 +120,7 @@ def _simhash_pairs_oracle() -> str:
     h = h64_sql("w")
     sig = f"""
 WITH hashed AS (
-  SELECT doc_id, list_transform({words}, w -> {h}) AS hashes FROM documents
+  SELECT doc_id, list_transform(CASE WHEN len({words}) = 0 THEN [''] ELSE {words} END, w -> {h}) AS hashes FROM documents
 ),
 sigs AS (
   SELECT doc_id,
@@ -148,11 +157,7 @@ def _clusters_oracle() -> str:
     # reachable id per node via a recursive CTE (undirected reachability).
     words = _WORDS.format(col="text")
     sh = _shingles_sql(words, 3)
-    sig_elem = (
-        "coalesce(list_min(list_transform(sh, g -> "
-        + h32_sql("g || '#' || CAST(s AS VARCHAR)")
-        + ")), -1)"
-    )
+    sig_elem = _minhash_sig_elem_sql()
     bucket = h32_sql(
         "array_to_string(list_transform(sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), ',')"
     )

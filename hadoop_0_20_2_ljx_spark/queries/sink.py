@@ -144,6 +144,37 @@ def _sink_tar_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q-sink-9 (extra): ORC columnar round trip -------------------------------
+def _sink_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write a lineitem slice as ORC (zlib), read it back, and prove the
+    pipe lossless with an aggregate the oracle computes straight from
+    parquet. ORC is the other columnar container a Hadoop 0.20 shop
+    migrates SequenceFiles to; Spark's writer is a first-class Catalyst
+    sink (predicate pushdown + column pruning on re-read, same as
+    parquet), so the sink family covers both columnar formats."""
+    src = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    path = _tmp("q_sink_orc")
+    src.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_orderkey") % 1000003).cast("long").alias("key_sum"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+
+
+_ORC_SQL = """
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_orderkey % 1000003) AS BIGINT) AS key_sum,
+       round(sum(l_quantity), 2) AS qty,
+       round(sum(l_extendedprice), 2) AS price
+FROM lineitem GROUP BY 1
+"""
+
+
 # --- Q-sink-6 (extra): CSV + JSON-lines round trips --------------------------
 def _sink_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Write the same slice as header-CSV and JSON-lines, read both back
@@ -230,6 +261,12 @@ QUERIES: dict[str, QueryDef] = {
         "Q-sink-8 (engine extra) size-budgeted tar training shards "
         "(WebDataset layout; MultipleOutputFormat file routing with a byte "
         "budget, mapred/lib/MultipleOutputFormat.java:51)",
+    ),
+    "q_sink_orc_roundtrip": QueryDef(
+        _sink_orc_roundtrip,
+        _ORC_SQL,
+        "Q-sink-9 (engine extra) ORC(zlib) columnar round trip — the other "
+        "columnar migration target off SequenceFile",
     ),
     "q_sink_tfile_roundtrip": QueryDef(
         _sink_tfile_roundtrip,

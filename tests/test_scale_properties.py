@@ -178,3 +178,24 @@ def test_ivf_assign_is_single_projection(spark):
     plan = plan_of(similarity.ivf_assign(emb, cents))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """minhash_band_buckets must plan exactly ONE Exchange up to the
+    banded rows: the doc-text repartition. Explode + md5 + min-agg stay
+    partition-local (HashPartitioning(doc) satisfies the groupBy), so the
+    shuffle carries raw text, never exploded shingle strings."""
+    from hadoop_0_20_2_ljx_spark.extensions.dedup import minhash_band_buckets
+
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    plan = plan_of(minhash_band_buckets(docs, "doc_id", "text"))
+    assert plan.count("Exchange") == 1
+
+
+def test_simhash_signatures_single_exchange(spark):
+    """Same single-exchange shape for the simhash bit-vote pipeline."""
+    from hadoop_0_20_2_ljx_spark.extensions.dedup import simhash_signatures
+
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    plan = plan_of(simhash_signatures(docs, "doc_id", "text"))
+    assert plan.count("Exchange") == 1
