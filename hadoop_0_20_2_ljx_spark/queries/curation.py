@@ -303,6 +303,110 @@ v{r} AS (
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+# --- BPE encoding: apply the learned merges to the corpus --------------------
+def _text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges: apply each merge
+    as a chained projection over the vocabulary (driver holds only the
+    O(k) merge list) and report corpus-level token accounting — the
+    before/after compression a tokenizer-training run reports."""
+    from hadoop_0_20_2_ljx_spark.extensions.bpe import _chars, learn_bpe
+
+    docs = T(spark, sf, "documents")
+    _, merges = learn_bpe(docs, "text", n_merges=_BPE_MERGES)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    vocab = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(F.lit(" "), F.array_join(_chars(F.col("w")), " "), F.lit(" ")).alias(
+                "seq"
+            ),
+            "freq",
+        )
+    )
+    seq = F.col("seq")
+    for _, pair, _ in merges:
+        seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} "))
+    encoded = vocab.select(
+        seq.alias("seq"),
+        "freq",
+        F.size(F.split(F.trim(seq), " ")).cast("long").alias("n_sym"),
+        (F.length(F.trim(F.col("seq"))) - F.size(F.split(F.trim(F.col("seq")), " ")) + 1)
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return encoded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(F.col("n_chars") * F.col("freq")).cast("long").alias("n_char_tokens"),
+        F.sum(F.col("n_sym") * F.col("freq")).cast("long").alias("n_bpe_tokens"),
+        F.floor(
+            F.lit(10000)
+            * F.sum(F.col("n_sym") * F.col("freq"))
+            / F.sum(F.col("n_chars") * F.col("freq"))
+        )
+        .cast("long")
+        .alias("compression_bp"),
+    )
+
+
+def _bpe_encode_sql(n: int = _BPE_MERGES) -> str:
+    # reuse the learning chain's CTEs, then aggregate the final vocab state
+    chain = _bpe_sql(n)
+    with_block = chain[: chain.rindex("\nSELECT 1 AS rank")]
+    return (
+        with_block
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum((length(trim(seq)) - len(string_split(trim(seq), ' ')) + 1) * freq) AS BIGINT) AS n_char_tokens,
+       CAST(sum(len(string_split(trim(seq), ' ')) * freq) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(10000.0 * sum(len(string_split(trim(seq), ' ')) * freq)
+                  / sum((length(trim(seq)) - len(string_split(trim(seq), ' ')) + 1) * freq)) AS BIGINT) AS compression_bp
+FROM v{n}
+"""
+    )
+
+
+# --- rolling time-range window aggregate -------------------------------------
+def _agg_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user rolling 1-hour aggregate at every event (RANGE frame over
+    event time, not ROWS — peers at the same timestamp aggregate
+    identically, so the result is tie-insensitive). One window shuffle on
+    user_id; value sums kept integer (cent-scaled) for cross-engine
+    exactness."""
+    ev = T(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_1h"),
+        F.sum("cents").over(w).cast("long").alias("cents_1h"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- PageRank (exact integer arithmetic) -------------------------------------
 _PR_ITERS = 3
 
@@ -372,6 +476,18 @@ QUERIES: dict[str, QueryDef] = {
         _bpe_sql(),
         "distributed BPE merge learning: one TakeOrdered aggregate per "
         "round, oracle replays every round as chained CTEs",
+    ),
+    "q_text_bpe_encode": QueryDef(
+        _text_bpe_encode,
+        _bpe_encode_sql(),
+        "apply learned BPE merges to the corpus vocabulary; before/after "
+        "token accounting, oracle replays learn+encode end to end",
+    ),
+    "q_agg_rolling": QueryDef(
+        _agg_rolling,
+        _ROLLING_SQL,
+        "per-user rolling 1-hour RANGE-frame aggregate (tie-insensitive, "
+        "integer-cent sums)",
     ),
     "q_graph_pagerank": QueryDef(
         _graph_pagerank,

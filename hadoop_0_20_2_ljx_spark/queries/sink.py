@@ -175,6 +175,73 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- Q-sink-10 (extra): schema evolution via mergeSchema ---------------------
+def _sink_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution: v1 files lack a column that v2 files carry
+    (every long-lived 100 TB table has this); read both generations with
+    mergeSchema and prove old rows surface NULL for the new column while
+    nothing is lost. The reference forced a full rewrite or a custom
+    RecordReader for this (rigid Writable schemas, record/ IDL)."""
+    src = T(spark, sf, "orders")
+    path = _tmp("q_sink_evolve")
+    v1 = src.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    v2 = src.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).cast("long").alias("n_v1"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias("v2_total"),
+    )
+
+
+_EVOLVE_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+       round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0 END), 2) AS v2_total
+FROM orders GROUP BY 1
+"""
+
+
+# --- Q-sink-11 (extra): small-file compaction --------------------------------
+def _sink_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction: rewrite a many-small-files table into few
+    right-sized files (THE recurring 100 TB maintenance job — the
+    reference's 'har' archives and CombineFileInputFormat exist because
+    of exactly this). Proves content identical and file count reduced;
+    returns accounting the oracle reproduces from the source + pinned
+    file-count booleans."""
+    import glob
+
+    src = T(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    frag_path, comp_path = _tmp("q_sink_frag"), _tmp("q_sink_compact")
+    src.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    n_small = len(glob.glob(f"{frag_path}/part-*.parquet"))
+    frag.repartition(4).write.mode("overwrite").parquet(comp_path)
+    back = spark.read.parquet(comp_path)
+    n_big = len(glob.glob(f"{comp_path}/part-*.parquet"))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_orderkey") % 1000003).cast("long").alias("key_sum"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.lit(n_small == 64).alias("fragmented_64"),
+        F.lit(n_big == 4).alias("compacted_4"),
+    )
+
+
+_COMPACT_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey % 1000003) AS BIGINT) AS key_sum,
+       round(sum(l_quantity), 2) AS qty,
+       TRUE AS fragmented_64, TRUE AS compacted_4
+FROM lineitem
+"""
+
+
 # --- Q-sink-6 (extra): CSV + JSON-lines round trips --------------------------
 def _sink_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Write the same slice as header-CSV and JSON-lines, read both back
@@ -261,6 +328,20 @@ QUERIES: dict[str, QueryDef] = {
         "Q-sink-8 (engine extra) size-budgeted tar training shards "
         "(WebDataset layout; MultipleOutputFormat file routing with a byte "
         "budget, mapred/lib/MultipleOutputFormat.java:51)",
+    ),
+    "q_sink_schema_evolution": QueryDef(
+        _sink_schema_evolution,
+        _EVOLVE_SQL,
+        "Q-sink-10 (engine extra) mergeSchema read across file generations "
+        "— old rows surface NULL for late-added columns, nothing lost "
+        "(the reference's rigid Writable/IDL schemas forced rewrites)",
+    ),
+    "q_sink_compaction": QueryDef(
+        _sink_compaction,
+        _COMPACT_SQL,
+        "Q-sink-11 (engine extra) small-file compaction: 64 fragments -> 4 "
+        "right-sized files, content hash-identical (the maintenance job "
+        "behind har/CombineFileInputFormat, mapred/lib/CombineFileInputFormat.java:55)",
     ),
     "q_sink_orc_roundtrip": QueryDef(
         _sink_orc_roundtrip,
