@@ -279,3 +279,45 @@ def test_cdc_apply_stream_matches_batch_compaction(spark):
     assert again == want
     for d in (src_dir, src_dir + "_stage", table, ckpt):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streaming ingest dedup: each micro-batch's docs are LSH-matched
+    against the ACCUMULATED index via foreachBatch + incremental_lsh
+    (the daily-ingest shape as a continuous pipeline). Two batches,
+    file stream; the union of per-batch matches must equal the batch
+    run of incremental_lsh_candidates over the same split."""
+    from pyspark.sql import functions as F
+
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    docs = catalog.load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    index = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    src_dir = str(tmp_path / "stream_src")
+    # two micro-batches of the new side (one file each)
+    new.where(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(f"{src_dir}/b0")
+    new.where(F.col("doc_id") % 20 == 10).coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    schema = docs.schema
+    matches: list = []
+
+    def on_batch(batch_df, batch_id):
+        got = dedup.incremental_lsh_candidates(
+            batch_df, index, "doc_id", "text"
+        ).collect()
+        matches.extend((r["new_id"], r["index_id"]) for r in got)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    expected = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.incremental_lsh_candidates(new, index, "doc_id", "text").collect()
+    }
+    assert set(matches) == expected and expected
