@@ -20,6 +20,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_bpe",  # new: distributed BPE merge learning
     "q_text_bpe_encode",  # new: BPE corpus encoding + token accounting
     "q_agg_rolling",  # new: time-range rolling window aggregate
+    "q_dedup_semantic",  # new: SemDeDup kmeans-blocked cosine dedup
+    "q_pipeline_funnel",  # new: curation funnel accounting
     "q_graph_pagerank",  # new: integer-exact iterative PageRank
     "q_dedup_canonical",  # new: canonicalizing keep-best dedup
     "q_dedup_paragraph",  # new: C4-style chunk-level first-occurrence dedup

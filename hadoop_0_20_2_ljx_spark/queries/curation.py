@@ -470,12 +470,174 @@ r{t} AS (
     )
 
 
+# --- semantic dedup (SemDeDup shape): kmeans blocking + in-cluster cosine ----
+_SEM_K, _SEM_DIM, _SEM_THR = 8, 64, 0.2
+
+
+def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the embeddings (one Lloyd
+    assignment from a fixed seed), then pair only WITHIN a cluster and
+    keep pairs above a cosine threshold. At 100 TB k grows with n so the
+    per-cluster pair cost n²/k stays bounded — the published SemDeDup
+    recipe; the sign-LSH variant (q_dedup_embed) is the alternative
+    blocking for the same job."""
+    from hadoop_0_20_2_ljx_spark.extensions import clustering, similarity
+
+    emb = T(spark, sf, "embeddings")
+    init_rows = emb.filter(F.col("vec_id") < _SEM_K).select("vec_id", "embedding").collect()
+    init = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init_rows}
+    assigned = clustering.assign_clusters(emb, "embedding", init)
+    a = assigned.select(
+        F.col("vec_id"), F.col("cluster"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    l, r = a.alias("l"), a.alias("r")
+    cos = similarity.cosine(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.cluster") == F.col("r.cluster"),
+                F.col("l.vec_id") < F.col("r.vec_id"),
+            ],
+        )
+        .where(cos >= F.lit(_SEM_THR))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.col("l.cluster").alias("cluster"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
+def _semantic_sql() -> str:
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {_SEM_DIM}), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+a1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       round(list_inner_product(a.v, b.v) /
+         (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v) /
+      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= {_SEM_THR}
+"""
+
+
+# --- curation funnel accounting ----------------------------------------------
+def _pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stage survivor accounting for the curation cascade (the ops
+    dashboard every production pipeline reports): exact dedup -> length
+    gate -> blocklist -> decontamination. ONE scan plus two bounded
+    shuffles (dedup winners, contamination gram join); counts come from
+    conditional sums over row flags, not one job per stage."""
+    from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops
+
+    docs = T(spark, sf, "documents")
+    winners = docs.groupBy("text").agg(F.min("doc_id").alias("w_id"))
+    bench_grams = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(pipeline_ops.word_ngrams(F.col("text"), 8))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(pipeline_ops.word_ngrams(F.col("text"), 8))).alias("gram"),
+    )
+    contaminated = (
+        doc_grams.join(bench_grams, "gram").select("doc_id").distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    flags = (
+        docs.join(winners, "text")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            (F.col("doc_id") == F.col("w_id")).alias("is_winner"),
+            F.length("text").between(60, 10000).alias("len_ok"),
+            (
+                ~F.col("source").isin(*_BLOCKED_SOURCES)
+                & ~F.arrays_overlap(toks, F.array(*[F.lit(t) for t in _BLOCKED_TERMS]))
+            ).alias("block_ok"),
+            F.col("_cont").isNull().alias("clean"),
+        )
+    )
+    w = F.col("is_winner").cast("long")
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(w).cast("long").alias("n_after_dedup"),
+        F.sum(w * F.col("len_ok").cast("long")).cast("long").alias("n_after_len"),
+        F.sum(w * (F.col("len_ok") & F.col("block_ok")).cast("long"))
+        .cast("long")
+        .alias("n_after_block"),
+        F.sum(
+            w * (F.col("len_ok") & F.col("block_ok") & F.col("clean")).cast("long")
+        )
+        .cast("long")
+        .alias("n_after_decontam"),
+    )
+
+
+def _funnel_sql() -> str:
+    from hadoop_0_20_2_ljx_spark.queries.ext import _ngrams_sql
+
+    grams = _ngrams_sql(_WORDS.format(col="lower(text)"), 8)
+    return f"""
+WITH winners AS (SELECT text, min(doc_id) AS w_id FROM documents GROUP BY 1),
+bg AS (
+  SELECT DISTINCT unnest({grams}) AS gram FROM documents WHERE doc_id % 97 = 0
+),
+dg AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+),
+cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)),
+flags AS (
+  SELECT (d.doc_id = w.w_id) AS is_winner,
+         length(d.text) BETWEEN 60 AND 10000 AS len_ok,
+         (d.source NOT IN ('{_BLOCKED_SOURCES[0]}', '{_BLOCKED_SOURCES[1]}')
+          AND NOT list_has_any({_WORDS.format(col="d.text")},
+                               ['{_BLOCKED_TERMS[0]}', '{_BLOCKED_TERMS[1]}'])) AS block_ok,
+         (c.doc_id IS NULL) AS clean
+  FROM documents d JOIN winners w ON d.text = w.text
+  LEFT JOIN cont c ON d.doc_id = c.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN is_winner THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       CAST(sum(CASE WHEN is_winner AND len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+       CAST(sum(CASE WHEN is_winner AND len_ok AND block_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_block,
+       CAST(sum(CASE WHEN is_winner AND len_ok AND block_ok AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam
+FROM flags
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_text_bpe": QueryDef(
         _text_bpe,
         _bpe_sql(),
         "distributed BPE merge learning: one TakeOrdered aggregate per "
         "round, oracle replays every round as chained CTEs",
+    ),
+    "q_dedup_semantic": QueryDef(
+        _dedup_semantic,
+        _semantic_sql(),
+        "SemDeDup-style semantic dedup: kmeans blocking + in-cluster "
+        "cosine pairs; per-cluster pair cost n^2/k",
+    ),
+    "q_pipeline_funnel": QueryDef(
+        _pipeline_funnel,
+        _funnel_sql(),
+        "curation funnel accounting: per-stage survivor counts from one "
+        "scan of row flags (dedup -> length -> blocklist -> decontam)",
     ),
     "q_text_bpe_encode": QueryDef(
         _text_bpe_encode,
