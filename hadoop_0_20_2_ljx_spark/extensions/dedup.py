@@ -667,11 +667,14 @@ def keep_best_dedup(
     canonical-form step) and keep the best-scoring doc per group, ties
     broken by smallest id (deterministic under retry).
 
-    One hash shuffle on the normalized-text key with a max(struct) agg —
-    partial aggregation applies map-side, no window sort, no distinct.
+    One hash shuffle on the md5 of the normalized text (the shuffle key
+    is 32 bytes regardless of document size — never the text itself) with
+    a max(struct) agg — partial aggregation applies map-side, no window
+    sort, no distinct. `score_col` must be non-null (fixture n_chars is);
+    ids must be numeric (the tie-break negates them).
     Returns (id, score, n_dups) for each kept (canonical) doc.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
     # max over (score, -id): best score wins, then the SMALLEST id.
     pick = F.struct(
         F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
@@ -704,6 +707,8 @@ def chunk_first_occurrence_dedup(
     SURVIVING chunk set (order-insensitive sum of chunk hashes), so the
     oracle checks content, not just counts.
     """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
     toks = _tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     exploded = df.select(

@@ -42,6 +42,10 @@ def pagerank_int(
     """PageRank over distinct (src, dst) edges, `iterations` rounds of
     rank_v = (100-d)% * SCALE + d% * sum(rank_u div outdeg_u), all in
     scaled integers. Returns (node, rank) with rank a scaled BIGINT."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     sc = edges.sparkSession.sparkContext
     e = e.repartition(sc.defaultParallelism, "src").localCheckpoint(eager=True)

@@ -31,6 +31,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sink_orc_roundtrip",  # new: ORC columnar roundtrip
     "q_sink_schema_evolution",  # new: mergeSchema generation read
     "q_sink_compaction",  # new: small-file compaction
+    "q_scan_gzip_text",  # new: gzip TextInputFormat roundtrip
     "q_dedup_minhash",  # reworked: double-hash minhash family (1 md5/shingle)
     "q_agg_approx_distinct",  # reworked: rows-only -> relative-error gate
     "q_sink_tfile_roundtrip",  # new: TFile container wire compat

@@ -38,7 +38,7 @@ def _dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
 
 _CANONICAL_SQL = """
 WITH g AS (
-  SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k,
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS k,
          max(struct_pack(s := n_chars, negid := -doc_id)) AS best,
          CAST(count(*) AS BIGINT) AS n_dups
   FROM documents GROUP BY 1
@@ -544,7 +544,11 @@ def _pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops
 
     docs = T(spark, sf, "documents")
-    winners = docs.groupBy("text").agg(F.min("doc_id").alias("w_id"))
+    # md5 of the text as the dedup shuffle/join key — 32 bytes per row at
+    # any document size, same posture as keep_best_dedup
+    winners = docs.groupBy(F.md5("text").alias("_k")).agg(
+        F.min("doc_id").alias("w_id")
+    )
     bench_grams = (
         docs.where(F.col("doc_id") % 97 == 0)
         .select(F.explode(F.array_distinct(pipeline_ops.word_ngrams(F.col("text"), 8))).alias("gram"))
@@ -560,7 +564,8 @@ def _pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     flags = (
-        docs.join(winners, "text")
+        docs.withColumn("_k", F.md5("text"))
+        .join(winners, "_k")
         .join(contaminated, "doc_id", "left")
         .select(
             (F.col("doc_id") == F.col("w_id")).alias("is_winner"),
@@ -593,7 +598,7 @@ def _funnel_sql() -> str:
 
     grams = _ngrams_sql(_WORDS.format(col="lower(text)"), 8)
     return f"""
-WITH winners AS (SELECT text, min(doc_id) AS w_id FROM documents GROUP BY 1),
+WITH winners AS (SELECT md5(text) AS k, min(doc_id) AS w_id FROM documents GROUP BY 1),
 bg AS (
   SELECT DISTINCT unnest({grams}) AS gram FROM documents WHERE doc_id % 97 = 0
 ),
@@ -608,7 +613,7 @@ flags AS (
           AND NOT list_has_any({_WORDS.format(col="d.text")},
                                ['{_BLOCKED_TERMS[0]}', '{_BLOCKED_TERMS[1]}'])) AS block_ok,
          (c.doc_id IS NULL) AS clean
-  FROM documents d JOIN winners w ON d.text = w.text
+  FROM documents d JOIN winners w ON md5(d.text) = w.k
   LEFT JOIN cont c ON d.doc_id = c.doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_total,

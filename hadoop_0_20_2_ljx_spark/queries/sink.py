@@ -175,6 +175,42 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- Q-scan-5: gzip-compressed text (TextInputFormat + GzipCodec) ------------
+def _scan_gzip_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed text lines: write tab-separated KV as .gz, read back
+    through the codec-transparent text reader — the reference's
+    TextInputFormat + GzipCodec path (io/compress/GzipCodec.java:36,
+    mapred/LineRecordReader.java:77 picks the codec by extension; Spark's
+    text source does the same). Gzip is NOT splittable — one task per
+    .gz file on both engines — so parallelism comes from the file count;
+    the writer keeps 8 files for exactly that reason (documented split
+    model, SURVEY §1.5)."""
+    src = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    path = _tmp("q_scan_gzip")
+    (
+        src.select(F.concat_ws("\t", F.col("o_orderkey").cast("string"), "o_orderstatus").alias("value"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+    back = spark.read.text(path).select(
+        F.split(F.col("value"), "\t")[0].cast("long").alias("o_orderkey"),
+        F.split(F.col("value"), "\t")[1].alias("o_orderstatus"),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_orderkey") % 1000003).cast("long").alias("key_sum"),
+    )
+
+
+_GZIP_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum
+FROM orders GROUP BY 1
+"""
+
+
 # --- Q-sink-10 (extra): schema evolution via mergeSchema ---------------------
 def _sink_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Schema evolution: v1 files lack a column that v2 files carry
@@ -328,6 +364,13 @@ QUERIES: dict[str, QueryDef] = {
         "Q-sink-8 (engine extra) size-budgeted tar training shards "
         "(WebDataset layout; MultipleOutputFormat file routing with a byte "
         "budget, mapred/lib/MultipleOutputFormat.java:51)",
+    ),
+    "q_scan_gzip_text": QueryDef(
+        _scan_gzip_text,
+        _GZIP_SQL,
+        "Q-scan-5 gzip text roundtrip: codec-by-extension read, "
+        "non-splittable-codec parallelism from file count "
+        "(io/compress/GzipCodec.java:36, mapred/LineRecordReader.java:77)",
     ),
     "q_sink_schema_evolution": QueryDef(
         _sink_schema_evolution,

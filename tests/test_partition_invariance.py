@@ -31,6 +31,14 @@ SAMPLE = [
     "q_dedup_keep_latest",
     "q_sort_total_order",
     "q_agg_domain_mix",
+    # round-3 additions: iterative (BPE argmax, integer PageRank),
+    # keep-best tie-breaks, chunk first-occurrence winners, funnel flags
+    "q_text_bpe",
+    "q_graph_pagerank",
+    "q_dedup_canonical",
+    "q_dedup_paragraph",
+    "q_pipeline_funnel",
+    "q_agg_rolling",
 ]
 
 
