@@ -102,18 +102,18 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
     )
 
 
-def minhash_band_buckets(
+def minhash_signatures_relational(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
-    bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(doc, band, bucket) LSH band-bucket rows — the shared core of the
-    self-join candidate generator and the incremental (new-vs-index)
-    variant. Bucket = md5-derived hash of one band's signature slice."""
-    rows_per_band = num_hashes // bands
+    """(doc, h0..h{n-1}) signature columns via the relational explode ->
+    min-agg pipeline — the codegen'd fast path (the per-row
+    minhash_signature() array form walks interpreted higher-order
+    functions, ~10x slower on wide corpora). Shared by band bucketing and
+    the Jaccard-estimate query."""
     ids = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
     sc = df.sparkSession.sparkContext
     # ONE exchange, and it carries doc TEXT, not exploded shingles: hash-
@@ -142,9 +142,24 @@ def minhash_band_buckets(
     hashed = spread.select("doc", F.explode(padded).alias("g")).select(
         "doc", _mh_base(F.col("g")).alias("v")
     )
-    sigd = hashed.groupBy("doc").agg(
+    return hashed.groupBy("doc").agg(
         *[F.min(_mh_hash(F.col("v"), s)).alias(f"h{s}") for s in range(num_hashes)]
     )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) LSH band-bucket rows — the shared core of the
+    self-join candidate generator and the incremental (new-vs-index)
+    variant. Bucket = md5-derived hash of one band's signature slice."""
+    rows_per_band = num_hashes // bands
+    sigd = minhash_signatures_relational(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigd.select(
         "doc",
         F.explode(

@@ -22,6 +22,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_rolling",  # new: time-range rolling window aggregate
     "q_dedup_semantic",  # new: SemDeDup kmeans-blocked cosine dedup
     "q_pipeline_funnel",  # new: curation funnel accounting
+    "q_dedup_jaccard_est",  # new: minhash estimate vs exact Jaccard
+    "q_agg_retention",  # new: cohort retention matrix
+    "q_agg_conversion",  # new: ordered conversion funnel
     "q_graph_pagerank",  # new: integer-exact iterative PageRank
     "q_dedup_canonical",  # new: canonicalizing keep-best dedup
     "q_dedup_paragraph",  # new: C4-style chunk-level first-occurrence dedup

@@ -625,7 +625,198 @@ FROM flags
 """
 
 
+# --- minhash Jaccard estimate vs exact (the sketch's ESTIMATION side) --------
+def _dedup_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
+    """For every LSH candidate pair, the minhash Jaccard ESTIMATE
+    (matching signature components / 16) next to the exact shingle-set
+    Jaccard — the estimation contract of the sketch, both in integer
+    basis points so the comparison is bit-exact cross-engine. Two empty
+    shingle sets (short docs, sentinel signature) are defined identical
+    (10000 bp)."""
+    docs = T(spark, sf, "documents")
+    sigs = dedup.minhash_signatures_relational(docs, "doc_id", "text", 16, 3)
+    sig_arr = F.array(*[F.col(f"h{s}") for s in range(16)])
+    shingles = docs.select(
+        F.col("doc_id").alias("doc"), dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    feats = sigs.select("doc", sig_arr.alias("sig")).join(shingles, "doc")
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3)
+    a = feats.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("sh").alias("sh_a")
+    )
+    b = feats.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("sh").alias("sh_b")
+    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.lit(10000) * matches / F.lit(16)).cast("long").alias("est_bp"),
+        F.when(uni == 0, F.lit(10000))
+        .otherwise(F.floor(F.lit(10000) * inter / uni))
+        .cast("long")
+        .alias("jaccard_bp"),
+    )
+
+
+def _jaccard_est_sql() -> str:
+    from hadoop_0_20_2_ljx_spark.queries.base import h32_sql
+    from hadoop_0_20_2_ljx_spark.queries.ext import _minhash_sig_elem_sql, _shingles_sql
+
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 3)
+    sig_elem = _minhash_sig_elem_sql()
+    bucket = h32_sql(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], v -> CAST(v AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, sh, list_transform(range(16), s -> {sig_elem}) AS sig
+  FROM (SELECT doc_id, {sh} AS sh FROM documents)
+),
+bands AS (
+  SELECT doc_id, b, {bucket} AS bucket
+  FROM feats, (SELECT unnest(range(4)) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(floor(10000 * len(list_filter(range(16), i -> fa.sig[i+1] = fb.sig[i+1])) / 16) AS BIGINT) AS est_bp,
+  CAST(CASE WHEN len(list_distinct(fa.sh || fb.sh)) = 0 THEN 10000
+       ELSE floor(10000 * len(list_intersect(fa.sh, fb.sh)) / len(list_distinct(fa.sh || fb.sh)))
+       END AS BIGINT) AS jaccard_bp
+FROM pairs p
+JOIN feats fa ON p.doc_a = fa.doc_id
+JOIN feats fb ON p.doc_b = fb.doc_id
+"""
+
+
+# --- cohort retention matrix -------------------------------------------------
+def _agg_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-activity week, counted
+    distinct per (cohort_week, week_offset) — the standard engagement
+    matrix. Two shuffles (per-user min, then the distinct matrix);
+    weeks are integer epoch-day divisions, no calendar ambiguity."""
+    ev = T(spark, sf, "events").select(
+        "user_id", (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.col("first_day") / 7).cast("long").alias("cohort_week"),
+        (F.floor(F.col("day") / 7) - F.floor(F.col("first_day") / 7))
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return joined.distinct().groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1),
+m AS (
+  SELECT DISTINCT ev.user_id,
+         CAST(floor(first.first_day / 7) AS BIGINT) AS cohort_week,
+         CAST(floor(ev.day / 7) - floor(first.first_day / 7) AS BIGINT) AS week_offset
+  FROM ev JOIN first USING (user_id)
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1, 2
+"""
+
+
+# --- event-sequence conversion funnel ----------------------------------------
+def _agg_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel: view -> later click -> later purchase
+    per user, counted as strictly-increasing timestamps. Three bounded
+    aggregate+join rounds (each output is one row per user), never a
+    per-user sort of the full event log in the driver."""
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    n_users = ev.select("user_id").distinct().count()
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.lit(n_users).cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_viewed"),
+            F.count("t_click").cast("long").alias("n_clicked_after"),
+            F.count("t_purchase").cast("long").alias("n_purchased_after"),
+        )
+    )
+
+
+_CONVERSION_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+v AS (SELECT user_id, min(t) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT ev.user_id, min(ev.t) AS t_click
+  FROM ev JOIN v USING (user_id)
+  WHERE ev.event_type = 'click' AND ev.t > v.t_view GROUP BY 1
+),
+p AS (
+  SELECT ev.user_id, min(ev.t) AS t_purchase
+  FROM ev JOIN c USING (user_id)
+  WHERE ev.event_type = 'purchase' AND ev.t > c.t_click GROUP BY 1
+)
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_viewed,
+       CAST(count(c.t_click) AS BIGINT) AS n_clicked_after,
+       CAST(count(p.t_purchase) AS BIGINT) AS n_purchased_after
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_dedup_jaccard_est": QueryDef(
+        _dedup_jaccard_est,
+        _jaccard_est_sql(),
+        "minhash Jaccard estimate vs exact shingle Jaccard per candidate "
+        "pair, integer basis points",
+    ),
+    "q_agg_retention": QueryDef(
+        _agg_retention,
+        _RETENTION_SQL,
+        "cohort retention matrix: first-activity-week cohorts x week "
+        "offset, distinct users",
+    ),
+    "q_agg_conversion": QueryDef(
+        _agg_conversion,
+        _CONVERSION_SQL,
+        "ordered view->click->purchase conversion funnel, three bounded "
+        "aggregate rounds",
+    ),
     "q_text_bpe": QueryDef(
         _text_bpe,
         _bpe_sql(),
