@@ -7,14 +7,17 @@ from __future__ import annotations
 from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 
 
-# Iteration-order priority (evidence rotation): the driver records roughly
-# the first ~50 registry rows per round. Round 2 re-proved the 50 queries
-# that were new/reworked then, which left 47 queries whose only driver row
-# is CORRECTNESS_r01. This round fronts (a) queries whose implementation
-# or oracle changed THIS round, then (b) those 47 r1-only queries, so
-# after r03 every registry query has driver proof no older than one round.
-# Correctness itself is order-independent (each query is self-contained);
-# the round-2-proven set sits at the back where a driver cap drops rows.
+# Iteration-order priority (evidence rotation): the driver records EXACTLY
+# the first 50 registry rows per round (r01 and r02 each hold 50).
+# Priority: (a) queries with NO driver row yet or whose implementation/
+# oracle changed this round (unproven claims are worse than aging proofs),
+# then (b) the oldest-evidence r1-only queries. Round 3 fronts ~39 (a)
+# entries, so ~11 of the r1-only set rotate in this round; the remainder
+# rotates in r4+ as the (a) set shrinks. Local pytest and tools/
+# driver_sim.py re-prove ALL queries at sf0.001/sf0.01/sf0.1 every gate
+# run regardless — the driver rows are the hard external signal, not the
+# only signal. Correctness itself is order-independent (each query is
+# self-contained).
 _NEEDS_FRESH_EVIDENCE = [
     # (a) changed/new this round — first-time or re-proof required
     "q_text_bpe",  # new: distributed BPE merge learning
@@ -35,6 +38,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sink_schema_evolution",  # new: mergeSchema generation read
     "q_sink_compaction",  # new: small-file compaction
     "q_scan_gzip_text",  # new: gzip TextInputFormat roundtrip
+    "q_sink_har_roundtrip",  # new: Hadoop Archive wire compat
     "q_dedup_minhash",  # reworked: double-hash minhash family (1 md5/shingle)
     "q_agg_approx_distinct",  # reworked: rows-only -> relative-error gate
     "q_sink_tfile_roundtrip",  # new: TFile container wire compat

@@ -175,6 +175,40 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- Q-sink-12: Hadoop Archive (.har) round trip -----------------------------
+def _sink_har_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Archive documents into a .har (masterindex/index/part layout the
+    reference's HarFileSystem opens, fs/HarFileSystem.java:35-43), read
+    it back, and exercise the masterindex point lookup. Content proven
+    lossless by hashes the oracle recomputes from parquet."""
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+    from hadoop_0_20_2_ljx_spark.sources import har
+
+    docs = T(spark, sf, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("name"), "text"
+    )
+    path = os.path.join(_tmp("q_sink_har"), "docs.har")
+    har.write_har(docs.repartition(4, "name"), path, "name", "text")
+    back = har.read_har(spark, path)
+    looked = har.har_lookup(path, "doc-7")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(portable_hash32(F.col("payload")) % 1000003).cast("long").alias("text_hash_sum"),
+        F.sum(F.length("payload")).cast("long").alias("total_chars"),
+        F.lit(looked is not None).alias("lookup_hit"),
+    )
+
+
+_HAR_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CAST(('0x' || substring(md5(CAST(text AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1000003) AS BIGINT) AS text_hash_sum,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       TRUE AS lookup_hit
+FROM documents
+"""
+
+
 # --- Q-scan-5: gzip-compressed text (TextInputFormat + GzipCodec) ------------
 def _scan_gzip_text(spark: SparkSession, sf: str) -> DataFrame:
     """Compressed text lines: write tab-separated KV as .gz, read back
@@ -364,6 +398,13 @@ QUERIES: dict[str, QueryDef] = {
         "Q-sink-8 (engine extra) size-budgeted tar training shards "
         "(WebDataset layout; MultipleOutputFormat file routing with a byte "
         "budget, mapred/lib/MultipleOutputFormat.java:51)",
+    ),
+    "q_sink_har_roundtrip": QueryDef(
+        _sink_har_roundtrip,
+        _HAR_SQL,
+        "Q-sink-12 Hadoop Archive (.har) wire compat: masterindex hash "
+        "buckets + index + part files (fs/HarFileSystem.java:35-43,361,448), "
+        "roundtrip + point lookup",
     ),
     "q_scan_gzip_text": QueryDef(
         _scan_gzip_text,
