@@ -79,3 +79,67 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph of
+    `edges` (self-loops dropped, duplicate/reverse edges collapsed).
+    Returns (node, triangles) for every node in >= 1 triangle.
+
+    Like PageRank above, the nearest reference shape is a hand-chained
+    JobControl pipeline (mapred/jobcontrol/JobControl.java:141); here it
+    is three declarative joins.
+
+    Design for scale — degree orientation: each undirected edge is
+    oriented from its (degree, id)-smaller endpoint to the larger, so a
+    node emits wedges only among its HIGHER-ranked neighbors. Max
+    oriented out-degree is O(sqrt(m)), bounding wedge count at O(m^1.5)
+    total work — the standard bound — whereas id-ordering lets one
+    high-degree hub generate O(deg^2) wedges. The triangle SET is
+    orientation-independent (each triangle is counted exactly once under
+    any total order), so the DuckDB oracle can replay with plain
+    id-ordering and still hash-match. All three joins are equi-joins
+    (wedge build on the oriented source, closure check on the (lo, hi)
+    edge pair); no cross product anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # orient by (degree, id): lo -> hi
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges lo -> (hi1, hi2): both neighbors rank above lo; close with the
+    # undirected edge {hi1, hi2} via its canonical (min, max) form
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    # keep each unordered neighbor pair once (by id, so it aligns with the
+    # canonical (a < b) closing-edge form and the join is a plain equi-join)
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+    closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return per_node.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )

@@ -117,3 +117,58 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Postings-list build: term -> (doc_freq, total_tf, capped postings).
+
+    The search-index half of the reference's wordcount family (examples/
+    WordCount.java:24 counts terms; an index job's reducer additionally
+    emits the doc-id list per term — the canonical Hadoop "inverted
+    index" example). Output per term: exact doc_freq and total_tf over
+    the WHOLE corpus, plus `postings` = the first `postings_cap` doc ids
+    in ascending id order, comma-joined.
+
+    Shape for 100 TB: tf is a partial-agg groupBy on (doc, term) — the
+    token explode never shuffles raw text, only (id, term) pairs. The
+    postings cap is applied with a row_number window BEFORE any list is
+    materialized, so a stopword term with 10^9 documents contributes
+    `postings_cap` rows to the collect_list, not 10^9 (an uncapped
+    collect_list is the classic inverted-index OOM). doc_freq/total_tf
+    still aggregate over all rows (partial agg, constant state/term).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("_id"), _words(text_col).alias("_ws"))
+    tf = (
+        base.select("_id", F.explode("_ws").alias("term"))
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("_id")
+    ranked = tf.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rn") <= postings_cap, F.col("_id"))
+                        )
+                    ),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+    )

@@ -11,9 +11,10 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # the first 50 registry rows per round (r01 and r02 each hold 50).
 # Priority: (a) queries with NO driver row yet or whose implementation/
 # oracle changed this round (unproven claims are worse than aging proofs),
-# then (b) the oldest-evidence r1-only queries. Round 3 fronts ~39 (a)
-# entries, so ~11 of the r1-only set rotate in this round; the remainder
-# rotates in r4+ as the (a) set shrinks. Local pytest and tools/
+# then (b) the oldest-evidence r1-only queries. Round 3 fronts 47 (a)
+# entries (40 new + 7 reworked), so ~3 of the r1-only set rotate in this
+# round; the remainder rotates in r4+ as the (a) set shrinks (r4 should
+# front the 44 remaining r1-only names before anything new). Local pytest and tools/
 # driver_sim.py re-prove ALL queries at sf0.001/sf0.01/sf0.1 every gate
 # run regardless — the driver rows are the hard external signal, not the
 # only signal. Correctness itself is order-independent (each query is
@@ -52,6 +53,14 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_dedup_substring",  # new: exact duplicate-substring spans
     "q_text_classifier",  # new: hashed linear quality classifier
     "q_agg_cms",  # new: Count-Min Sketch heavy hitters
+    "q_agg_tpch_q3",  # new: TPC-H Q3 shape (broadcast dim + top-10)
+    "q_agg_tpch_q6",  # new: TPC-H Q6 shape (full-pushdown scan)
+    "q_agg_tpch_q18",  # new: TPC-H Q18 shape (agg-then-join + top-100)
+    "q_text_inverted_index",  # new: capped postings-list build
+    "q_graph_triangles",  # new: degree-oriented triangle counting
+    "q_audit_constraints",  # new: Deequ-style constraint suite
+    "q_agg_outliers",  # new: integer-exact z-score outliers
+    "q_agg_drift_js",  # new: JS distribution drift in nano-units
     # reworked this round (large-star CC; kNN guard; SQL-expr rewrite of
     # the kmeans/PQ/IVF assignment builders; bloom probe refactor) — their
     # r2 proofs predate the change, so they re-prove before the old set
@@ -116,15 +125,17 @@ def _build() -> dict[str, QueryDef]:
     from hadoop_0_20_2_ljx_spark.queries import (
         agg,
         analytic,
+        audit,
         core,
         curation,
         ext,
         join_set,
         sink,
+        tpch,
         udf_misc,
     )
 
-    for mod in (core, agg, join_set, sink, udf_misc, ext, analytic, curation):
+    for mod in (core, agg, join_set, sink, udf_misc, ext, analytic, curation, tpch, audit):
         for k, v in mod.QUERIES.items():
             if k in registry:
                 raise ValueError(f"duplicate query name {k}")

@@ -189,7 +189,48 @@ GROUP BY 1
 """
 
 
+
+
+# --- inverted index: postings-list build ------------------------------------
+def _text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Term -> (doc_freq, total_tf, first-20 postings) over documents.
+    Engine side caps the postings list with a row_number window BEFORE
+    collect_list (extensions/relevance.py inverted_index — a stopword
+    term contributes 20 rows to the list, not its whole posting set);
+    the oracle replays with string_agg FILTER on the same rank."""
+    return relevance.inverted_index(
+        T(spark, sf, "documents"), "doc_id", "text", min_df=2, postings_cap=20
+    )
+
+
+_INVERTED_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         FILTER (WHERE rn <= 20) AS postings
+FROM ranked GROUP BY term HAVING count(*) >= 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_text_inverted_index": QueryDef(
+        _text_inverted_index,
+        _INVERTED_SQL,
+        "inverted-index postings build: window-capped posting lists, exact "
+        "df/tf over the full corpus",
+    ),
+
     "q_join_asof": QueryDef(
         _join_asof,
         _ASOF_SQL,

@@ -1,0 +1,190 @@
+"""Declared queries: data-quality audit family (extensions/audit.py).
+
+The reference's equivalent is Reporter-counter bookkeeping read off the
+JobTracker UI (mapred/Counters.java:47); here each audit is a first-class
+query whose result a pipeline gates on. All metrics derive from exact
+integer aggregates (see extensions/audit.py docstring), so every value —
+including the statistical outlier SET and the JS drift score — is
+bit-exact across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import audit
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+
+
+# --- Deequ-style constraint suite -------------------------------------------
+def _audit_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    """Six checks over orders/lineitem in one result: completeness,
+    key uniqueness, referential integrity, numeric range, accepted
+    values. Each is a one-pass partial aggregate; the union is of 1-row
+    frames (no data-sized union)."""
+    orders = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    checks = [
+        audit.completeness_check(orders, "o_custkey"),
+        audit.uniqueness_check(orders, "o_orderkey"),
+        audit.referential_check(li, "l_orderkey", orders, "o_orderkey"),
+        audit.predicate_check(
+            li,
+            "range:l_quantity",
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            audit.PPM,
+        ),
+        audit.predicate_check(
+            orders,
+            "accepted:o_orderstatus",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+            audit.PPM,
+        ),
+        audit.predicate_check(
+            li,
+            "range:l_discount",
+            (F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1),
+            audit.PPM,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_CONSTRAINTS_SQL = """
+SELECT 'complete:o_custkey' AS check_name,
+       CAST(floor(1000000 * count(o_custkey) / count(*)) AS BIGINT) AS metric_ppm,
+       floor(1000000 * count(o_custkey) / count(*)) >= 1000000 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(floor(1000000 * count(DISTINCT o_orderkey) / count(*)) AS BIGINT),
+       floor(1000000 * count(DISTINCT o_orderkey) / count(*)) >= 1000000
+FROM orders
+UNION ALL
+SELECT 'ref:l_orderkey',
+       CAST(floor(1000000 * (n - o) / n) AS BIGINT),
+       floor(1000000 * (n - o) / n) >= 1000000
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON l.l_orderkey = p.o_orderkey
+)
+UNION ALL
+SELECT 'range:l_quantity',
+       CAST(floor(1000000 * sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) / count(*)) AS BIGINT),
+       floor(1000000 * sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) / count(*)) >= 1000000
+FROM lineitem
+UNION ALL
+SELECT 'accepted:o_orderstatus',
+       CAST(floor(1000000 * sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) / count(*)) AS BIGINT),
+       floor(1000000 * sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) / count(*)) >= 1000000
+FROM orders
+UNION ALL
+SELECT 'range:l_discount',
+       CAST(floor(1000000 * sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) / count(*)) AS BIGINT),
+       floor(1000000 * sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) / count(*)) >= 1000000
+FROM lineitem
+"""
+
+
+# --- per-group exact z-score outliers ---------------------------------------
+def _agg_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Events whose value deviates > 2 sigma from their event_type mean.
+    The decision boundary is evaluated in pure integers (see
+    extensions/audit.py zscore_outliers) so the outlier set cannot flip
+    with float summation order."""
+    ev = T(spark, sf, "events")
+    return audit.zscore_outliers(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100, 0),
+        ["event_id"],
+        z_threshold=2,
+    )
+
+
+_OUTLIERS_SQL = """
+WITH base AS (
+  SELECT event_id, event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), stats AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM base GROUP BY 1
+)
+SELECT event_id, g AS event_type, c AS cents,
+       CAST(floor(10000.0 * (n * c - s) / sqrt(CAST(n * q - s * s AS DOUBLE))) AS BIGINT) AS z_bp
+FROM base JOIN stats USING (g)
+WHERE (n * c - s) * (n * c - s) > 4 * (n * q - s * s) AND n * q - s * s > 0
+"""
+
+
+# --- distribution drift (Jensen-Shannon, integer nano-units) ----------------
+def _agg_drift_js(spark: SparkSession, sf: str) -> DataFrame:
+    """JS divergence of each event_type's value distribution between the
+    first and second half of the month — the slice-vs-slice drift
+    monitor. Bin terms are floored to integer nano-units before the
+    per-group sum, so the score is order-independent."""
+    ev = T(spark, sf, "events")
+    return audit.distribution_drift_js(
+        ev,
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)),
+        F.col("ts") < F.lit("2024-01-16"),
+        n_bins=10,
+    )
+
+
+_DRIFT_SQL = """
+WITH b AS (
+  SELECT event_type AS g,
+         least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h
+  FROM events
+), c AS (
+  SELECT g, bin,
+         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM b GROUP BY 1, 2
+), t AS (
+  SELECT g, CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2
+  FROM c GROUP BY 1
+)
+SELECT g AS event_type,
+       CAST(sum(CAST(floor(1000000000.0 * (
+         CASE WHEN c1 > 0
+              THEN (c1 / t1) * ln((c1 / t1) / (((c1 / t1) + (c2 / t2)) / 2)) / 2
+              ELSE 0.0 END
+         + CASE WHEN c2 > 0
+                THEN (c2 / t2) * ln((c2 / t2) / (((c1 / t1) + (c2 / t2)) / 2)) / 2
+                ELSE 0.0 END)) AS BIGINT)) AS BIGINT) AS js_nano
+FROM c JOIN t USING (g)
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_audit_constraints": QueryDef(
+        _audit_constraints,
+        _CONSTRAINTS_SQL,
+        "Deequ-style constraint suite (completeness/uniqueness/RI/range/"
+        "accepted-values) as one result; integer-ppm metrics",
+    ),
+    "q_agg_outliers": QueryDef(
+        _agg_outliers,
+        _OUTLIERS_SQL,
+        "per-group z-score outliers with an integer-exact decision "
+        "boundary (no float-sum boundary flips)",
+    ),
+    "q_agg_drift_js": QueryDef(
+        _agg_drift_js,
+        _DRIFT_SQL,
+        "Jensen-Shannon slice-drift per group, bin terms floored to "
+        "integer nano-units (order-independent sum)",
+    ),
+}

@@ -470,6 +470,39 @@ r{t} AS (
     )
 
 
+# --- triangle counting (degree-oriented) -------------------------------------
+def _graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts on the part<->supplier co-occurrence
+    graph (node ids folded mod 500 so the graph has closed wedges).
+    Engine side orients edges by (degree, id) — O(m^1.5) wedge bound,
+    the scale-critical trick (extensions/graph.py triangle_counts); the
+    triangle SET is orientation-independent, so the oracle replays with
+    plain id-ordering and hash-matches."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import triangle_counts
+
+    li = T(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % 500).alias("src"), (F.col("l_suppkey") % 500).alias("dst")
+    )
+    return triangle_counts(li, "src", "dst")
+
+
+_TRIANGLES_SQL = """
+WITH raw AS (SELECT l_partkey % 500 AS a, l_suppkey % 500 AS b FROM lineitem),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM pn GROUP BY 1
+"""
+
+
 # --- semantic dedup (SemDeDup shape): kmeans blocking + in-cluster cosine ----
 _SEM_K, _SEM_DIM, _SEM_THR = 8, 64, 0.2
 
@@ -846,6 +879,12 @@ QUERIES: dict[str, QueryDef] = {
         _ROLLING_SQL,
         "per-user rolling 1-hour RANGE-frame aggregate (tie-insensitive, "
         "integer-cent sums)",
+    ),
+    "q_graph_triangles": QueryDef(
+        _graph_triangles,
+        _TRIANGLES_SQL,
+        "degree-oriented triangle counting (O(m^1.5) wedge bound); oracle "
+        "replays with id-ordering — same triangle set",
     ),
     "q_graph_pagerank": QueryDef(
         _graph_pagerank,

@@ -1,0 +1,192 @@
+"""Declared queries: TPC-H Q3 / Q6 / Q18 shapes over the star schema.
+
+The reference's users run exactly these report shapes as hand-rolled
+MapReduce chains (join job -> agg job -> sort job via
+mapred/jobcontrol/JobControl.java:141, with the join halves built on
+mapred/lib/CompositeInputFormat-style tagged inputs); Q1 landed in round
+1 (queries/agg.py q_agg_tpch_q1). Here each is ONE declarative plan so
+Catalyst picks the physical strategy: broadcast the filtered customer
+dim, push the date filters into the parquet scan, partial-agg before
+every exchange.
+
+Cross-engine determinism: revenue aggregates are integer CENTS — each
+row's extended revenue is rounded to cents FIRST (identical doubles in
+both engines -> identical cents), then summed as BIGINT, which is
+order-independent; a raw double sum ordered differently per engine
+would flip the top-k selection at the rounding boundary. Top-k
+orderings carry an explicit unique-key tiebreak (queries/base.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+
+
+def _rev_cents(price: str, disc: str) -> F.Column:
+    return F.round(F.col(price) * (1 - F.col(disc)) * 100, 0).cast("long")
+
+
+# --- Q3: shipping-priority top-10 -------------------------------------------
+def _tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Unshipped high-value BUILDING orders: 2 joins + agg + top-10.
+    The customer dim shrinks to one segment -> broadcast; lineitem and
+    orders equi-join on the order key with both date filters pushed to
+    the scans; TakeOrderedAndProject caps the sort at k=10."""
+    cust = (
+        T(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        T(spark, sf, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        T(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .select("l_orderkey", _rev_cents("l_extendedprice", "l_discount").alias("_rc"))
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("_rc").cast("long").alias("revenue_cents")
+    )
+    return (
+        agg.orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q6: forecast-revenue-change scan ---------------------------------------
+def _tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure filter+scalar-agg — the pushdown showcase: all three
+    predicates reach the parquet scan (PushedFilters), the projection
+    prunes to 4 columns, and the single-row answer needs no shuffle at
+    all (partial sums -> one final reduce)."""
+    li = T(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- Q18: large-volume customers --------------------------------------------
+_Q18_MIN_QTY = 190
+
+
+def _tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with their
+    customer: the agg-then-semi-join shape. The qualifying-order set is
+    computed by a partial-agg groupBy on lineitem (never a correlated
+    subquery per row) and re-joined; customer joins on the already
+    thinned order rows. l_quantity is integer-valued, so the HAVING
+    comparison and the output sum are exact in both engines."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    orders = T(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = T(spark, sf, "customer").select("c_custkey", "c_name")
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_agg_tpch_q3": QueryDef(
+        _tpch_q3,
+        _Q3_SQL,
+        "TPC-H Q3 shape: broadcast dim + 2 equi-joins + partial agg + "
+        "TakeOrderedAndProject top-10; integer-cent revenue",
+    ),
+    "q_agg_tpch_q6": QueryDef(
+        _tpch_q6,
+        _Q6_SQL,
+        "TPC-H Q6 shape: full-pushdown filter scan to a 1-row answer; "
+        "integer-cent revenue",
+    ),
+    "q_agg_tpch_q18": QueryDef(
+        _tpch_q18,
+        _Q18_SQL,
+        "TPC-H Q18 shape: lineitem agg -> qualifying-order join -> "
+        "customer join -> top-100 with unique-key tiebreak",
+    ),
+}

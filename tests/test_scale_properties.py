@@ -199,3 +199,49 @@ def test_simhash_signatures_single_exchange(spark):
     docs = catalog.load(spark, SF_SMOKE, "documents")
     plan = plan_of(simhash_signatures(docs, "doc_id", "text"))
     assert plan.count("Exchange") == 1
+
+
+def test_tpch_q3_broadcasts_dim_and_caps_sort(spark):
+    """Q3's one-segment customer dim must broadcast (no shuffle of the
+    fact side for it) and the top-10 must compile to
+    TakeOrderedAndProject, never a global sort."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    df = REGISTRY["q_agg_tpch_q3"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_full_pushdown(spark):
+    """Q6 is the pushdown showcase: shipdate/discount/quantity predicates
+    all reach the parquet scan and the ReadSchema is pruned to the 4
+    referenced columns."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    df = REGISTRY["q_agg_tpch_q6"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+
+
+def test_triangle_counts_no_cartesian_and_degree_bound(spark):
+    """Triangle counting must stay equi-join only (covered again by the
+    registry-wide cartesian sweep) and the degree orientation must bound
+    the max oriented out-degree by O(sqrt(m)) on a hub-heavy graph — the
+    property that caps wedge work at scale."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import triangle_counts
+
+    # star graph (hub 0 + 40 leaves) plus a few leaf-leaf closures: id
+    # ordering would give the hub out-degree 40; degree ordering gives
+    # every leaf out-degree <= a few and the hub only ties-broken edges
+    edges = [(0, i) for i in range(1, 41)] + [(1, 2), (2, 3), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = triangle_counts(e, "src", "dst")
+    assert "CartesianProduct" not in plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan_of(out)
+    rows = {r["node"]: r["triangles"] for r in out.collect()}
+    # triangles: {0,1,2}, {0,2,3}, {0,3,4}
+    assert rows[0] == 3 and rows[2] == 2 and rows[4] == 1
