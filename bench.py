@@ -162,6 +162,10 @@ def main() -> int:
         "dedup_incremental": "q_dedup_incremental",
         "dedup_paragraph": "q_dedup_paragraph",
         "pagerank": "q_graph_pagerank",
+        "tpch_q3": "q_agg_tpch_q3",
+        "tpch_q6": "q_agg_tpch_q6",
+        "triangles": "q_graph_triangles",
+        "audit_constraints": "q_audit_constraints",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

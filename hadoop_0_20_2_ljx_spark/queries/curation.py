@@ -473,21 +473,30 @@ r{t} AS (
 # --- triangle counting (degree-oriented) -------------------------------------
 def _graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle counts on the part<->supplier co-occurrence
-    graph (node ids folded mod 500 so the graph has closed wedges).
+    graph (node ids folded mod 300, edges deterministically thinned to
+    ~20% so the synthetic graph is SPARSE — folding alone yields a
+    near-complete graph whose wedge count is O(n^3), which benchmarks
+    the fixture, not the operator).
     Engine side orients edges by (degree, id) — O(m^1.5) wedge bound,
     the scale-critical trick (extensions/graph.py triangle_counts); the
     triangle SET is orientation-independent, so the oracle replays with
     plain id-ordering and hash-matches."""
     from hadoop_0_20_2_ljx_spark.extensions.graph import triangle_counts
 
-    li = T(spark, sf, "lineitem").select(
-        (F.col("l_partkey") % 500).alias("src"), (F.col("l_suppkey") % 500).alias("dst")
+    li = (
+        T(spark, sf, "lineitem")
+        .where((F.col("l_partkey") + 3 * F.col("l_suppkey")) % 10 < 2)
+        .select(
+            (F.col("l_partkey") % 300).alias("src"),
+            (F.col("l_suppkey") % 300).alias("dst"),
+        )
     )
     return triangle_counts(li, "src", "dst")
 
 
 _TRIANGLES_SQL = """
-WITH raw AS (SELECT l_partkey % 500 AS a, l_suppkey % 500 AS b FROM lineitem),
+WITH raw AS (SELECT l_partkey % 300 AS a, l_suppkey % 300 AS b FROM lineitem
+             WHERE (l_partkey + 3 * l_suppkey) % 10 < 2),
 e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
 tri AS (
   SELECT e1.u AS x, e1.v AS y, e2.v AS z
