@@ -56,6 +56,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_tpch_q3",  # new: TPC-H Q3 shape (broadcast dim + top-10)
     "q_agg_tpch_q6",  # new: TPC-H Q6 shape (full-pushdown scan)
     "q_agg_tpch_q18",  # new: TPC-H Q18 shape (agg-then-join + top-100)
+    "q_agg_tpch_q5",  # new: TPC-H Q5 shape (6-table join, all dims broadcast)
     "q_text_inverted_index",  # new: capped postings-list build
     "q_graph_triangles",  # new: degree-oriented triangle counting
     "q_audit_constraints",  # new: Deequ-style constraint suite

@@ -1,4 +1,4 @@
-"""Declared queries: TPC-H Q3 / Q6 / Q18 shapes over the star schema.
+"""Declared queries: TPC-H Q3 / Q5 / Q6 / Q18 shapes over the star schema.
 
 The reference's users run exactly these report shapes as hand-rolled
 MapReduce chains (join job -> agg job -> sort job via
@@ -190,3 +190,73 @@ QUERIES: dict[str, QueryDef] = {
         "customer join -> top-100 with unique-key tiebreak",
     ),
 }
+
+
+# --- Q5: local-supplier volume (6-table join) --------------------------------
+def _tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by nation where customer and supplier are co-national: the
+    join-ordering showcase. region/nation/supplier/customer are all
+    broadcast-sized dims (forced with broadcast() for the first three;
+    Catalyst picks BHJ for customer under the threshold anyway), so the
+    only shuffle left is the lineitem><orders equi-join + final agg —
+    the plan a 1000-executor cluster wants: fact tables shuffle once,
+    dims never do."""
+    region = T(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    nation = T(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = T(spark, sf, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        T(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_cents("l_extendedprice", "l_discount").alias("_rc")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum("_rc").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+QUERIES["q_agg_tpch_q5"] = QueryDef(
+    _tpch_q5,
+    _Q5_SQL,
+    "TPC-H Q5 shape: 6-table join with every dim broadcast — one fact "
+    "shuffle total; co-national customer/supplier constraint",
+)

@@ -1,0 +1,96 @@
+"""Unit tests for extensions/audit.py edge cases the oracle queries
+don't reach: null handling, zero-variance groups, empty slices, and the
+integer-exactness property of the outlier boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import audit
+
+
+def test_completeness_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    row = audit.completeness_check(df, "v", min_ppm=600_000).collect()[0]
+    assert row["metric_ppm"] == 500_000
+    assert row["passed"] is False
+
+
+def test_uniqueness_detects_dupes(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    row = audit.uniqueness_check(df, "k").collect()[0]
+    assert row["metric_ppm"] == 750_000
+    assert row["passed"] is False
+
+
+def test_referential_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = audit.referential_check(child, "fk", parent, "pk").collect()[0]
+    assert row["metric_ppm"] == 500_000
+    assert row["passed"] is False
+
+
+def test_zscore_zero_variance_group_emits_nothing(spark):
+    # all-equal group: variance 0 — no row may divide by zero or appear
+    df = spark.createDataFrame(
+        [(i, "g", 100) for i in range(10)], "event_id long, t string, v long"
+    )
+    out = audit.zscore_outliers(df, "t", F.col("v"), ["event_id"])
+    assert out.count() == 0
+
+
+def test_zscore_boundary_is_integer_exact(spark):
+    # group of 9 at 100 plus one at 1000: the outlier decision replays
+    # exactly via (n*x - S)^2 > 4 * (n*Q - S^2)
+    vals = [100] * 9 + [1000]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "event_id long, t string, v long"
+    )
+    out = audit.zscore_outliers(df, "t", F.col("v"), ["event_id"]).collect()
+    n, s, q = 10, sum(vals), sum(v * v for v in vals)
+    expect = {
+        i for i, v in enumerate(vals) if (n * v - s) ** 2 > 4 * (n * q - s * s)
+    }
+    assert {r["event_id"] for r in out} == expect and expect == {9}
+
+
+def test_drift_identical_slices_score_zero(spark):
+    # same distribution in both halves -> JS == 0 exactly
+    rows = [("g", i % 5, h) for i in range(50) for h in (0, 1)]
+    df = spark.createDataFrame(rows, "g string, b long, h int")
+    out = audit.distribution_drift_js(
+        df, "g", F.col("b"), F.col("h") == 1, n_bins=5
+    ).collect()
+    assert out[0]["js_nano"] == 0
+
+
+def test_drift_disjoint_slices_score_ln2(spark):
+    # fully disjoint supports -> JS = ln 2 (in nano units, floored)
+    rows = [("g", 0, 1)] * 10 + [("g", 1, 0)] * 10
+    df = spark.createDataFrame(rows, "g string, b long, h int")
+    out = audit.distribution_drift_js(
+        df, "g", F.col("b"), F.col("h") == 1, n_bins=2
+    ).collect()
+    import math
+
+    assert abs(out[0]["js_nano"] / 1e9 - math.log(2)) < 1e-6
+
+
+def test_inverted_index_cap_and_exact_df(spark):
+    from hadoop_0_20_2_ljx_spark.extensions.relevance import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common unique%d" % i) for i in range(30)], "doc_id long, text string"
+    )
+    out = {
+        r["term"]: r
+        for r in inverted_index(docs, "doc_id", "text", min_df=1, postings_cap=5).collect()
+    }
+    c = out["common"]
+    # df/tf exact over all 30 docs, postings capped at the 5 smallest ids
+    assert c["doc_freq"] == 30 and c["total_tf"] == 30
+    assert c["postings"] == "0,1,2,3,4"
+    assert out["unique7"]["postings"] == "7"

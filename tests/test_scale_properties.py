@@ -245,3 +245,16 @@ def test_triangle_counts_no_cartesian_and_degree_bound(spark):
     rows = {r["node"]: r["triangles"] for r in out.collect()}
     # triangles: {0,1,2}, {0,2,3}, {0,3,4}
     assert rows[0] == 3 and rows[2] == 2 and rows[4] == 1
+
+
+def test_tpch_q5_dims_broadcast_single_fact_shuffle(spark):
+    """Q5's four dims (region/nation/customer/supplier) must all join as
+    BroadcastHashJoin — at any scale only the fact tables may shuffle.
+    At smoke scale even lineitem><orders goes BHJ, so the only hash
+    Exchange left is the final aggregation's."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q5"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
