@@ -62,6 +62,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_audit_constraints",  # new: Deequ-style constraint suite
     "q_agg_outliers",  # new: integer-exact z-score outliers
     "q_agg_drift_js",  # new: JS distribution drift in nano-units
+    "q_agg_gapfill",  # new: calendar gap-fill + forward fill
+    "q_proj_unpivot",  # new: unpivot/melt via the Expand node
+    "q_sample_weighted",  # new: deterministic priority sampling
     # reworked this round (large-star CC; kNN guard; SQL-expr rewrite of
     # the kmeans/PQ/IVF assignment builders; bloom probe refactor) — their
     # r2 proofs predate the change, so they re-prove before the old set

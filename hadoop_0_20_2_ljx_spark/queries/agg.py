@@ -663,3 +663,68 @@ QUERIES: dict[str, QueryDef] = {
         "Q-agg-9 (engine extra) window ranking — absent in the reference",
     ),
 }
+
+
+# --- calendar gap-fill + forward fill (time-series resampling) ---------------
+def _agg_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily activity resampled onto the full calendar with
+    forward fill — the time-series gap-fill every metrics pipeline runs.
+
+    Shape: the calendar is users x sequence(lo, hi) — the 1-row bounds
+    broadcast, the per-user explode is |users|*days rows (output-sized,
+    never events-sized); the fill is one window per user ordered by day.
+    Sums are integer cents (order-independent); the fill itself is
+    deterministic (last non-null by calendar order).
+    """
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+    users = ev.select("user_id").distinct()
+    cal = users.join(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    j = cal.join(daily, ["user_id", "d"], "left")
+    w = Window.partitionBy("user_id").orderBy("d")
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("cents_filled"),
+        F.col("cents").isNull().alias("is_gap"),
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+), cal AS (
+  SELECT u.user_id, CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT user_id FROM events) u, b
+), j AS (
+  SELECT c.user_id, c.d, daily.cents FROM cal c
+  LEFT JOIN daily ON c.user_id = daily.user_id AND c.d = daily.d
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       CAST(coalesce(last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cents_filled,
+       cents IS NULL AS is_gap
+FROM j
+"""
+
+QUERIES["q_agg_gapfill"] = QueryDef(
+    _agg_gapfill,
+    _GAPFILL_SQL,
+    "calendar gap-fill + forward fill (time-series resample); calendar is "
+    "output-sized, fill is one keyed window",
+)

@@ -340,3 +340,51 @@ QUERIES: dict[str, QueryDef] = {
         "Q-top-1 Grep job 2 top-k (examples/.../Grep.java:71-84)",
     ),
 }
+
+
+# --- unpivot / melt (wide -> long reshape) -----------------------------------
+def _proj_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Melt four lineitem measure columns into (metric, value) rows —
+    the wide->long reshape feeding any per-metric pipeline. Spark's
+    native unpivot (Expand node: one pass, no join/shuffle, 1->4 rows
+    per input); values normalized to integer "milli" units so the long
+    table is cross-engine exact despite mixed scales. Thinned to every
+    50th order so the declared result stays bounded."""
+    li = T(spark, sf, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            F.round(F.col(c) * 1000, 0).cast("long").alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ],
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value_milli",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH base AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       CAST(round(l_quantity * 1000, 0) AS BIGINT) AS value_milli FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(round(l_extendedprice * 1000, 0) AS BIGINT) FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(round(l_discount * 1000, 0) AS BIGINT) FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(round(l_tax * 1000, 0) AS BIGINT) FROM base
+"""
+
+QUERIES["q_proj_unpivot"] = QueryDef(
+    _proj_unpivot,
+    _UNPIVOT_SQL,
+    "unpivot/melt wide->long via the native Expand node (one pass, no "
+    "shuffle); oracle replays as UNION ALL",
+)

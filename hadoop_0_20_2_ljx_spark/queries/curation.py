@@ -932,3 +932,55 @@ QUERIES: dict[str, QueryDef] = {
         "element-at-rank quantiles hash-matched",
     ),
 }
+
+
+# --- weighted sampling (deterministic priority sampling) ---------------------
+_WS_K = 5
+
+
+def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source weighted sample of k docs, weight = n_chars: priority
+    sampling (Duffield/Lund/Thorup) with priority h/w — h a portable
+    md5-derived 60-bit integer, so selection probability rises with
+    weight while the draw stays fully deterministic (retry- and
+    partitioning-invariant; a rand()-seeded sampler is neither).
+
+    Cross-engine exactness: priority is CAST(h AS DOUBLE)/w — IEEE
+    division of identical operands is bit-exact in both engines, unlike
+    the pow/log transforms of A-ES reservoir keys (libm-dependent last
+    ulp could flip a rank). Shape: one window shuffle on source; top-k
+    per group, never a global sort."""
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
+
+    docs = T(spark, sf, "documents")
+    pri = portable_hash64(
+        F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+    ).cast("double") / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("_pri").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", "n_chars", pri.alias("_pri"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _WS_K)
+        .select("source", "doc_id", "n_chars", "rank")
+    )
+
+
+_WEIGHTED_SQL = f"""
+WITH p AS (
+  SELECT source, doc_id, n_chars,
+         CAST({h64_sql("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / n_chars AS pri
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM p
+)
+SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= {_WS_K}
+"""
+
+QUERIES["q_sample_weighted"] = QueryDef(
+    _sample_weighted,
+    _WEIGHTED_SQL,
+    "deterministic weighted (priority) sampling per group — md5-derived "
+    "priorities, IEEE-exact h/w keys, per-group top-k window",
+)
