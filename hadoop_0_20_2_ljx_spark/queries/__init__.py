@@ -65,6 +65,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_gapfill",  # new: calendar gap-fill + forward fill
     "q_proj_unpivot",  # new: unpivot/melt via the Expand node
     "q_sample_weighted",  # new: deterministic priority sampling
+    "q_udf_cogroup",  # new: cogrouped applyInPandas reduce-side join
+    "q_agg_scd2",  # new: SCD type-2 history build
     # reworked this round (large-star CC; kNN guard; SQL-expr rewrite of
     # the kmeans/PQ/IVF assignment builders; bloom probe refactor) — their
     # r2 proofs predate the change, so they re-prove before the old set

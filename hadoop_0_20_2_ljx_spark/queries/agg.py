@@ -728,3 +728,70 @@ QUERIES["q_agg_gapfill"] = QueryDef(
     "calendar gap-fill + forward fill (time-series resample); calendar is "
     "output-sized, fill is one keyed window",
 )
+
+
+# --- SCD type-2 history build (validity intervals from a change stream) ------
+def _agg_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: per user, collapse the
+    purchase stream into value-band history rows with [valid_from,
+    valid_to) intervals and a version number — the warehouse op the
+    reference's users chain two sort jobs for (secondary sort by
+    (user, ts) then a stateful reducer sweep); here it is two window
+    functions on ONE keyed shuffle (change detection via lag, interval
+    close via lead over the surviving change rows).
+
+    Determinism: epoch micros are integers; the band is an integer div
+    of cents; ties on ts broken by event_id (base.py window rule).
+    """
+    from pyspark.sql.window import Window
+
+    ev = (
+        T(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.floor(F.round(F.col("value") * 100, 0) / 10000).cast("long").alias("band"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    changes = ev.withColumn("_prev", F.lag("band").over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("band"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return changes.select(
+        "user_id",
+        "band",
+        F.col("t_us").alias("valid_from_us"),
+        F.coalesce(F.lead("t_us").over(w2), F.lit(-1)).cast("long").alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+_SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(floor(CAST(round(value * 100, 0) AS BIGINT) / 10000) AS BIGINT) AS band
+  FROM events WHERE event_type = 'purchase'
+), changes AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, t_us, band,
+           lag(band) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+    FROM ev
+  ) WHERE prev IS NULL OR prev <> band
+)
+SELECT user_id, band, t_us AS valid_from_us,
+       CAST(coalesce(lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id), -1) AS BIGINT)
+         AS valid_to_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT)
+         AS version
+FROM changes
+"""
+
+QUERIES["q_agg_scd2"] = QueryDef(
+    _agg_scd2,
+    _SCD2_SQL,
+    "SCD type-2 history build: change detection + interval close, two "
+    "window passes on one keyed shuffle",
+)

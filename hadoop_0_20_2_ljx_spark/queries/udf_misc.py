@@ -414,3 +414,84 @@ QUERIES: dict[str, QueryDef] = {
         "(watermark-bounded state; streaming==batch asserted in tests)",
     ),
 }
+
+
+# --- cogrouped applyInPandas: the tagged-value reduce-side join --------------
+def _udf_cogroup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key custom merge of TWO grouped inputs via
+    groupBy().cogroup().applyInPandas — Spark's rendering of the
+    reference's reduce-side join contract (join/DataJoinReducerBase.java
+    tagged WritableComparable streams arriving at one reducer call;
+    MultipleInputs + a shared key). Each Arrow batch carries one key's
+    rows from both sides; the pandas fn reconciles the order header
+    against its lineitems. All outputs are exact integers (per-row cent
+    rounding, integral quantities), so the result hash-matches the
+    oracle's relational replay.
+
+    Scale shape: cogroup = one co-partitioned shuffle of both inputs on
+    the key (exactly the reference's reduce-side join I/O); the UDF is
+    Arrow-batched. Inputs thinned to every 20th order so the declared
+    result stays bounded."""
+    orders = (
+        T(spark, sf, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        T(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if len(odf) == 0:  # lineitem orphan (none exist; RI-checked) — drop
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_items", "sum_qty", "item_cents", "total_cents"]
+            )
+        item_cents = int((ldf["l_extendedprice"] * 100).round(0).sum()) if len(ldf) else 0
+        return pd.DataFrame(
+            [
+                [
+                    int(key[0]),
+                    len(ldf),
+                    int(ldf["l_quantity"].sum()) if len(ldf) else 0,
+                    item_cents,
+                    int(round(odf["o_totalprice"].iloc[0] * 100)),
+                ]
+            ],
+            columns=["o_orderkey", "n_items", "sum_qty", "item_cents", "total_cents"],
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge,
+            "o_orderkey long, n_items long, sum_qty long, item_cents long, "
+            "total_cents long",
+        )
+    )
+
+
+_COGROUP_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0
+), l AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey % 20 = 0
+)
+SELECT o.o_orderkey,
+       CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0) AS BIGINT)
+         AS item_cents,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o_totalprice
+"""
+
+QUERIES["q_udf_cogroup"] = QueryDef(
+    _udf_cogroup,
+    _COGROUP_SQL,
+    "Q-udf-4 (engine extra) cogrouped applyInPandas — the reference's "
+    "tagged-value reduce-side join contract as an Arrow-batched UDF",
+)
