@@ -176,8 +176,13 @@ def distribution_drift_js(
         F.sum("_c1").cast("long").alias("_t1"), F.sum("_c2").cast("long").alias("_t2")
     )
     j = counts.join(F.broadcast(totals), "_g")
-    p = F.col("_c1") / F.col("_t1")
-    q = F.col("_c2") / F.col("_t2")
+    # empty-slice guard: a group wholly inside one slice has t=0; treat
+    # the missing slice as the zero distribution (JS degenerates to
+    # ln2/2) instead of letting 0/0 NaN poison m and crash the ANSI
+    # double->long cast at runtime. Fixture groups always span both
+    # slices, so the oracle needs no twin guard.
+    p = F.when(F.col("_t1") > 0, F.col("_c1") / F.col("_t1")).otherwise(F.lit(0.0))
+    q = F.when(F.col("_t2") > 0, F.col("_c2") / F.col("_t2")).otherwise(F.lit(0.0))
     m = (p + q) / 2
     term = (
         F.when(F.col("_c1") > 0, p * F.log(p / m) / 2).otherwise(F.lit(0.0))

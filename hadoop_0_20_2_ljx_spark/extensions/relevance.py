@@ -172,3 +172,38 @@ def inverted_index(
         )
         .where(F.col("doc_freq") >= min_df)
     )
+
+
+def token_entropy(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy of each group's token distribution — the corpus
+    diversity metric curation dashboards track per source/slice (a
+    collapsing source shows up as an entropy drop before eyeballing any
+    sample would catch it).
+
+    Output per group: n_tokens, vocab, entropy_nano (sum of per-term
+    -p·ln p floored to integer NANO units, so the group sum is
+    order-independent and bit-exact cross-engine — a float-summed
+    entropy over an arbitrary-size vocabulary is not).
+
+    Shape: one token shuffle into a (group, term) partial-agg count;
+    per-group totals re-enter via broadcast; state per group is O(1).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_g"), F.explode(_words(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("_g", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = counts.groupBy("_g").agg(
+        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("vocab")
+    )
+    j = counts.join(F.broadcast(totals), "_g")
+    p = F.col("c") / F.col("n")
+    term_nano = F.floor(F.lit(1e9) * (-p * F.log(p))).cast("long")
+    return (
+        j.groupBy("_g")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
+            F.sum(term_nano).cast("long").alias("entropy_nano"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

@@ -188,3 +188,38 @@ QUERIES: dict[str, QueryDef] = {
         "integer nano-units (order-independent sum)",
     ),
 }
+
+
+# --- corpus diversity: per-source token entropy ------------------------------
+def _text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution entropy (extensions/relevance.py
+    token_entropy) — nano-unit integer sums, order-independent."""
+    from hadoop_0_20_2_ljx_spark.extensions.relevance import token_entropy
+
+    return token_entropy(T(spark, sf, "documents"), "source", "text")
+
+
+_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), t AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vocab
+  FROM c GROUP BY 1
+)
+SELECT c.source, max(t.n) AS n_tokens, max(t.vocab) AS vocab,
+       CAST(sum(CAST(floor(1000000000.0 * (-(c.c / t.n) * ln(c.c / t.n))) AS BIGINT)) AS BIGINT)
+         AS entropy_nano
+FROM c JOIN t ON c.source = t.source
+GROUP BY 1
+"""
+
+QUERIES["q_text_entropy"] = QueryDef(
+    _text_entropy,
+    _ENTROPY_SQL,
+    "per-source token-distribution entropy in integer nano-units "
+    "(corpus diversity monitor)",
+)

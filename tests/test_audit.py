@@ -94,3 +94,16 @@ def test_inverted_index_cap_and_exact_df(spark):
     assert c["doc_freq"] == 30 and c["total_tf"] == 30
     assert c["postings"] == "0,1,2,3,4"
     assert out["unique7"]["postings"] == "7"
+
+
+def test_drift_one_sided_group_does_not_crash(spark):
+    # a group entirely inside one slice: missing slice = zero
+    # distribution, JS degenerates to ln2/2 — must not NaN-crash
+    rows = [("g", i % 3, 1) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, b long, h int")
+    out = audit.distribution_drift_js(
+        df, "g", F.col("b"), F.col("h") == 1, n_bins=3
+    ).collect()
+    import math
+
+    assert abs(out[0]["js_nano"] / 1e9 - math.log(2) / 2) < 1e-6

@@ -39,6 +39,20 @@ SAMPLE = [
     "q_dedup_paragraph",
     "q_pipeline_funnel",
     "q_agg_rolling",
+    # this session's additions: top-k selections on integer-cent revenue,
+    # degree-oriented triangles, integer-exact outlier boundary, nano-unit
+    # drift/entropy sums, priority-sampling ranks, SCD2 interval closes,
+    # cogrouped pandas merge
+    "q_agg_tpch_q3",
+    "q_graph_triangles",
+    "q_agg_outliers",
+    "q_agg_drift_js",
+    "q_sample_weighted",
+    "q_agg_scd2",
+    "q_udf_cogroup",
+    "q_text_entropy",
+    "q_text_inverted_index",
+    "q_agg_gapfill",
 ]
 
 
