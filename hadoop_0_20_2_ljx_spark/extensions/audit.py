@@ -163,15 +163,41 @@ def distribution_drift_js(
     by groups*bins), then a groups*bins-sized re-aggregation. The data
     is scanned once; nothing is collected.
     """
+    counts = drift_counts(df, group_col, bin_col, split_cond)
+    return js_from_counts(counts, group_col)
+
+
+def drift_counts(
+    df: DataFrame, group_col: str, bin_col: F.Column, split_cond: F.Column
+) -> DataFrame:
+    """The drift monitor's sufficient statistics: exact integer histogram
+    counts per (group, bin, slice). These are ADDITIVE — counts from
+    micro-batches / daily partitions merge by plain summation — which is
+    what makes the monitor streamable via foreachBatch: keep a running
+    counts table (groups*bins rows, corpus-size-independent), add each
+    batch's counts, and re-finalize with js_from_counts. Never re-scan
+    history."""
     binned = df.select(
         F.col(group_col).alias("_g"),
         bin_col.cast("long").alias("_b"),
         F.when(split_cond, 1).otherwise(0).alias("_h"),
     )
-    counts = binned.groupBy("_g", "_b").agg(
+    return binned.groupBy("_g", "_b").agg(
         F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).cast("long").alias("_c1"),
         F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).cast("long").alias("_c2"),
     )
+
+
+def merge_drift_counts(counts: DataFrame) -> DataFrame:
+    """Collapse accumulated per-batch count rows back to one row per
+    (group, bin) — the merge step of the streamable monitor."""
+    return counts.groupBy("_g", "_b").agg(
+        F.sum("_c1").cast("long").alias("_c1"), F.sum("_c2").cast("long").alias("_c2")
+    )
+
+
+def js_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
+    """Finalize JS divergence from (merged) drift_counts output."""
     totals = counts.groupBy("_g").agg(
         F.sum("_c1").cast("long").alias("_t1"), F.sum("_c2").cast("long").alias("_t2")
     )

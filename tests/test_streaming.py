@@ -321,3 +321,51 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         for r in dedup.incremental_lsh_candidates(new, index, "doc_id", "text").collect()
     }
     assert set(matches) == expected and expected
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """Streamable drift monitor: drift_counts' integer histogram counts
+    are ADDITIVE, so a foreachBatch loop that appends each micro-batch's
+    counts and re-finalizes (merge + js_from_counts) must equal the
+    one-shot batch JS — without ever re-scanning history. Two
+    micro-batches over the events fixture."""
+    from pyspark.sql import functions as F
+
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+
+    ev = catalog.load(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    bin_col = F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9))
+    split = F.col("ts") < F.lit("2024-01-16")
+
+    src_dir = str(tmp_path / "drift_src")
+    counts_dir = str(tmp_path / "drift_counts")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src_dir}/b0")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    def on_batch(batch_df, batch_id):
+        audit.drift_counts(batch_df, "event_type", bin_col, split).write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    merged = audit.merge_drift_counts(spark.read.parquet(counts_dir))
+    streamed = {
+        r["event_type"]: r["js_nano"]
+        for r in audit.js_from_counts(merged, "event_type").collect()
+    }
+    batch = {
+        r["event_type"]: r["js_nano"]
+        for r in audit.distribution_drift_js(
+            ev, "event_type", bin_col, split, n_bins=10
+        ).collect()
+    }
+    assert streamed == batch and batch
