@@ -197,11 +197,22 @@ def merge_drift_counts(counts: DataFrame) -> DataFrame:
 
 
 def js_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
-    """Finalize JS divergence from (merged) drift_counts output."""
-    totals = counts.groupBy("_g").agg(
-        F.sum("_c1").cast("long").alias("_t1"), F.sum("_c2").cast("long").alias("_t2")
+    """Finalize JS divergence from (merged) drift_counts output.
+
+    Slice totals come from a whole-partition WINDOW over the counts
+    table, not a groupBy+join-back: the join-back shape consumes
+    `counts` twice with different column pruning, so neither static nor
+    AQE exchange reuse fires and the RAW corpus is scanned/aggregated
+    twice — at 100 TB that doubles the dominant cost. The window adds
+    one exchange of the groups×bins-sized counts (negligible) and the
+    corpus is scanned once; plan-asserted in tests/test_scale_properties.
+    """
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy("_g")
+    j = counts.withColumn("_t1", F.sum("_c1").over(wg).cast("long")).withColumn(
+        "_t2", F.sum("_c2").over(wg).cast("long")
     )
-    j = counts.join(F.broadcast(totals), "_g")
     # empty-slice guard: a group wholly inside one slice has t=0; treat
     # the missing slice as the zero distribution (JS degenerates to
     # ln2/2) instead of letting 0/0 NaN poison m and crash the ANSI

@@ -188,14 +188,21 @@ def token_entropy(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
     Shape: one token shuffle into a (group, term) partial-agg count;
     per-group totals re-enter via broadcast; state per group is O(1).
     """
+    from pyspark.sql.window import Window
+
     toks = docs.select(
         F.col(group_col).alias("_g"), F.explode(_words(text_col)).alias("tok")
     )
     counts = toks.groupBy("_g", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    totals = counts.groupBy("_g").agg(
-        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("vocab")
+    # group totals via a whole-partition window over the (group, term)
+    # counts — NOT groupBy+join-back, which would consume `counts` twice
+    # with different pruning (no exchange reuse) and re-scan/explode the
+    # raw corpus a second time. One corpus scan; the extra window
+    # exchange moves only vocabulary-sized rows.
+    wg = Window.partitionBy("_g")
+    j = counts.withColumn("n", F.sum("c").over(wg).cast("long")).withColumn(
+        "vocab", F.count(F.lit(1)).over(wg).cast("long")
     )
-    j = counts.join(F.broadcast(totals), "_g")
     p = F.col("c") / F.col("n")
     term_nano = F.floor(F.lit(1e9) * (-p * F.log(p))).cast("long")
     return (

@@ -258,3 +258,18 @@ def test_tpch_q5_dims_broadcast_single_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audit_family_single_scan_and_bounded_exchanges(spark):
+    """Drift and entropy must scan the corpus ONCE (window-based totals,
+    not groupBy+join-back which double-scans when pruning defeats
+    exchange reuse); outliers/weighted/scd2 are one hash Exchange."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    for name, max_ex in (("q_agg_drift_js", 2), ("q_text_entropy", 2)):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert plan.count("Scan parquet") == 1, f"{name} re-scans the corpus"
+        assert plan.count("Exchange hashpartitioning") <= max_ex, name
+    for name in ("q_agg_outliers", "q_sample_weighted", "q_agg_scd2"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert plan.count("Exchange hashpartitioning") <= 1, name
