@@ -147,19 +147,14 @@ def minhash_signatures_relational(
     )
 
 
-def minhash_band_buckets(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 3,
+def band_buckets_from_signatures(
+    sigd: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(doc, band, bucket) LSH band-bucket rows — the shared core of the
-    self-join candidate generator and the incremental (new-vs-index)
-    variant. Bucket = md5-derived hash of one band's signature slice."""
+    """(doc, band, bucket) rows from an ALREADY-COMPUTED signature table
+    (doc, h0..h{n-1}) — lets a caller that also needs the signatures for
+    something else (e.g. the Jaccard-estimate diagnostic) materialize
+    them once instead of re-deriving from raw text per consumer."""
     rows_per_band = num_hashes // bands
-    sigd = minhash_signatures_relational(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigd.select(
         "doc",
         F.explode(
@@ -185,6 +180,39 @@ def minhash_band_buckets(
     return banded
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) LSH band-bucket rows — the shared core of the
+    self-join candidate generator and the incremental (new-vs-index)
+    variant. Bucket = md5-derived hash of one band's signature slice."""
+    sigd = minhash_signatures_relational(df, id_col, text_col, num_hashes, shingle_k)
+    return band_buckets_from_signatures(sigd, num_hashes, bands)
+
+
+def lsh_pairs_from_buckets(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in >= 1 band bucket."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -201,20 +229,7 @@ def minhash_lsh_candidates(
     standard LSH probability semantics.
     """
     banded = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_k)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_pairs_from_buckets(banded)
 
 
 def incremental_lsh_candidates(

@@ -262,8 +262,13 @@ def temperature_sample(
     Group counts are a tiny aggregate re-entering via broadcast; the
     data-sized pass is a single stateless filter.
     """
-    counts = df.groupBy(F.col(group_col).alias("_tg")).agg(
-        F.count(F.lit(1)).alias("_tn")
+    # the O(groups) count table feeds BOTH the min-aggregate and the rates
+    # join; materialize it once or each consumer re-scans the full corpus
+    # (pruning differences defeat exchange reuse)
+    counts = (
+        df.groupBy(F.col(group_col).alias("_tg"))
+        .agg(F.count(F.lit(1)).alias("_tn"))
+        .localCheckpoint(eager=True)
     )
     n_min = counts.agg(F.min("_tn").alias("_tnmin"))
     rates = counts.join(F.broadcast(n_min)).select(

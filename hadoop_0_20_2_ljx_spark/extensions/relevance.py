@@ -66,7 +66,10 @@ def bm25_scores(
     glob = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = term_frequencies(docs, id_col, text_col, terms)
+    # tf is O(docs-with-terms x |terms|) — small; it feeds both the df
+    # aggregate and the scoring join, so materialize once instead of
+    # re-tokenizing the corpus per consumer
+    tf = term_frequencies(docs, id_col, text_col, terms).localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
 
     scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(glob))
@@ -105,7 +108,13 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
     """
     base = df.select(F.col(id_col).alias("_id"), _words(text_col).alias("_ws"))
     toks = base.select("_id", F.explode("_ws").alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab feeds both the 1-row total and the scoring join; materialize
+    # once (Heaps-law bounded) or each consumer re-explodes the corpus
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("c").alias("n_total"))
     scored = toks.join(vocab, "tok").join(F.broadcast(total))
     logp = F.log(F.col("c") / F.col("n_total"))

@@ -136,7 +136,13 @@ def count_min_estimates(
             )
         ).alias("jb")
     ).select("jb.j", "jb.b")
-    counters = pairs.groupBy("j", "b").agg(F.count("*").alias("c"))
+    # materialize the <= depth*width counter table ONCE: it feeds `depth`
+    # broadcast joins whose per-j filters defeat exchange reuse — without
+    # the checkpoint each join's subtree re-exploded and re-scanned the
+    # full corpus (depth+1 parquet scans in one plan -> 2).
+    counters = (
+        pairs.groupBy("j", "b").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
     keyed = rows.groupBy("k", *[f"b{j}" for j in range(depth)]).agg(
         F.count("*").alias("exact")
     )

@@ -12,9 +12,9 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # Priority: (a) queries with NO driver row yet or whose implementation/
 # oracle changed this round (unproven claims are worse than aging proofs),
 # then (b) the oldest-evidence r1-only queries. Round 3 fronts exactly 50
-# (a) entries (43 new + the 7 reworked whose r2 proofs predate their
-# changes); 4 late-round simple additions are deferred to r4 along with
-# the whole r1-only set — r4 MUST front those 4 + the 44 r1-only names
+# (a) entries (40 new + the 10 reworked whose r2 proofs predate their
+# changes); 7 late-round simple additions are deferred to r4 along with
+# the whole r1-only set — r4 MUST front those 7 + the 44 r1-only names
 # before anything new so every query's driver proof is at most two
 # rounds old. Local pytest and tools/
 # driver_sim.py re-prove ALL queries at sf0.001/sf0.01/sf0.1 every gate
@@ -56,15 +56,12 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_classifier",  # new: hashed linear quality classifier
     "q_agg_cms",  # new: Count-Min Sketch heavy hitters
     "q_agg_tpch_q3",  # new: TPC-H Q3 shape (broadcast dim + top-10)
-    "q_agg_tpch_q6",  # new: TPC-H Q6 shape (full-pushdown scan)
-    "q_agg_tpch_q18",  # new: TPC-H Q18 shape (agg-then-join + top-100)
     "q_agg_tpch_q5",  # new: TPC-H Q5 shape (6-table join, all dims broadcast)
     "q_text_inverted_index",  # new: capped postings-list build
     "q_graph_triangles",  # new: degree-oriented triangle counting
     "q_audit_constraints",  # new: Deequ-style constraint suite
     "q_agg_outliers",  # new: integer-exact z-score outliers
     "q_agg_drift_js",  # new: JS distribution drift in nano-units
-    "q_sample_weighted",  # new: deterministic priority sampling
     "q_udf_cogroup",  # new: cogrouped applyInPandas reduce-side join
     # reworked this round (large-star CC; kNN guard; SQL-expr rewrite of
     # the kmeans/PQ/IVF assignment builders; bloom probe refactor) — their
@@ -76,12 +73,20 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_ivf",
     "q_embed_ann",
     "q_join_bloom",
+    # single-scan rewrites (checkpointed side tables — tf/vocab/group
+    # counts were recomputed per consumer, re-scanning the corpus 3x)
+    "q_text_bm25",
+    "q_text_logprob",
+    "q_sample_temperature",
     # new this round but deferred to r4 evidence (driver records exactly 50
     # rows; the reworked block above must stay inside it — stale proofs on
     # changed code outrank first-time rows for simple, pytest-oracle-covered
     # queries). All three are partition-invariance-tested and green in the
     # in-repo driver sim at sf0.01 and sf0.1.
     "q_agg_scd2",  # new: SCD type-2 history build
+    "q_agg_tpch_q6",  # new: TPC-H Q6 shape (full-pushdown scan)
+    "q_agg_tpch_q18",  # new: TPC-H Q18 shape (agg-then-join + top-100)
+    "q_sample_weighted",  # new: deterministic priority sampling
     "q_agg_gapfill",  # new: calendar gap-fill + forward fill
     "q_proj_unpivot",  # new: unpivot/melt via the Expand node
     "q_text_entropy",  # new: per-source token-entropy diversity monitor

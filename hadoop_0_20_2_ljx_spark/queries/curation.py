@@ -681,8 +681,14 @@ def _dedup_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
     shingles = docs.select(
         F.col("doc_id").alias("doc"), dedup.word_shingles(F.col("text"), 3).alias("sh")
     )
-    feats = sigs.select("doc", sig_arr.alias("sig")).join(shingles, "doc")
-    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3)
+    # materialize the signature table ONCE: it feeds three consumers
+    # (pair side A, pair side B, band buckets) whose differing projections
+    # defeat exchange reuse — without the checkpoint the corpus was
+    # re-tokenized six times in one plan (6 parquet scans -> 2).
+    sig_tbl = sigs.localCheckpoint(eager=True)
+    feats = sig_tbl.select("doc", sig_arr.alias("sig")).join(shingles, "doc")
+    banded = dedup.band_buckets_from_signatures(sig_tbl, 16, 4)
+    pairs = dedup.lsh_pairs_from_buckets(banded)
     a = feats.select(
         F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("sh").alias("sh_a")
     )

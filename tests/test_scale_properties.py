@@ -273,3 +273,23 @@ def test_audit_family_single_scan_and_bounded_exchanges(spark):
     for name in ("q_agg_outliers", "q_sample_weighted", "q_agg_scd2"):
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
         assert plan.count("Exchange hashpartitioning") <= 1, name
+
+
+def test_corpus_stat_queries_scan_once(spark):
+    """bm25 / logprob / temperature / CMS / jaccard-est: side tables
+    (tf, vocab, group counts, sketch counters, signatures) are
+    materialized once, so the raw corpus is scanned at most twice in a
+    single plan — the groupBy+join-back shape silently re-scanned it
+    once PER CONSUMER before the checkpoint fix."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    for name, max_scans in (
+        ("q_text_bm25", 1),
+        ("q_text_logprob", 1),
+        ("q_sample_temperature", 1),
+        ("q_agg_cms", 1),
+        ("q_dedup_jaccard_est", 2),
+    ):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        got = plan.count("Scan parquet")
+        assert got <= max_scans, f"{name}: {got} corpus scans"
