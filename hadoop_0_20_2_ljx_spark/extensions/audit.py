@@ -68,13 +68,11 @@ def referential_check(
     parent. Shaped as count(total) minus count(anti-join survivors) —
     the anti-join is a plain equi-join (broadcast when the parent key
     set is small, SMJ otherwise); never a per-row lookup."""
-    total = child.agg(F.count(F.lit(1)).alias("_n"))
-    orphans = child.join(
-        parent.select(F.col(parent_col).alias(child_col)).distinct(),
-        child_col,
-        "left_anti",
-    ).agg(F.count(F.lit(1)).alias("_o"))
-    agg = total.join(F.broadcast(orphans))
+    keys = parent.select(F.col(parent_col).alias(child_col), F.lit(1).alias("_hit"))
+    agg = child.join(keys.distinct(), child_col, "left").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).cast("long").alias("_o"),
+    )
     metric = _ppm(F.col("_n") - F.col("_o"), F.col("_n"))
     return agg.select(
         F.lit(f"ref:{child_col}").alias("check_name"),

@@ -102,6 +102,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     (wedge build on the oriented source, closure check on the (lo, hi)
     edge pair); no cross product anywhere.
     """
+    # The canonical edge set feeds FOUR consumers (degree both sides,
+    # orientation, closure check) and `oriented` two more; with lazy
+    # lineage each consumer re-derives its whole subtree (the un-reused
+    # duplicates compounded to 33 source scans in one plan). Materialize
+    # both once — the same lineage-truncation discipline as pagerank
+    # above; edge/degree tables are the algorithm's working set.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -109,11 +115,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # orient by (degree, id): lo -> hi
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
@@ -125,7 +133,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=True)
     # wedges lo -> (hi1, hi2): both neighbors rank above lo; close with the
     # undirected edge {hi1, hi2} via its canonical (min, max) form
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))

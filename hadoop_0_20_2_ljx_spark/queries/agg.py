@@ -680,11 +680,16 @@ def _agg_gapfill(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = T(spark, sf, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
-        F.sum(cents).cast("long").alias("cents")
+    # one events scan: bounds and the user set both derive from the
+    # (user, day) aggregate itself (a user/date with no events can't
+    # shift min/max or add a user), pinned once for its three consumers
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .localCheckpoint(eager=True)
     )
-    bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
-    users = ev.select("user_id").distinct()
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    users = daily.select("user_id").distinct()
     cal = users.join(F.broadcast(bounds)).select(
         "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
     )

@@ -21,37 +21,67 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
 def _audit_constraints(spark: SparkSession, sf: str) -> DataFrame:
     """Six checks over orders/lineitem in one result: completeness,
     key uniqueness, referential integrity, numeric range, accepted
-    values. Each is a one-pass partial aggregate; the union is of 1-row
-    frames (no data-sized union)."""
+    values. Deequ's cardinal rule — ALL of a table's metrics in ONE
+    pass: each table gets a single multi-metric aggregate whose 1-row
+    result explodes into its check rows (a per-check union of
+    single-check aggregates re-scans the table once per check — 8 scans
+    where 4 suffice; the standalone helpers in extensions/audit.py
+    remain for single-check use). Referential integrity keeps its own
+    anti-join pass over the two key columns."""
     orders = T(spark, sf, "orders")
     li = T(spark, sf, "lineitem")
-    checks = [
-        audit.completeness_check(orders, "o_custkey"),
-        audit.uniqueness_check(orders, "o_orderkey"),
-        audit.referential_check(li, "l_orderkey", orders, "o_orderkey"),
-        audit.predicate_check(
-            li,
-            "range:l_quantity",
-            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
-            audit.PPM,
-        ),
-        audit.predicate_check(
-            orders,
-            "accepted:o_orderstatus",
-            F.col("o_orderstatus").isin("F", "O", "P"),
-            audit.PPM,
-        ),
-        audit.predicate_check(
-            li,
-            "range:l_discount",
-            (F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1),
-            audit.PPM,
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    ppm = audit.PPM
+
+    def _ppm(num: F.Column, den: F.Column) -> F.Column:
+        return F.floor(F.lit(ppm) * num / den).cast("long")
+
+    def _rows(agg_df, names_metrics):
+        structs = [
+            F.struct(
+                F.lit(name).alias("check_name"), metric.alias("metric_ppm")
+            )
+            for name, metric in names_metrics
+        ]
+        return agg_df.select(F.explode(F.array(*structs)).alias("c")).select(
+            "c.check_name",
+            "c.metric_ppm",
+            (F.col("c.metric_ppm") >= ppm).alias("passed"),
+        )
+
+    oagg = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count("o_custkey").alias("_nn"),
+        F.countDistinct("o_orderkey").alias("_dk"),
+        F.sum(F.when(F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))
+        .cast("long")
+        .alias("_st"),
+    )
+    orows = _rows(
+        oagg,
+        [
+            ("complete:o_custkey", _ppm(F.col("_nn"), F.col("_n"))),
+            ("unique:o_orderkey", _ppm(F.col("_dk"), F.col("_n"))),
+            ("accepted:o_orderstatus", _ppm(F.col("_st"), F.col("_n"))),
+        ],
+    )
+    lagg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 1).otherwise(0))
+        .cast("long")
+        .alias("_q"),
+        F.sum(F.when((F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1), 1).otherwise(0))
+        .cast("long")
+        .alias("_d"),
+    )
+    lrows = _rows(
+        lagg,
+        [
+            ("range:l_quantity", _ppm(F.col("_q"), F.col("_n"))),
+            ("range:l_discount", _ppm(F.col("_d"), F.col("_n"))),
+        ],
+    )
+    ri = audit.referential_check(li, "l_orderkey", orders, "o_orderkey")
+    return orows.unionByName(ri).unionByName(lrows)
 
 
 _CONSTRAINTS_SQL = """

@@ -795,8 +795,14 @@ def _agg_conversion(spark: SparkSession, sf: str) -> DataFrame:
     ev = T(spark, sf, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("t").alias("t_view")
+    # each stage table (one row per user) feeds the next stage AND the
+    # final report join; pin them once or every consumer re-scans events
+    # (6 source scans collapse to the funnel's inherent 3)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -804,6 +810,7 @@ def _agg_conversion(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("t") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("t").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

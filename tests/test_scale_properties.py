@@ -289,6 +289,10 @@ def test_corpus_stat_queries_scan_once(spark):
         ("q_sample_temperature", 1),
         ("q_agg_cms", 1),
         ("q_dedup_jaccard_est", 2),
+        ("q_graph_triangles", 0),   # working set checkpointed up front
+        ("q_audit_constraints", 4),  # 2 table aggs + 2 pruned RI sides
+        ("q_agg_conversion", 1),
+        ("q_agg_gapfill", 0),
     ):
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
         got = plan.count("Scan parquet")
