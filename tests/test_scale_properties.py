@@ -297,3 +297,24 @@ def test_corpus_stat_queries_scan_once(spark):
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
         got = plan.count("Scan parquet")
         assert got <= max_scans, f"{name}: {got} corpus scans"
+
+
+def test_registry_wide_scan_ceiling(spark):
+    """No query's plan may read a source table more than 6 times — the
+    repeated-subtree trap (pruning differences defeat exchange reuse, so
+    a DataFrame consumed N times re-scans its whole lineage N times)
+    caught triangle counting at 33 scans. 6 allows genuinely multi-table
+    joins (TPC-H Q5 reads 6 different tables) while catching compounding
+    re-derivation. Plan-build only — nothing executes."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, qd in REGISTRY.items():
+        try:
+            plan = plan_of(qd.spark(spark, SF_SMOKE))
+        except Exception:
+            continue  # sink/stream queries needing scratch state: covered elsewhere
+        n = plan.count("Scan parquet")
+        if n > 6:
+            offenders[name] = n
+    assert not offenders, f"repeated-scan plans: {offenders}"
