@@ -98,3 +98,70 @@ def write_noop(df: DataFrame) -> int:
     the pipeline still materializes (the reference used it for
     side-effect-only jobs)."""
     return df.count()
+
+
+def zorder_value_expr(
+    col_a: str,
+    col_b: str,
+    bounds: tuple[int, int, int, int],
+    bits: int = 8,
+) -> "Column":
+    """Morton (Z-order) code of two integer columns, each first SCALED
+    into the same `bits`-wide range from its (min, max) `bounds` — the
+    multi-dimensional data-skipping layout. Scaling is what makes it
+    work: interleaving raw low bits lets the wider-ranged column
+    dominate the high code bits, and files then tile only that one
+    dimension (exactly what Delta's OPTIMIZE ZORDER avoids by using
+    range ids per column). Sorting by the scaled-interleaved code makes
+    every output file's min/max rectangle narrow on BOTH dimensions, so
+    parquet file/row-group pruning works for filters on either column —
+    a plain sort only skips on its leading column.
+
+    Scaling is integer arithmetic (exact, deterministic); the whole code
+    is built as ONE parsed SQL expression instead of ~4*bits
+    Column-operator nodes (each Column op is a py4j round-trip —
+    CLAUDE.md).
+    """
+    lo_a, hi_a, lo_b, hi_b = bounds
+    top = (1 << bits) - 1
+
+    def scaled(col: str, lo: int, hi: int) -> str:
+        return (
+            f"(((CAST({col} AS BIGINT) - {lo}) * {top}) DIV {max(hi - lo, 1)})"
+        )
+
+    a = scaled(col_a, lo_a, hi_a)
+    b = scaled(col_b, lo_b, hi_b)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(shiftleft(shiftright({a}, {i}) & 1, {2 * i}))")
+        terms.append(f"(shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1}))")
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, num_files: int = 8
+) -> None:
+    """Write `df` as parquet laid out in Z-order on (col_a, col_b):
+    range-partition by the scaled morton code (so files tile the 2-D key
+    space) and sort within each partition (so row groups tile it too).
+    Purely a LAYOUT decision — bytes/rows are unchanged, which the
+    round-trip query proves; the skipping win is that every file's
+    (min, max) rectangle is small on both dimensions, asserted in
+    tests/test_scale_properties.py. The column bounds are a 1-row
+    aggregate fetched to the driver — an O(1) bounded summary, same
+    class as terasort's partition boundaries."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z = zorder_value_expr(
+        col_a, col_b, (int(lo_a), int(hi_a), int(lo_b), int(hi_b))
+    ).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -443,3 +443,56 @@ QUERIES: dict[str, QueryDef] = {
         "tfile/Utils.java:91 chunked-VLong wire encoding)",
     ),
 }
+
+
+# --- Z-order layout round trip ----------------------------------------------
+def _sink_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Write lineitem Z-ordered on (l_partkey, l_suppkey), read it back
+    through a selective filter on EACH dimension, and return filtered
+    aggregates the oracle reproduces from the source table — the layout
+    changed nothing (content identity) while tiling the 2-D key space
+    (the skipping property itself is asserted geometrically in
+    tests/test_scale_properties.py)."""
+    src = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = _tmp("q_sink_zorder")
+    sinks.write_zordered(src, path, "l_partkey", "l_suppkey")
+    back = spark.read.parquet(path)
+
+    def slice_agg(name, cond):
+        return back.where(cond).agg(
+            F.lit(name).alias("slice"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_orderkey") % 1000003).cast("long").alias("key_sum"),
+            F.sum("l_quantity").cast("long").alias("qty_sum"),
+        )
+    full = slice_agg("all", F.lit(True))
+    by_part = slice_agg("partkey_slice", F.col("l_partkey") % 4096 < 256)
+    by_supp = slice_agg("suppkey_slice", F.col("l_suppkey") % 4096 < 256)
+    return full.unionByName(by_part).unionByName(by_supp)
+
+
+_ZORDER_SQL = """
+SELECT 'all' AS slice, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_orderkey % 1000003) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+UNION ALL
+SELECT 'partkey_slice', CAST(count(*) AS BIGINT),
+       CAST(sum(l_orderkey % 1000003) AS BIGINT),
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+FROM lineitem WHERE l_partkey % 4096 < 256
+UNION ALL
+SELECT 'suppkey_slice', CAST(count(*) AS BIGINT),
+       CAST(sum(l_orderkey % 1000003) AS BIGINT),
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+FROM lineitem WHERE l_suppkey % 4096 < 256
+"""
+
+QUERIES["q_sink_zorder"] = QueryDef(
+    _sink_zorder,
+    _ZORDER_SQL,
+    "Z-order (morton) layout write + content-identity round trip; 2-D "
+    "data-skipping tiling asserted geometrically in tests",
+)

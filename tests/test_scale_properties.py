@@ -318,3 +318,36 @@ def test_registry_wide_scan_ceiling(spark):
         if n > 6:
             offenders[name] = n
     assert not offenders, f"repeated-scan plans: {offenders}"
+
+
+def test_zorder_tiles_both_dimensions(spark, tmp_path):
+    """Z-order layout: every output file's min/max rectangle must be
+    narrow on BOTH key dimensions (mean normalized span <= 0.7 each) —
+    the property parquet skipping needs for filters on either column. A
+    single-column sort layout fails this on the trailing dimension
+    (span 1.0 per file)."""
+    import statistics
+
+    from hadoop_0_20_2_ljx_spark import catalog
+    from hadoop_0_20_2_ljx_spark.operators import sinks
+
+    src = catalog.load(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    path = str(tmp_path / "zorder")
+    sinks.write_zordered(src, path, "l_partkey", "l_suppkey")
+    back = spark.read.parquet(path)
+    g = src.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    spans = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("l_partkey").alias("pa"),
+        F.max("l_partkey").alias("pb"),
+        F.min("l_suppkey").alias("sa"),
+        F.max("l_suppkey").alias("sb"),
+    ).collect()
+    assert len(spans) >= 4
+    p_spans = [(r.pb - r.pa) / (g[1] - g[0]) for r in spans]
+    s_spans = [(r.sb - r.sa) / (g[3] - g[2]) for r in spans]
+    assert statistics.mean(p_spans) <= 0.7, p_spans
+    assert statistics.mean(s_spans) <= 0.7, s_spans
+    # content identity: layout changed nothing
+    assert back.count() == src.count()
