@@ -151,3 +151,63 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return per_node.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """`rounds` iterations of k-core peeling (repeatedly drop nodes of
+    degree < k) over the undirected simple graph of `edges`. Returns
+    (node, deg, converged): the surviving nodes with their degree among
+    survivors, and whether the peel reached its fixed point within
+    `rounds` (converged is identical in the oracle's replay — a bounded
+    round count keeps the cross-engine oracle a finite CTE chain; an
+    unconverged result is still a well-defined, deterministic state).
+
+    Shape per round: two equi-joins filtering edges to surviving
+    endpoints + one degree groupBy (map-side partials); edge set
+    checkpointed per round (lineage truncation, as pagerank). Rounds are
+    O(peel depth); production k-core uses the same loop with a
+    convergence probe.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("n"))
+            .unionAll(ed.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    prev_alive = -1
+    cur = e
+    d = degrees(cur).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        alive = d.where(F.col("deg") >= k).select("n")
+        cur = (
+            cur.join(alive.withColumnRenamed("n", "u"), "u")
+            .join(alive.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        prev_alive = d.where(F.col("deg") >= k).count()
+        d = degrees(cur).localCheckpoint(eager=True)
+    survivors = d.where(F.col("deg") >= k)
+    n_final = survivors.count()
+    converged = n_final == prev_alive
+    return survivors.select(
+        F.col("n").alias("node"), "deg", F.lit(converged).alias("converged")
+    )

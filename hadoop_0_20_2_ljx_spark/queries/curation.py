@@ -997,3 +997,64 @@ QUERIES["q_sample_weighted"] = QueryDef(
     "deterministic weighted (priority) sampling per group — md5-derived "
     "priorities, IEEE-exact h/w keys, per-group top-k window",
 )
+
+
+# --- k-core peeling ----------------------------------------------------------
+_KCORE_K, _KCORE_ROUNDS = 2, 6
+
+
+def _graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core peeling over the same thinned part<->supplier
+    graph as q_graph_triangles: 6 rounds of drop-degree-<2, returning
+    survivors with their in-core degree and a converged flag — both
+    replayed exactly by the oracle's finite CTE chain
+    (extensions/graph.py kcore_peel)."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import kcore_peel
+
+    li = (
+        T(spark, sf, "lineitem")
+        .where((F.col("l_partkey") + 3 * F.col("l_suppkey")) % 10 < 2)
+        .select(
+            (F.col("l_partkey") % 300).alias("src"),
+            (F.col("l_suppkey") % 300).alias("dst"),
+        )
+    )
+    return kcore_peel(li, "src", "dst", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+    SELECT l_partkey % 300 AS a, l_suppkey % 300 AS b FROM lineitem
+    WHERE (l_partkey + 3 * l_suppkey) % 10 < 2
+  ) WHERE a <> b
+),
+d0 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (SELECT n FROM d{r-1} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e
+         JOIN a{r} x ON e.u = x.n JOIN a{r} y ON e.v = y.n),
+d{r} AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r}) GROUP BY 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n AS node, deg,
+       (SELECT count(*) FROM d{rounds} WHERE deg >= {k}) =
+       (SELECT count(*) FROM a{rounds}) AS converged
+FROM d{rounds} WHERE deg >= {k}"""
+    )
+
+
+QUERIES["q_graph_kcore"] = QueryDef(
+    _graph_kcore,
+    _kcore_sql(),
+    "bounded k-core peeling (6 rounds, k=2) with a replayed converged "
+    "flag; per-round edge filter is two equi-joins + a degree partial agg",
+)

@@ -260,3 +260,47 @@ QUERIES["q_agg_tpch_q5"] = QueryDef(
     "TPC-H Q5 shape: 6-table join with every dim broadcast — one fact "
     "shuffle total; co-national customer/supplier constraint",
 )
+
+
+# --- market-basket co-occurrence (co-purchased part pairs) -------------------
+def _agg_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Top co-purchased part pairs by support — the market-basket /
+    recommendation workload. Shape: per-order distinct items first
+    (row-local dedup bounds the pair explosion at sum(n_i^2) with n_i =
+    items per order, ~13 max here — never corpus x corpus), equi-join on
+    the order key, partial-agg count, TakeOrderedAndProject top-k with
+    full tie-break. Item ids folded mod 1000 so pairs actually repeat at
+    fixture scale."""
+    items = (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 1000).alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pb"))
+    pairs = a.join(b, "o").where(F.col("pa") < F.col("pb"))
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.col("support").desc(), "pa", "pb")
+        .limit(1000)
+    )
+
+
+_COPURCHASE_SQL = """
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey % 1000 AS p FROM lineitem
+)
+SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+GROUP BY 1, 2
+ORDER BY support DESC, pa, pb
+LIMIT 1000
+"""
+
+QUERIES["q_agg_copurchase"] = QueryDef(
+    _agg_copurchase,
+    _COPURCHASE_SQL,
+    "market-basket co-occurrence: row-local item dedup bounds the pair "
+    "explosion; top-k by support with full tie-break",
+)

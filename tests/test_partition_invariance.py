@@ -53,6 +53,8 @@ SAMPLE = [
     "q_text_entropy",
     "q_text_inverted_index",
     "q_agg_gapfill",
+    "q_agg_copurchase",
+    "q_graph_kcore",
 ]
 
 
