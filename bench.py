@@ -166,6 +166,8 @@ def main() -> int:
         "tpch_q6": "q_agg_tpch_q6",
         "triangles": "q_graph_triangles",
         "audit_constraints": "q_audit_constraints",
+        "copurchase": "q_agg_copurchase",
+        "kcore": "q_graph_kcore",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

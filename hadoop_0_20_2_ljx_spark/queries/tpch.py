@@ -304,3 +304,66 @@ QUERIES["q_agg_copurchase"] = QueryDef(
     "market-basket co-occurrence: row-local item dedup bounds the pair "
     "explosion; top-k by support with full tie-break",
 )
+
+
+# --- item-item cosine similarity from co-occurrence --------------------------
+def _agg_item_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item cosine similarity over the order/item incidence matrix
+    (the classic co-occurrence recommender): sim(a,b) = support(a,b) /
+    sqrt(freq(a)*freq(b)), reported in integer basis points —
+    floor(1e4 * s / sqrt(fa*fb)) of identical integers is bit-exact
+    cross-engine. Shape: the copurchase pair join (row-local basket
+    dedup bounds it) + the item-frequency table re-entering via two
+    broadcast joins; top-500 with full tie-break."""
+    items = (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 1000).alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds pair join (twice) + freq table
+    )
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    fa = freq.select(F.col("p").alias("pa"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("p").alias("pb"), F.col("f").alias("fb"))
+    sim = pairs.join(F.broadcast(fa), "pa").join(F.broadcast(fb), "pb")
+    sim_bp = F.floor(
+        F.lit(10000.0) * F.col("support")
+        / F.sqrt((F.col("fa") * F.col("fb")).cast("double"))
+    ).cast("long")
+    return (
+        sim.select("pa", "pb", "support", sim_bp.alias("sim_bp"))
+        .orderBy(F.col("sim_bp").desc(), "pa", "pb")
+        .limit(500)
+    )
+
+
+_ITEM_SIM_SQL = """
+WITH i AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey % 1000 AS p FROM lineitem
+), f AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS f FROM i GROUP BY 1
+), pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+)
+SELECT pa, pb, support,
+       CAST(floor(10000.0 * support / sqrt(CAST(fa.f * fb.f AS DOUBLE))) AS BIGINT)
+         AS sim_bp
+FROM pairs JOIN f fa ON pa = fa.p JOIN f fb ON pb = fb.p
+ORDER BY sim_bp DESC, pa, pb
+LIMIT 500
+"""
+
+QUERIES["q_agg_item_sim"] = QueryDef(
+    _agg_item_sim,
+    _ITEM_SIM_SQL,
+    "item-item cosine similarity from co-occurrence (basis points, "
+    "bit-exact): bounded pair join + broadcast frequency re-entry",
+)

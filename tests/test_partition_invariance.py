@@ -55,6 +55,7 @@ SAMPLE = [
     "q_agg_gapfill",
     "q_agg_copurchase",
     "q_graph_kcore",
+    "q_agg_item_sim",
 ]
 
 
