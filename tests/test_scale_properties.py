@@ -351,3 +351,26 @@ def test_zorder_tiles_both_dimensions(spark, tmp_path):
     assert statistics.mean(s_spans) <= 0.7, s_spans
     # content identity: layout changed nothing
     assert back.count() == src.count()
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a partitioned fact against a filtered dim must plan
+    dynamic partition pruning (dynamicpruning subquery on the fact
+    scan): at 100 TB this is the difference between scanning 3 of 25
+    date partitions and scanning all of them — the runtime analog of the
+    static pruning q_sink_partitioned pins."""
+    fact_path = str(tmp_path / "fact_part")
+    li = catalog.load(spark, SF_SMOKE, "lineitem").withColumn(
+        "pk", F.col("l_partkey") % 25
+    )
+    li.write.partitionBy("pk").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        catalog.load(spark, SF_SMOKE, "part")
+        .select((F.col("p_partkey") % 25).alias("pk"), "p_partkey")
+        .where(F.col("p_partkey") < 30)
+        .distinct()
+    )
+    j = fact.join(dim, "pk").groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
