@@ -154,6 +154,9 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:  # empty input: nothing to order
+        df.write.mode("overwrite").parquet(path)
+        return
     z = zorder_value_expr(
         col_a, col_b, (int(lo_a), int(hi_a), int(lo_b), int(hi_b))
     ).alias("_z")

@@ -86,3 +86,12 @@ def test_scd2_single_event_user(spark):
         F.row_number().over(w).alias("version"),
     ).collect()
     assert len(out) == 1 and out[0]["valid_to_us"] == -1 and out[0]["version"] == 1
+
+
+def test_zorder_empty_input(spark, tmp_path):
+    from hadoop_0_20_2_ljx_spark.operators import sinks
+
+    df = spark.createDataFrame([], "a long, b long")
+    path = str(tmp_path / "zempty")
+    sinks.write_zordered(df, path, "a", "b")
+    assert spark.read.parquet(path).count() == 0
