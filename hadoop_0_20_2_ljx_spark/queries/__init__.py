@@ -13,8 +13,8 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # oracle changed this round (unproven claims are worse than aging proofs),
 # then (b) the oldest-evidence r1-only queries. Round 3 fronts exactly 50
 # (a) entries (40 new + the 10 reworked whose r2 proofs predate their
-# changes); 11 late-round simple additions are deferred to r4 along with
-# the whole r1-only set — r4 MUST front those 11 + the 44 r1-only names
+# changes); 12 late-round simple additions are deferred to r4 along with
+# the whole r1-only set — r4 MUST front those 12 + the 44 r1-only names
 # before anything new so every query's driver proof is at most two
 # rounds old. Local pytest and tools/
 # driver_sim.py re-prove ALL queries at sf0.001/sf0.01/sf0.1 every gate
@@ -87,6 +87,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_copurchase",  # new: market-basket co-occurrence top-k
     "q_graph_kcore",  # new: bounded k-core peeling
     "q_agg_item_sim",  # new: item-item cosine from co-occurrence
+    "q_agg_wau",  # new: 7-day rolling distinct users
     "q_agg_scd2",  # new: SCD type-2 history build
     "q_agg_tpch_q6",  # new: TPC-H Q6 shape (full-pushdown scan)
     "q_agg_tpch_q18",  # new: TPC-H Q18 shape (agg-then-join + top-100)

@@ -800,3 +800,57 @@ QUERIES["q_agg_scd2"] = QueryDef(
     "SCD type-2 history build: change detection + interval close, two "
     "window passes on one keyed shuffle",
 )
+
+
+# --- rolling 7-day distinct users (WAU-style engagement) ---------------------
+def _agg_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Per calendar day, the distinct users active in the trailing 7
+    days — the DAU/WAU engagement metric. Sliding DISTINCT cannot use a
+    running window (distinct doesn't decompose), so each (user, day)
+    contributes itself to the 7 window-ends it falls in via a row-local
+    explode (constant 7x fan-out of the USER-DAY table, never the raw
+    events), then one countDistinct per window end. Two bounded
+    shuffles; output trimmed to fully-covered days."""
+    ev = T(spark, sf, "events")
+    user_days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("w_end"),
+    )
+    bounds = user_days.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    out = contrib.groupBy("w_end").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        out.join(F.broadcast(bounds))
+        .where((F.col("w_end") >= F.expr("date_add(lo, 6)")) & (F.col("w_end") <= F.col("hi")))
+        .select(F.date_format("w_end", "yyyy-MM-dd").alias("day"), "wau")
+    )
+
+
+_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), b AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM ud
+), contrib AS (
+  SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_end
+  FROM ud
+)
+SELECT strftime(w_end, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib, b
+WHERE w_end >= lo + INTERVAL 6 DAY AND w_end <= hi
+GROUP BY w_end
+"""
+
+QUERIES["q_agg_wau"] = QueryDef(
+    _agg_wau,
+    _WAU_SQL,
+    "7-day rolling distinct users: row-local 7x window-end explode of "
+    "the user-day table + one countDistinct per day",
+)

@@ -56,6 +56,7 @@ SAMPLE = [
     "q_agg_copurchase",
     "q_graph_kcore",
     "q_agg_item_sim",
+    "q_agg_wau",
 ]
 
 
