@@ -369,3 +369,42 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and batch
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Built-in streaming dedup surface (dropDuplicatesWithinWatermark):
+    re-deliveries of the same event id across micro-batches inside the
+    watermark are dropped — the engine-native alternative to the
+    applyInPandasWithState first-seen dedup above, with state bounded by
+    the watermark instead of idle timeouts."""
+    from pyspark.sql import functions as F
+
+    ev = catalog.load(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    src_dir = str(tmp_path / "ddw_src")
+    # batch 0: half the events; batch 1: the other half PLUS re-deliveries
+    # of 50 ids from batch 0 (same rows — at-least-once delivery)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1).unionByName(
+        b0.where(F.col("event_id") % 100 == 0)
+    )
+    b0.coalesce(1).write.parquet(f"{src_dir}/b0")
+    b1.coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    out: list = []
+
+    def sink(df, _bid):
+        out.extend(r["event_id"] for r in df.collect())
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert sorted(out) == sorted(r["event_id"] for r in ev.select("event_id").collect())
