@@ -129,6 +129,45 @@ def bench_skew_join(spark, timings, shuffle_b, input_b) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
 
+def bench_skew_groupby(spark, timings, shuffle_b, input_b) -> None:
+    """Hot-key aggregation: same 70%-hot key as bench_skew_join, plain
+    groupBy-sum vs the two-phase skew.salted_sum rewrite. Unlike join
+    skew, AQE cannot split a single groupBy key's aggregation state —
+    salting is the only rewrite. NOTE on the local reading: map-side
+    partial agg (HashAggregate) already collapses the hot key to one row
+    per map partition for an ALGEBRAIC sum, so at local[32] the two are
+    expected close; the rewrite's win regime is holistic/large per-key
+    state (collect-type, large-cardinality maps) and map-side hash
+    spill, which local parquet scale can't reproduce. The bench records
+    the measured pair + asserts value equality; SCALE.md cites the
+    numbers and the regime. Reference anchor: the 337-872 MB reduce-skew
+    observation (examples/.../terasort/package.html:108-110)."""
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    fact = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 7, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        (F.col("l_quantity").cast("long")).alias("v"),
+    )
+    results = {}
+    for label, df in (
+        ("skew_groupby_plain", fact.groupBy("k").agg(F.sum("v").alias("sum_value"))),
+        ("skew_groupby_salted", skew.salted_sum(fact, "k", "v", buckets=16)),
+    ):
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        results[label] = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("sum_value").alias("s")
+        ).first()
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
+    assert tuple(results["skew_groupby_plain"]) == tuple(
+        results["skew_groupby_salted"]
+    ), results
+
+
 def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # UI on so the REST stage metrics (shuffle/input bytes) are readable.
@@ -217,25 +256,41 @@ def main() -> int:
         timings[label] = min(first, time.time() - t)
 
     bench_skew_join(spark, timings, shuffle_b, input_b)
+    bench_skew_groupby(spark, timings, shuffle_b, input_b)
 
     # headline = sum of per-workload timings (best-of-2 each), so the
     # graded number is the workloads' cost, not the double-run wall time;
     # wall_total records the actual elapsed for transparency.
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "shuffle_write_bytes": shuffle_b,
-                "input_bytes": input_b,
-                "wall_total": round(time.time() - t0, 2),
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "shuffle_write_bytes": shuffle_b,
+        "input_bytes": input_b,
+        "wall_total": round(time.time() - t0, 2),
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    # The driver records only the LAST ~2000 chars of output; the full
+    # JSON above has outgrown that (r3's artifact lost headline_total and
+    # the first workloads' timings). Emit a <=1 KB summary as the FINAL
+    # line so the tail capture always holds the graded numbers; the full
+    # JSON stays above for local use.
+    anchors = ("terasort_1m", "tpch_q1", "join_3way", "wordcount")
+    summary = {
+        "metric": "headline_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(timings[k], 2) for k in anchors if k in timings},
+        "n_workloads": len(timings),
+        "wall_total": round(time.time() - t0, 2),
+        "sf": sf,
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 1000, f"summary line too long ({len(line)} chars)"
+    print(line)
     return 0
 
 

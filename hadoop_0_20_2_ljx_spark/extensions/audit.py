@@ -114,22 +114,34 @@ def zscore_outliers(
     integers, so it is identical doubles on both sides.
 
     Shape: one partial-agg groupBy for (n, S, Q) — tiny result, re-enters
-    broadcast — plus one filtered scan. Int64 budget: |S| <= n*max_cents,
-    n*Q <= n^2*max_cents^2 must stay < 2^63 (~3e9 rows at $500 values);
-    beyond that switch cents to DECIMAL(38,0) sums.
+    broadcast — plus one filtered scan. The products (n*Q, S^2, dev^2,
+    z^2*var) are computed in DECIMAL(38,0): in pure int64 the binding
+    constraint is n*max_cents < ~3.0e9 — only ~60k rows per group at
+    $500 values, nowhere near corpus scale. DECIMAL(38,0) holds dev^2
+    and z^2*n^2*var up to 10^38, i.e. n*max_cents < ~10^19/z — ~1e14
+    rows per group at $500, comfortably past the 100 TB posture. The
+    raw cent values and the emitted columns stay BIGINT.
     """
     x = cents_col.cast("long").alias("_c")
     base = df.select(*id_cols, F.col(group_col).alias("_g"), x)
+
+    def _d(col: F.Column) -> F.Column:
+        return col.cast("decimal(38,0)")
+
     stats = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_c").cast("long").alias("_s"),
-        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_q"),
+        # sum of squares in decimal: c^2 alone is ~2.5e9 at $500, so an
+        # int64 sum dies at ~3.7e9 rows; the decimal sum does not.
+        F.sum(_d(F.col("_c")) * _d(F.col("_c"))).alias("_q"),
     )
     j = base.join(F.broadcast(stats), "_g")
-    dev = F.col("_n") * F.col("_c") - F.col("_s")  # n*x - S
-    var_n2 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")  # n^2 * var
-    is_out = (dev * dev) > (z_threshold * z_threshold) * var_n2
-    z_bp = F.floor(F.lit(10000.0) * dev / F.sqrt(var_n2.cast("double"))).cast("long")
+    dev = _d(F.col("_n")) * _d(F.col("_c")) - _d(F.col("_s"))  # n*x - S
+    var_n2 = _d(F.col("_n")) * F.col("_q") - _d(F.col("_s")) * _d(F.col("_s"))  # n^2 * var
+    is_out = (dev * dev) > F.lit(z_threshold * z_threshold).cast("decimal(38,0)") * var_n2
+    z_bp = F.floor(
+        F.lit(10000.0) * dev.cast("double") / F.sqrt(var_n2.cast("double"))
+    ).cast("long")
     return (
         j.where(is_out & (var_n2 > 0))
         .select(
@@ -160,8 +172,15 @@ def distribution_drift_js(
     Shape: one groupBy(group, bin) with map-side partials (state bounded
     by groups*bins), then a groups*bins-sized re-aggregation. The data
     is scanned once; nothing is collected.
+
+    n_bins is ENFORCED here: bin ids are clamped to <= n_bins-1
+    (least()), so a caller-supplied binning that overflows the declared
+    bin count cannot blow the groups*bins state bound — overflow mass
+    lands in the last bin. Callers wanting an unclamped domain pass the
+    true max bin count.
     """
-    counts = drift_counts(df, group_col, bin_col, split_cond)
+    clamped = F.least(bin_col.cast("long"), F.lit(n_bins - 1).cast("long"))
+    counts = drift_counts(df, group_col, clamped, split_cond)
     return js_from_counts(counts, group_col)
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def _chars(word):
@@ -67,7 +68,7 @@ def learn_bpe(
         )
     )
     # All rounds scan the same small vocabulary: pin it once.
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab = vocab.transform(pin)
 
     merges: list[tuple[int, str, int]] = []
     for r in range(1, n_merges + 1):

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions.textstats import tokens as _tokens
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -494,12 +495,12 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col(src) != F.col(dst))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     prev_sig = None
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).transform(pin)
         rounds += 1
         # Decimal(38,0) sums: a 64-bit hash summed over many edges
         # overflows BIGINT under ANSI mode; exact decimal math keeps the

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 PR_SCALE = 1_000_000_000  # rank 1.0 == 10^9
 
@@ -48,12 +49,12 @@ def pagerank_int(
         raise ValueError("iterations must be >= 0")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     sc = edges.sparkSession.sparkContext
-    e = e.repartition(sc.defaultParallelism, "src").localCheckpoint(eager=True)
+    e = e.repartition(sc.defaultParallelism, "src").transform(pin)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     base = F.lit((100 - damping_pct) * PR_SCALE // 100).cast("long")
@@ -76,7 +77,7 @@ def pagerank_int(
                     ).cast("long")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return ranks
 
@@ -115,13 +116,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # orient by (degree, id): lo -> hi
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
@@ -133,7 +134,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # wedges lo -> (hi1, hi2): both neighbors rank above lo; close with the
     # undirected edge {hi1, hi2} via its canonical (min, max) form
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
@@ -181,7 +182,7 @@ def kcore_peel(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -194,17 +195,17 @@ def kcore_peel(
 
     prev_alive = -1
     cur = e
-    d = degrees(cur).localCheckpoint(eager=True)
+    d = degrees(cur).transform(pin)
     for _ in range(rounds):
         alive = d.where(F.col("deg") >= k).select("n")
         cur = (
             cur.join(alive.withColumnRenamed("n", "u"), "u")
             .join(alive.withColumnRenamed("n", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         prev_alive = d.where(F.col("deg") >= k).count()
-        d = degrees(cur).localCheckpoint(eager=True)
+        d = degrees(cur).transform(pin)
     survivors = d.where(F.col("deg") >= k)
     n_final = survivors.count()
     converged = n_final == prev_alive

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from hadoop_0_20_2_ljx_spark.extensions.textstats import tokens
 from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -229,7 +230,7 @@ def pack_sequences(
     ranged = (
         df.repartitionByRange(n_part, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     parts = ranged.groupBy("_pid").agg(F.sum(tokens_col).alias("_s")).collect()
     offsets: list[Column] = []
@@ -268,7 +269,7 @@ def temperature_sample(
     counts = (
         df.groupBy(F.col(group_col).alias("_tg"))
         .agg(F.count(F.lit(1)).alias("_tn"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n_min = counts.agg(F.min("_tn").alias("_tnmin"))
     rates = counts.join(F.broadcast(n_min)).select(

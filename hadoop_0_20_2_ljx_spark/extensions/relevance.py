@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions.textstats import tokens
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def _words(col: str):
@@ -69,7 +70,7 @@ def bm25_scores(
     # tf is O(docs-with-terms x |terms|) — small; it feeds both the df
     # aggregate and the scoring join, so materialize once instead of
     # re-tokenizing the corpus per consumer
-    tf = term_frequencies(docs, id_col, text_col, terms).localCheckpoint(eager=True)
+    tf = term_frequencies(docs, id_col, text_col, terms).transform(pin)
     dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
 
     scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(glob))
@@ -113,7 +114,7 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     total = vocab.agg(F.sum("c").alias("n_total"))
     scored = toks.join(vocab, "tok").join(F.broadcast(total))

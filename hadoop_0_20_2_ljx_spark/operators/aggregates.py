@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def sum_by_key(df: DataFrame, key: str | list[str], value: str, alias: str = "sum_value") -> DataFrame:
@@ -141,7 +142,7 @@ def count_min_estimates(
     # the checkpoint each join's subtree re-exploded and re-scanned the
     # full corpus (depth+1 parquet scans in one plan -> 2).
     counters = (
-        pairs.groupBy("j", "b").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+        pairs.groupBy("j", "b").agg(F.count("*").alias("c")).transform(pin)
     )
     keyed = rows.groupBy("k", *[f"b{j}" for j in range(depth)]).agg(
         F.count("*").alias("exact")

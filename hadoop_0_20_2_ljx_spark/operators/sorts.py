@@ -24,6 +24,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def key_field_sort(df: DataFrame, keys: list[tuple[str, bool, bool]]) -> DataFrame:
@@ -169,7 +170,7 @@ def with_global_row_number(df: DataFrame, order: list[Column], rn_col: str = "rn
     ranged = (
         df.repartitionByRange(n_part, *order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     counts = ranged.groupBy("_pid").count().collect()
     offsets: list[Column] = []

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.operators import aggregates
 from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 # --- Q-agg-1: WordCount ------------------------------------------------------
@@ -686,7 +687,7 @@ def _agg_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     daily = (
         ev.groupBy("user_id", F.to_date("ts").alias("d"))
         .agg(F.sum(cents).cast("long").alias("cents"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     users = daily.select("user_id").distinct()

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions import dedup
 from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h64_sql
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 _WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), w -> w <> '')"
 
@@ -685,7 +686,7 @@ def _dedup_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
     # (pair side A, pair side B, band buckets) whose differing projections
     # defeat exchange reuse — without the checkpoint the corpus was
     # re-tokenized six times in one plan (6 parquet scans -> 2).
-    sig_tbl = sigs.localCheckpoint(eager=True)
+    sig_tbl = sigs.transform(pin)
     feats = sig_tbl.select("doc", sig_arr.alias("sig")).join(shingles, "doc")
     banded = dedup.band_buckets_from_signatures(sig_tbl, 16, 4)
     pairs = dedup.lsh_pairs_from_buckets(banded)
@@ -802,7 +803,7 @@ def _agg_conversion(spark: SparkSession, sf: str) -> DataFrame:
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("t").alias("t_view"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -810,7 +811,7 @@ def _agg_conversion(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("t") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("t").alias("t_click"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

@@ -41,8 +41,12 @@ def _join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- Q-join-3: override (rightmost-priority) join ----------------------------
 def _join_override(spark: SparkSession, sf: str) -> DataFrame:
-    """Two keyed single-valued projections of part; rightmost source wins
-    per key, no cross product (OverrideRecordReader.java:49)."""
+    """THREE keyed single-valued projections of part; per key the value
+    comes from the RIGHTMOST source holding it, full-outer emission, no
+    cross product (OverrideRecordReader.java:36-49 — the n-ary
+    `override(a,b,c)` composite expression, CompositeInputFormat.java:35).
+    The coalesce chain stays BHJ/SMJ-only (no NestedLoop), pinned in
+    tests/test_operators.py."""
     p = T(spark, sf, "part")
     a = p.filter(F.col("p_partkey") % 3 != 0).select(
         F.col("p_partkey").alias("k"), F.col("p_name").alias("v")
@@ -50,7 +54,10 @@ def _join_override(spark: SparkSession, sf: str) -> DataFrame:
     b = p.filter(F.col("p_partkey") % 2 == 0).select(
         F.col("p_partkey").alias("k"), F.col("p_brand").alias("v")
     )
-    return joins.override_join([a, b], key="k", value="v")
+    c = p.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("k"), F.col("p_type").alias("v")
+    )
+    return joins.override_join([a, b, c], key="k", value="v")
 
 
 # --- Q-join-4: 3-way reduce-side join ----------------------------------------
@@ -175,12 +182,17 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_join_override": QueryDef(
         _join_override,
-        "SELECT coalesce(a.k, b.k) AS k, coalesce(b.v, a.v) AS v FROM "
+        "SELECT coalesce(c.k, a.k, b.k) AS k, coalesce(c.v, b.v, a.v) AS v FROM "
         "(SELECT p_partkey AS k, p_name AS v FROM part WHERE p_partkey % 3 <> 0) a "
         "FULL OUTER JOIN "
         "(SELECT p_partkey AS k, p_brand AS v FROM part WHERE p_partkey % 2 = 0) b "
-        "ON a.k = b.k",
-        "Q-join-3 override join, rightmost wins (mapred/join/OverrideRecordReader.java:36-49)",
+        "ON a.k = b.k "
+        "FULL OUTER JOIN "
+        "(SELECT p_partkey AS k, p_type AS v FROM part WHERE p_partkey % 5 = 0) c "
+        "ON coalesce(a.k, b.k) = c.k",
+        "Q-join-3 n-ary override join, rightmost wins "
+        "(mapred/join/OverrideRecordReader.java:36-49; "
+        "CompositeInputFormat.java:35 override(a,b,c))",
     ),
     "q_join_3way": QueryDef(
         _join_3way,

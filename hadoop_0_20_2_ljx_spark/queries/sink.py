@@ -245,6 +245,55 @@ FROM orders GROUP BY 1
 """
 
 
+# --- Q-scan-6: bzip2-compressed text (splittable codec) ----------------------
+def _scan_bz2_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Splittable-codec text: write tab-separated KV as ONE .bz2 file,
+    read it back through the codec-transparent text reader. The point of
+    bzip2 vs gzip is the split model (io/compress/BZip2Codec.java — a
+    SplittableCompressionCodec; LineRecordReader seeks to the next
+    48-bit block magic): ONE .bz2 file still yields one input split per
+    maxPartitionBytes range, so a single 1 GB archive parallelizes
+    across a cluster where gzip would serialize onto one task.
+    Multi-split parallelism from this single file is pinned in
+    tests/test_sources.py::test_bz2_single_file_is_splittable; here the
+    coalesce(1) writer proves the correctness half (no line lost or
+    torn across block boundaries at any split placement)."""
+    src = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    path = _tmp("q_scan_bz2")
+    (
+        src.select(
+            F.concat_ws(
+                "\t",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                "l_returnflag",
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "bzip2")
+        .text(path)
+    )
+    back = spark.read.text(path).select(
+        F.split(F.col("value"), "\t")[0].cast("long").alias("l_orderkey"),
+        F.split(F.col("value"), "\t")[1].cast("long").alias("l_linenumber"),
+        F.split(F.col("value"), "\t")[2].alias("l_returnflag"),
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 1000003)
+        .cast("long")
+        .alias("key_sum"),
+    )
+
+
+_BZ2_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((l_orderkey * 7 + l_linenumber) % 1000003) AS BIGINT) AS key_sum
+FROM lineitem GROUP BY 1
+"""
+
+
 # --- Q-sink-10 (extra): schema evolution via mergeSchema ---------------------
 def _sink_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Schema evolution: v1 files lack a column that v2 files carry
@@ -412,6 +461,13 @@ QUERIES: dict[str, QueryDef] = {
         "Q-scan-5 gzip text roundtrip: codec-by-extension read, "
         "non-splittable-codec parallelism from file count "
         "(io/compress/GzipCodec.java:36, mapred/LineRecordReader.java:77)",
+    ),
+    "q_scan_bz2_text": QueryDef(
+        _scan_bz2_text,
+        _BZ2_SQL,
+        "Q-scan-6 bzip2 text roundtrip: SPLITTABLE codec — one .bz2 file "
+        "yields multiple input splits (io/compress/BZip2Codec.java); "
+        "split-parallelism pinned in tests/test_sources.py",
     ),
     "q_sink_schema_evolution": QueryDef(
         _sink_schema_evolution,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 
 def _rev_cents(price: str, disc: str) -> F.Column:
@@ -195,12 +196,13 @@ QUERIES: dict[str, QueryDef] = {
 # --- Q5: local-supplier volume (6-table join) --------------------------------
 def _tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     """Revenue by nation where customer and supplier are co-national: the
-    join-ordering showcase. region/nation/supplier/customer are all
-    broadcast-sized dims (forced with broadcast() for the first three;
-    Catalyst picks BHJ for customer under the threshold anyway), so the
-    only shuffle left is the lineitem><orders equi-join + final agg —
-    the plan a 1000-executor cluster wants: fact tables shuffle once,
-    dims never do."""
+    join-ordering showcase. Only region and nation carry broadcast()
+    hints — they are constant-size (5/25 rows at every SF). customer and
+    supplier scale linearly with SF, so they get NO hint: Catalyst picks
+    BHJ for them under autoBroadcastJoinThreshold (every test SF) and
+    falls back to a shuffle join at cluster scale instead of OOMing the
+    executors on a forced broadcast. The fact tables shuffle once; the
+    constant dims never do."""
     region = T(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
     nation = T(spark, sf, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -222,9 +224,9 @@ def _tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -257,8 +259,9 @@ GROUP BY n_name
 QUERIES["q_agg_tpch_q5"] = QueryDef(
     _tpch_q5,
     _Q5_SQL,
-    "TPC-H Q5 shape: 6-table join with every dim broadcast — one fact "
-    "shuffle total; co-national customer/supplier constraint",
+    "TPC-H Q5 shape: 6-table join; constant dims (region/nation) hinted "
+    "broadcast, SF-linear dims (customer/supplier) left to Catalyst so "
+    "the plan degrades to shuffle joins at scale instead of OOM",
 )
 
 
@@ -319,7 +322,7 @@ def _agg_item_sim(spark: SparkSession, sf: str) -> DataFrame:
         T(spark, sf, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 1000).alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds pair join (twice) + freq table
+        .transform(pin)  # feeds pair join (twice) + freq table
     )
     freq = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("f"))
     a = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pa"))

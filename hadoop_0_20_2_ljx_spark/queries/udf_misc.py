@@ -444,11 +444,19 @@ def _udf_cogroup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         if len(odf) == 0:  # lineitem orphan (none exist; RI-checked) — drop
             return pd.DataFrame(
                 columns=["o_orderkey", "n_items", "sum_qty", "item_cents", "total_cents"]
             )
-        item_cents = int((ldf["l_extendedprice"] * 100).round(0).sum()) if len(ldf) else 0
+        # half-AWAY-from-zero per-row cent rounding (np.floor(x+0.5) on
+        # nonnegative prices), matching DuckDB round() and F.round —
+        # Series.round/Python round are half-to-even and can diverge on
+        # exact-.5 products (repo determinism rule: same rounding BOTH sides)
+        item_cents = (
+            int(np.floor(ldf["l_extendedprice"] * 100 + 0.5).sum()) if len(ldf) else 0
+        )
         return pd.DataFrame(
             [
                 [
@@ -456,7 +464,7 @@ def _udf_cogroup(spark: SparkSession, sf: str) -> DataFrame:
                     len(ldf),
                     int(ldf["l_quantity"].sum()) if len(ldf) else 0,
                     item_cents,
-                    int(round(odf["o_totalprice"].iloc[0] * 100)),
+                    int(np.floor(odf["o_totalprice"].iloc[0] * 100 + 0.5)),
                 ]
             ],
             columns=["o_orderkey", "n_items", "sum_qty", "item_cents", "total_cents"],

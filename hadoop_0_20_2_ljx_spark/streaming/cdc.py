@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions.pipeline_ops import keep_latest_versions
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 _BUCKET = "_kb"
 
@@ -63,7 +64,7 @@ def apply_cdc_batch(
         merged = latest
     # materialize BEFORE overwriting: the merged plan lazily reads the
     # same files dynamic overwrite is about to replace
-    merged = merged.localCheckpoint(eager=True)
+    merged = merged.transform(pin)
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -107,3 +107,34 @@ def test_drift_one_sided_group_does_not_crash(spark):
     import math
 
     assert abs(out[0]["js_nano"] / 1e9 - math.log(2) / 2) < 1e-6
+
+
+def test_zscore_survives_int64_overflow_regime(spark):
+    # values whose boundary products overflow int64 but fit DECIMAL(38,0):
+    # max_cents = 5e9 ($50M), 100 rows -> n*Q ~ 100^2 * 2.5e19 = 2.5e23
+    # >> 2^63 ~ 9.2e18. The old pure-BIGINT arithmetic either nulled (lost
+    # outliers) or errored under ANSI; the decimal path must match an
+    # exact big-int replay in Python.
+    big = 5_000_000_000
+    vals = [big] * 99 + [big // 2]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "event_id long, t string, v long"
+    )
+    out = audit.zscore_outliers(df, "t", F.col("v"), ["event_id"]).collect()
+    n, s, q = len(vals), sum(vals), sum(v * v for v in vals)
+    expect = {
+        i for i, v in enumerate(vals) if (n * v - s) ** 2 > 4 * (n * q - s * s)
+    }
+    assert {r["event_id"] for r in out} == expect and expect == {99}
+
+
+def test_drift_n_bins_is_enforced(spark):
+    # bins beyond n_bins-1 must fold into the last bin (state bound):
+    # with n_bins=2, bins {5, 9} both land in bin 1 -> identical slices
+    # -> JS == 0; without the clamp the supports are disjoint (JS = ln2).
+    rows = [("g", 5, 1)] * 10 + [("g", 9, 0)] * 10
+    df = spark.createDataFrame(rows, "g string, b long, h int")
+    out = audit.distribution_drift_js(
+        df, "g", F.col("b"), F.col("h") == 1, n_bins=2
+    ).collect()
+    assert out[0]["js_nano"] == 0

@@ -58,6 +58,17 @@ class TestOverrideJoin:
         out = {r.k: r.v for r in override_join([a, b, c], "k", "v").collect()}
         assert out == {1: "b", 2: "c"}
 
+    def test_nary_query_plan_is_equi_join_only(self, spark):
+        # the n-ary coalesce chain must stay BHJ/SMJ — a NestedLoop or
+        # cartesian here would make override(a,b,c) explode at scale
+        from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+        from tests.conftest import SF_SMOKE
+
+        df = REGISTRY["q_join_override"].spark(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestSecondarySortStream:
     def test_groups_contiguous_and_ordered(self, spark):

@@ -1,0 +1,51 @@
+"""Durability-mode switch for pinned working tables (pinning.pin).
+
+local mode = localCheckpoint (fast, executor-loss fails the job);
+durable mode = persist(DISK_ONLY) with lineage kept (production posture).
+The switch must be results-invariant: pinned tables are deterministic, so
+both modes must produce byte-identical query output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.pinning import PIN_MODE_CONF, pin
+from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pin_modes_materialize_identically(spark):
+    src = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    spark.conf.set(PIN_MODE_CONF, "local")
+    try:
+        local = pin(src.groupBy("g").agg(F.sum("id").alias("s")))
+        assert not local.isStreaming
+        spark.conf.set(PIN_MODE_CONF, "durable")
+        durable = pin(src.groupBy("g").agg(F.sum("id").alias("s")))
+        assert _rows(local) == _rows(durable)
+        # durable keeps lineage cached on disk — re-reads don't recompute
+        assert durable.storageLevel.useDisk and not durable.storageLevel.useMemory
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
+
+
+def test_iterative_query_results_mode_invariant(spark):
+    """Connected components (the heaviest pin consumer: a loop of
+    large-star/small-star rounds, one pin per round) must return the
+    exact same clusters under both modes."""
+    name = "q_dedup_clusters"
+    try:
+        spark.conf.set(PIN_MODE_CONF, "local")
+        local = _rows(REGISTRY[name].spark(spark, SF_SMOKE))
+        spark.conf.set(PIN_MODE_CONF, "durable")
+        durable = _rows(REGISTRY[name].spark(spark, SF_SMOKE))
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
+    assert local == durable and len(local) > 0

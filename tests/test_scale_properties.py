@@ -308,15 +308,24 @@ def test_registry_wide_scan_ceiling(spark):
     re-derivation. Plan-build only — nothing executes."""
     from hadoop_0_20_2_ljx_spark.queries import REGISTRY
 
-    offenders = {}
+    # Queries allowed to fail plan-build (e.g. future sink/stream queries
+    # needing scratch state). Currently EMPTY — every registry query
+    # plan-builds at SF_SMOKE; a query that starts erroring must either be
+    # fixed or explicitly listed here, never silently dropped from the sweep.
+    plan_build_exempt: set[str] = set()
+
+    offenders, broken = {}, {}
     for name, qd in REGISTRY.items():
         try:
             plan = plan_of(qd.spark(spark, SF_SMOKE))
-        except Exception:
-            continue  # sink/stream queries needing scratch state: covered elsewhere
+        except Exception as e:
+            if name not in plan_build_exempt:
+                broken[name] = repr(e)[:200]
+            continue
         n = plan.count("Scan parquet")
         if n > 6:
             offenders[name] = n
+    assert not broken, f"queries dropped out of the scan sweep: {broken}"
     assert not offenders, f"repeated-scan plans: {offenders}"
 
 
