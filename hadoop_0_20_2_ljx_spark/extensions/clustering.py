@@ -85,7 +85,6 @@ def assign_clusters(
 
 def kmeans_lloyd(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     k: int,
     iters: int,
@@ -94,7 +93,13 @@ def kmeans_lloyd(
     """``iters`` Lloyd rounds from the given initial centroids. Round t
     assigns by the round-(t-1) centroids then recomputes means. Returns
     (the last round's assignment DataFrame, the post-update centroids).
-    Clusters that lose all members drop out (GROUP BY semantics)."""
+    Clusters that lose all members drop out (GROUP BY semantics).
+
+    ``k`` is validated against ``init`` (it is the declared cluster
+    count; a mismatched seed dict is a caller bug, not a silent
+    reinterpretation)."""
+    if k != len(init):
+        raise ValueError(f"k={k} but init has {len(init)} centroids")
     dim = len(next(iter(init.values())))
     vec = F.col(vec_col).cast("array<double>")
     cents = {int(j): [float(x) for x in c] for j, c in init.items()}
@@ -117,7 +122,6 @@ def pq_train(
     m: int,
     k: int,
     iters: int,
-    init_ids: int | None = None,
 ) -> list[dict[int, list[float]]]:
     """Product-quantization codebook training: split the vector into ``m``
     contiguous subspaces and run ``iters`` Lloyd rounds in each, seeded by

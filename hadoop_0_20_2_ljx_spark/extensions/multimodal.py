@@ -113,17 +113,29 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_real(payload: bytes, media_type: str) -> dict:
-    """Dispatch on magic bytes. Formats needing only numpy/stdlib decode
-    for real; compressed codecs raise naming the library they'd need."""
+    """Dispatch on magic bytes, then VERIFY the declared ``media_type``
+    metadata agrees with what the bytes actually are (mismatched typed
+    metadata is a corruption signal, not something to decode through).
+    Formats needing only numpy/stdlib decode for real; compressed codecs
+    raise naming the library they'd need."""
+
+    def _checked(kind: str, out: dict) -> dict:
+        declared = (media_type or "").split("/")[0]
+        if declared and declared != kind:
+            raise ValueError(
+                f"media_type declares {media_type!r} but payload decodes as {kind}"
+            )
+        return out
+
     b = bytes(payload)
     if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
         arr = _decode_pnm(b)
-        return {"kind": "image", "array": arr, "rate": None}
+        return _checked("image", {"kind": "image", "array": arr, "rate": None})
     if b[:2] == b"BM":
-        return {"kind": "image", "array": _decode_bmp(b), "rate": None}
+        return _checked("image", {"kind": "image", "array": _decode_bmp(b), "rate": None})
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         samples, rate = _decode_wav(b)
-        return {"kind": "audio", "array": samples, "rate": rate}
+        return _checked("audio", {"kind": "audio", "array": samples, "rate": rate})
     if b[:3] == b"\xff\xd8\xff" or b[:8] == b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("JPEG/PNG decode requires PIL (not in this container)")
     raise NotImplementedError(

@@ -136,7 +136,6 @@ def embedding_neardup_pairs(
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its best centroid
@@ -205,10 +204,10 @@ def ivf_ann(
         .orderBy(id_col)
         .collect()
     ]
-    c = ivf_assign(_spread(corpus), cents, id_col, vec_col).select(
+    c = ivf_assign(_spread(corpus), cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
     )
-    q = ivf_assign(queries, cents, id_col, vec_col).select(
+    q = ivf_assign(queries, cents, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "list_id"
     )
     scored = (
@@ -261,10 +260,10 @@ def ivfpq_ann(
         codes = sorted(book)
         if codes != list(range(len(codes))):
             raise ValueError("ivfpq_ann needs contiguous 0..k-1 code ids")
-    cand = ivf_assign(_spread(corpus), cents, id_col, vec_col).select(
+    cand = ivf_assign(_spread(corpus), cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "list_id", *code_cols
     )
-    q = ivf_assign(queries, cents, id_col, vec_col).select(
+    q = ivf_assign(queries, cents, vec_col).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         "list_id",

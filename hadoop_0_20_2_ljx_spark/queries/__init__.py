@@ -43,6 +43,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_outliers",  # ADVICE fix: DECIMAL(38,0) products, int64 budget
     "q_agg_drift_js",  # ADVICE fix: n_bins now enforced (least-clamp)
     "q_udf_cogroup",  # ADVICE fix: half-away-from-zero cent rounding
+    "q_agg_tpch_q3",  # self-audit fix: no forced broadcast of customer
     # (b) oldest external evidence (r1-only), file order; 32 fit in the 50
     "q_scan_text_count",
     "q_scan_kv_split",
@@ -75,8 +76,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_join_salted",
     "q_set_union",
     "q_set_distinct",
-    "q_set_intersect_except",
     # ---- 50-row cut line: names below rotate to the front in r5 ----
+    "q_set_intersect_except",
     "q_sink_text_roundtrip",
     "q_sink_parquet_roundtrip",
     "q_sink_sorted_lookup",

@@ -740,7 +740,7 @@ def _embed_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
     init = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init_rows}
     assigned, _ = clustering.kmeans_lloyd(
-        emb, "vec_id", "embedding", _KMEANS_K, _KMEANS_ITERS, init
+        emb, "embedding", _KMEANS_K, _KMEANS_ITERS, init
     )
     vec = F.col("embedding").cast("array<double>")
     return assigned.groupBy("cluster").agg(

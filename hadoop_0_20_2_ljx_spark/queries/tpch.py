@@ -33,9 +33,12 @@ def _rev_cents(price: str, disc: str) -> F.Column:
 # --- Q3: shipping-priority top-10 -------------------------------------------
 def _tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """Unshipped high-value BUILDING orders: 2 joins + agg + top-10.
-    The customer dim shrinks to one segment -> broadcast; lineitem and
-    orders equi-join on the order key with both date filters pushed to
-    the scans; TakeOrderedAndProject caps the sort at k=10."""
+    The customer projection (1 segment, key column only) carries NO
+    broadcast hint: customer scales linearly with SF, so Catalyst picks
+    BHJ under autoBroadcastJoinThreshold (every test SF) and falls back
+    to a shuffle join at cluster scale instead of OOMing on a forced
+    broadcast — same policy as Q5's SF-linear dims. Both date filters
+    push to the scans; TakeOrderedAndProject caps the sort at k=10."""
     cust = (
         T(spark, sf, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -52,7 +55,7 @@ def _tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_orderkey", _rev_cents("l_extendedprice", "l_discount").alias("_rc"))
     )
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum("_rc").cast("long").alias("revenue_cents")
@@ -175,7 +178,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_agg_tpch_q3": QueryDef(
         _tpch_q3,
         _Q3_SQL,
-        "TPC-H Q3 shape: broadcast dim + 2 equi-joins + partial agg + "
+        "TPC-H Q3 shape: 2 equi-joins (customer unhinted — Catalyst "
+        "BHJ locally, shuffle join at scale) + partial agg + "
         "TakeOrderedAndProject top-10; integer-cent revenue",
     ),
     "q_agg_tpch_q6": QueryDef(
@@ -338,7 +342,11 @@ def _agg_item_sim(spark: SparkSession, sf: str) -> DataFrame:
     sim = pairs.join(F.broadcast(fa), "pa").join(F.broadcast(fb), "pb")
     sim_bp = F.floor(
         F.lit(10000.0) * F.col("support")
-        / F.sqrt((F.col("fa") * F.col("fb")).cast("double"))
+        # cast each factor BEFORE multiplying: a BIGINT fa*fb overflows
+        # past ~3e9-row item frequencies (ANSI error at scale); the
+        # double product is exact for the comparison-relevant range and
+        # feeds sqrt anyway
+        / F.sqrt(F.col("fa").cast("double") * F.col("fb").cast("double"))
     ).cast("long")
     return (
         sim.select("pa", "pb", "support", sim_bp.alias("sim_bp"))

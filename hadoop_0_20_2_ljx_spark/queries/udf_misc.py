@@ -56,8 +56,11 @@ def _udf_histogram(spark: SparkSession, sf: str) -> DataFrame:
                 "min_freq": [int(freqs.min())],
                 "max_freq": [int(freqs.max())],
                 "median_freq": [int(sorted(freqs)[n // 2])],
-                "avg_freq": [round(mean, 6)],
-                "stddev_freq": [round(math.sqrt(var), 6)],
+                # half-AWAY-from-zero at 6 decimals (floor(x*1e6+0.5) on
+                # nonnegative values) — Python round() is half-to-even and
+                # can diverge from the oracle's round() on exact-.5 digits
+                "avg_freq": [math.floor(mean * 1e6 + 0.5) / 1e6],
+                "stddev_freq": [math.floor(math.sqrt(var) * 1e6 + 0.5) / 1e6],
             }
         )
 

@@ -42,8 +42,13 @@ def running_user_stats_stream(events_stream: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        # half-away-from-zero at 6 decimals, matching the batch oracle's
+        # F.round (Python round() is half-to-even — repo determinism rule)
+        import math
+
+        r6 = math.copysign(math.floor(abs(total) * 1e6 + 0.5) / 1e6, total)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [r6]}
         )
 
     return events_stream.groupBy("user_id").applyInPandasWithState(

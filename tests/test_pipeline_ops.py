@@ -88,14 +88,14 @@ def test_kmeans_two_blobs_converges_and_is_partition_invariant(spark):
     ]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
     init = {0: [9.0, 9.0], 1: [-9.0, -9.0]}
-    a1, c1 = kmeans_lloyd(df, "vec_id", "embedding", 2, 2, init)
+    a1, c1 = kmeans_lloyd(df, "embedding", 2, 2, init)
     got = {r["vec_id"]: r["cluster"] for r in a1.collect()}
     assert all(got[i] == 0 for i in range(5))
     assert all(got[100 + i] == 1 for i in range(5))
     # blob means recovered
     assert abs(c1[0][0] - 10.0) < 1e-9 and abs(c1[1][0] + 10.0) < 1e-9
     # partitioning must not change assignments (deterministic argmin)
-    a2, _ = kmeans_lloyd(df.repartition(7), "vec_id", "embedding", 2, 2, init)
+    a2, _ = kmeans_lloyd(df.repartition(7), "embedding", 2, 2, init)
     assert {r["vec_id"]: r["cluster"] for r in a2.collect()} == got
 
 

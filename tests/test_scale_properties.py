@@ -202,9 +202,11 @@ def test_simhash_signatures_single_exchange(spark):
 
 
 def test_tpch_q3_broadcasts_dim_and_caps_sort(spark):
-    """Q3's one-segment customer dim must broadcast (no shuffle of the
-    fact side for it) and the top-10 must compile to
-    TakeOrderedAndProject, never a global sort."""
+    """Q3's one-segment customer dim must broadcast AT SMOKE SCALE with
+    no hint (it is SF-linear, so the code leaves the choice to Catalyst
+    — BHJ under the threshold here, shuffle join at cluster scale) and
+    the top-10 must compile to TakeOrderedAndProject, never a global
+    sort."""
     from hadoop_0_20_2_ljx_spark.queries import REGISTRY
 
     df = REGISTRY["q_agg_tpch_q3"].spark(spark, SF_SMOKE)
@@ -249,9 +251,10 @@ def test_triangle_counts_no_cartesian_and_degree_bound(spark):
 
 def test_tpch_q5_dims_broadcast_single_fact_shuffle(spark):
     """Q5's four dims (region/nation/customer/supplier) must all join as
-    BroadcastHashJoin — at any scale only the fact tables may shuffle.
-    At smoke scale even lineitem><orders goes BHJ, so the only hash
-    Exchange left is the final aggregation's."""
+    BroadcastHashJoin at smoke scale — but only the constant dims
+    (region/nation) carry hints; customer/supplier are SF-linear and
+    Catalyst picks their BHJ under the threshold, degrading to shuffle
+    joins at cluster scale instead of a forced-broadcast OOM."""
     from hadoop_0_20_2_ljx_spark.queries import REGISTRY
 
     plan = plan_of(REGISTRY["q_agg_tpch_q5"].spark(spark, SF_SMOKE))
