@@ -408,3 +408,190 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(180)
 
     assert sorted(out) == sorted(r["event_id"] for r in ev.select("event_id").collect())
+
+
+def test_transform_with_state_closed_sessions(spark, tmp_path):
+    """transformWithStateInPandas session close (streaming/tws.py): the
+    event-time timer must flush idle keys' final sessions once the
+    watermark passes, and the emitted set must equal the batch
+    sessionization restricted to watermark-closed sessions. Runs only
+    where the protobuf state protocol is available (not this container —
+    the processor logic is covered by the fake-handle tests below)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from hadoop_0_20_2_ljx_spark.streaming import tws
+
+    rows = []
+    base = 1704067200  # 2024-01-01 00:00:00 UTC, seconds
+    for uid in range(5):
+        for k in range(3):
+            rows.append((uid, base + uid * 60 + k * 300))
+        for k in range(2):
+            rows.append((uid, base + 86400 + uid * 60 + k * 300))
+    rows.append((999, base + 2 * 86400))  # sentinel: drives the watermark
+    src_dir = str(tmp_path / "tws_src")
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.col("sec").cast("timestamp").alias("ts")
+    )
+    df.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = tws.closed_sessions_stream(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(map(tuple, spark.table("tws_sessions").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            tws.closed_sessions_batch(
+                spark.read.parquet(src_dir), gap="30 minutes", watermark="1 minute"
+            ).collect(),
+        )
+    )
+    assert len(batch) == 10
+    assert streamed == batch
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+class _FakeExpiredTimer:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _drive_processor(events_by_batch, gap_ms, final_wm_ms):
+    """Replay the driver-side contract on the processor directly: per
+    batch feed each key's rows, then fire any timers the batch-end
+    watermark has passed (the MicroBatchExecution ordering)."""
+    import pandas as pd
+
+    from hadoop_0_20_2_ljx_spark.streaming.tws import SessionCloseProcessor
+
+    proc = SessionCloseProcessor(gap_ms)
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+    for batch, wm in events_by_batch:
+        if batch:
+            pdf = pd.DataFrame({"ts_ms": batch})
+            for res in proc.handleInputRows((7,), iter([pdf]), None):
+                out.extend(map(tuple, res.itertuples(index=False)))
+        for t in list(handle.timers):
+            if t <= wm:
+                handle.timers.remove(t)
+                for res in proc.handleExpiredTimer((7,), None, _FakeExpiredTimer(t)):
+                    out.extend(map(tuple, res.itertuples(index=False)))
+    return out
+
+
+def test_tws_processor_gap_split_and_timer_close():
+    """Session merge + gap split on input, timer close on watermark: two
+    bursts 1h apart with a 30-min gap must yield two sessions — the
+    first emitted when the second burst arrives, the second only when
+    the watermark passes its expiry."""
+    gap = 30 * 60_000
+    b1 = [0, 300_000, 600_000]          # burst 1: 3 events, 5 min apart
+    b2 = [3_600_000, 3_900_000]         # burst 2: 1h later
+    out = _drive_processor([(b1 + b2, 600_000)], gap, None)
+    assert out == [(7, 0, 600_000, 3)]  # burst 1 closed by the gap split
+    out2 = _drive_processor(
+        [(b1 + b2, 600_000), ([], 3_900_000 + gap)], gap, None
+    )
+    assert out2 == [(7, 0, 600_000, 3), (7, 3_600_000, 3_900_000, 2)]
+
+
+def test_tws_processor_stale_timer_does_not_close_extended_session():
+    """A timer armed for an earlier state of the session must not fire
+    the extended session early (the expiry >= last+gap guard)."""
+    gap = 30 * 60_000
+    proc_out = _drive_processor(
+        [
+            ([0], None if False else -1),        # arm timer at 0+gap; wm before it
+            ([10 * 60_000], 0 + gap),            # extended; old timer wm passed
+        ],
+        gap,
+        None,
+    )
+    # the batch-2 watermark (0+gap) is past the STALE expiry but the
+    # processor re-armed at 10min+gap — replay fires only timers still
+    # registered, and the re-arm deleted the stale one: nothing closes
+    assert proc_out == []
+
+
+def test_tws_processor_matches_batch_oracle(spark):
+    """Full replay vs closed_sessions_batch on multi-user data: feeding
+    every event then an empty batch at the final watermark must emit
+    exactly the watermark-closed sessions of the batch form."""
+    from hadoop_0_20_2_ljx_spark.streaming import tws
+
+    base_s = 1704067200
+    rows = []
+    for uid in range(4):
+        for k in range(3):
+            rows.append((uid, base_s + uid * 60 + k * 300))
+        for k in range(2):
+            rows.append((uid, base_s + 86400 + uid * 60 + k * 300))
+    rows.append((999, base_s + 2 * 86400))
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.col("sec").cast("timestamp").alias("ts")
+    )
+    expected = sorted(
+        map(
+            tuple,
+            tws.closed_sessions_batch(df, gap="30 minutes", watermark="1 minute")
+            .collect(),
+        )
+    )
+    # drive each user's processor; final watermark = max ts - 1 min
+    final_wm = (base_s + 2 * 86400) * 1000 - 60_000
+    got = []
+    by_user = {}
+    for uid, sec in rows:
+        by_user.setdefault(uid, []).append(sec * 1000)
+    for uid, ts_ms in by_user.items():
+        out = _drive_processor([(sorted(ts_ms), final_wm)], 30 * 60_000, None)
+        got.extend((uid,) + t[1:] for t in out)
+    assert sorted(got) == expected
