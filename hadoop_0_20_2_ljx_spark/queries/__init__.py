@@ -12,12 +12,14 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # driver row yet or whose implementation/oracle changed this round
 # (unproven claims are worse than aging proofs), then (b) the
 # oldest-evidence queries. Round 4 fronts: the 12 r3 additions that have
-# no external row, 1 new query (bz2 splittable scan), 5 whose code
-# changed this round (n-ary override extension + the four ADVICE-fix
-# queries — their r1/r3 proofs predate the change), then 32 of the 44
-# remaining r1-only names. The 12 r1-only names that miss the cut
+# no external row, 1 new query (bz2 splittable scan), 6 whose code
+# changed this round (n-ary override extension, the four ADVICE-fix
+# queries, and Q3's broadcast-policy fix — their prior proofs predate
+# the change), then 31 of the 44 remaining r1-only names. The 13
+# r1-only names that miss the cut
 # (q_sink_text_roundtrip .. q_dedup_jaccard below the marker) plus the
-# r2-latest block rotate in r5. Local pytest and tools/driver_sim.py
+# r2-latest block rotate in r5, together with q_udf_pipes (added late
+# in r4, sim-only — new/changed queries front first). Local pytest and tools/driver_sim.py
 # re-prove ALL queries at sf0.01 every gate run regardless — the driver
 # rows are the hard external signal, not the only signal. Correctness
 # itself is order-independent (each query is self-contained).

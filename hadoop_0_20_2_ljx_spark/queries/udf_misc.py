@@ -506,3 +506,44 @@ QUERIES["q_udf_cogroup"] = QueryDef(
     "Q-udf-4 (engine extra) cogrouped applyInPandas — the reference's "
     "tagged-value reduce-side join contract as an Arrow-batched UDF",
 )
+
+
+# --- pipes / Streaming line protocol as a declared query ---------------------
+def _udf_pipes(spark: SparkSession, sf: str) -> DataFrame:
+    """The Hadoop Pipes / Streaming external-process contract
+    (mapred/pipes/Application.java:177, Submitter.java:67) as an
+    oracle-gated query: orders rows stream line-per-record through an
+    external `sed` process (one process per partition, stdin/stdout
+    backpressure — functions/pipes.py), which rewrites status F to
+    FULL; the re-parsed rows aggregate to a result DuckDB replays
+    relationally. `sed` stands in for the user executable — POSIX,
+    present on any executor image; on a cluster ship the real binary
+    via spark.files (the DistributedCache model)."""
+    from hadoop_0_20_2_ljx_spark.functions.pipes import pipe_records
+    from hadoop_0_20_2_ljx_spark.session import ship_package
+
+    ship_package(spark)  # rdd lambdas reference package modules
+    src = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    piped = pipe_records(
+        src, "sed s/F/FULL/", "o_orderkey long, o_orderstatus string"
+    )
+    return piped.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_orderkey") % 1000003).cast("long").alias("key_sum"),
+    )
+
+
+_PIPES_SQL = """
+SELECT CASE WHEN o_orderstatus = 'F' THEN 'FULL' ELSE o_orderstatus END AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_sum
+FROM orders GROUP BY 1
+"""
+
+QUERIES["q_udf_pipes"] = QueryDef(
+    _udf_pipes,
+    _PIPES_SQL,
+    "Q-udf-5 (pipes surface) external-process line-protocol transform "
+    "(mapred/pipes, contrib Streaming contract) — sed per partition, "
+    "result replayed relationally",
+)
