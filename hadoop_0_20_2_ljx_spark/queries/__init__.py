@@ -15,8 +15,10 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # no external row, 1 new query (bz2 splittable scan), 6 whose code
 # changed this round (n-ary override extension, the four ADVICE-fix
 # queries, and Q3's broadcast-policy fix — their prior proofs predate
-# the change), then 31 of the 44 remaining r1-only names. The 13
-# r1-only names that miss the cut
+# the change), then 25 of the 44 remaining r1-only names (6 more slots went to the
+# self-audit's changed modules: kmeans/PQ/IVF signature changes and the
+# multimodal media_type check invalidate those queries' r2/r3 proofs).
+# The 19 r1-only names that miss the cut
 # (q_sink_text_roundtrip .. q_dedup_jaccard below the marker) plus the
 # r2-latest block rotate in r5, together with q_udf_pipes (added late
 # in r4, sim-only — new/changed queries front first). Local pytest and tools/driver_sim.py
@@ -46,6 +48,15 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_drift_js",  # ADVICE fix: n_bins now enforced (least-clamp)
     "q_udf_cogroup",  # ADVICE fix: half-away-from-zero cent rounding
     "q_agg_tpch_q3",  # self-audit fix: no forced broadcast of customer
+    # modules changed in the r4 self-audit (kmeans_lloyd/pq_train/
+    # ivf_assign signatures; multimodal decode media_type check) — their
+    # r2/r3 proofs predate the change, so they re-prove before the old set
+    "q_embed_kmeans",
+    "q_embed_pq",
+    "q_embed_ivf",
+    "q_embed_ivfpq",
+    "q_multimodal_decode",
+    "q_multimodal_features",
     # (b) oldest external evidence (r1-only), file order; 32 fit in the 50
     "q_scan_text_count",
     "q_scan_kv_split",
@@ -72,13 +83,13 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_window_rank",
     "q_join_inner",
     "q_join_full_outer",
+    # ---- 50-row cut line: names below rotate to the front in r5 ----
     "q_join_3way",
     "q_join_broadcast",
     "q_join_semi_anti",
     "q_join_salted",
     "q_set_union",
     "q_set_distinct",
-    # ---- 50-row cut line: names below rotate to the front in r5 ----
     "q_set_intersect_except",
     "q_sink_text_roundtrip",
     "q_sink_parquet_roundtrip",
