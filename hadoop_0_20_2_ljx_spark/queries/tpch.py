@@ -1,4 +1,4 @@
-"""Declared queries: TPC-H Q3 / Q5 / Q6 / Q18 shapes over the star schema.
+"""Declared queries: TPC-H Q3 / Q4 / Q5 / Q6 / Q10 / Q18 shapes over the star schema.
 
 The reference's users run exactly these report shapes as hand-rolled
 MapReduce chains (join job -> agg job -> sort job via
@@ -377,4 +377,118 @@ QUERIES["q_agg_item_sim"] = QueryDef(
     _ITEM_SIM_SQL,
     "item-item cosine similarity from co-occurrence (basis points, "
     "bit-exact): bounded pair join + broadcast frequency re-entry",
+)
+
+
+# --- Q4: order-priority checking (EXISTS decorrelation) ----------------------
+def _tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority where EXISTS a
+    qualifying lineitem — the correlated-EXISTS decorrelation showcase.
+    The fixture lacks commit/receipt dates, so the qualifying predicate
+    is a returned line (l_returnflag = 'R'), preserving the shape: a
+    per-row correlated subquery decorrelates to ONE left-semi join on
+    the order key (DISTINCT is free — semi join emits each left row at
+    most once), with the date filter pushed to the orders scan. The
+    reference expressed this as a two-job chain: a reduce-side join job
+    emitting matched order keys, then a count job
+    (examples/.../Join.java pattern + JobControl chaining)."""
+    orders = (
+        T(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    flagged = (
+        T(spark, sf, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q_agg_tpch_q4"] = QueryDef(
+    _tpch_q4,
+    _Q4_SQL,
+    "TPC-H Q4 shape: correlated EXISTS decorrelated to one left-semi "
+    "join + partial-agg count (oracle keeps the correlated form)",
+)
+
+
+# --- Q10: returned-item revenue by customer (top-k report join) --------------
+def _tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter, top-20. lineitem('R') >< orders(date window) shuffle on the
+    order key; the per-customer aggregate happens BEFORE the customer
+    and nation joins, so the dims join the k-bounded aggregate, not the
+    fact stream (agg-then-join, same discipline as Q18); nation is a
+    25-row broadcast. Integer-cent revenue; top-20 tie-broken on the
+    unique customer key."""
+    returned = (
+        T(spark, sf, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", _rev_cents("l_extendedprice", "l_discount").alias("_rc"))
+    )
+    orders = (
+        T(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_rc").cast("long").alias("revenue_cents"))
+    )
+    cust = T(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    nation = T(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue_cents", "n_name", "c_acctbal")
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       n_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+QUERIES["q_agg_tpch_q10"] = QueryDef(
+    _tpch_q10,
+    _Q10_SQL,
+    "TPC-H Q10 shape: returns-revenue top-20 — agg-then-join (dims join "
+    "the aggregate, not the fact stream), 25-row nation broadcast, "
+    "integer-cent revenue with unique-key tiebreak",
 )

@@ -386,3 +386,35 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j = fact.join(dim, "pk").groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_tpch_q4_decorrelates_to_semi_join(spark):
+    """Q4's correlated EXISTS must compile to ONE left-semi join (no
+    per-row subquery, no cartesian) with the date filter pushed to the
+    orders scan."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q4"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "o_orderdate" in pushed
+
+
+def test_tpch_q10_aggregates_before_dim_joins(spark):
+    """Q10 must aggregate the fact stream to per-customer revenue BEFORE
+    joining customer/nation — the dims join the aggregate (bounded), not
+    the raw lineitem><orders stream. In the plan tree that means the
+    HashAggregate sits BELOW the customer join (appears after it in the
+    numbered formatted output's child ordering): assert the aggregate's
+    grouping key is the pre-join o_custkey, and nation joins via BHJ."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    df = REGISTRY["q_agg_tpch_q10"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the per-customer revenue aggregate keys on o_custkey (pre-dim-join
+    # column) — a post-join aggregate would key on c_custkey/c_name
+    assert "o_custkey" in plan.split("HashAggregate")[1][:300]
