@@ -202,7 +202,10 @@ def main() -> int:
         "dedup_paragraph": "q_dedup_paragraph",
         "pagerank": "q_graph_pagerank",
         "tpch_q3": "q_agg_tpch_q3",
+        "tpch_q4": "q_agg_tpch_q4",
         "tpch_q6": "q_agg_tpch_q6",
+        "tpch_q10": "q_agg_tpch_q10",
+        "group_split": "q_sample_group_split",
         "triangles": "q_graph_triangles",
         "audit_constraints": "q_audit_constraints",
         "copurchase": "q_agg_copurchase",

@@ -1059,3 +1059,70 @@ QUERIES["q_graph_kcore"] = QueryDef(
     "bounded k-core peeling (6 rounds, k=2) with a replayed converged "
     "flag; per-round edge filter is two equi-joins + a degree partial agg",
 )
+
+
+# --- group-aware (leakage-safe) train/val/test split -------------------------
+def _sample_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe dataset split: assign every event to train/val/test
+    by hashing its GROUP key (user_id), never the row — all of a user's
+    rows land in exactly one split, so near-duplicate rows from the same
+    user can never straddle the train/test boundary (the contamination
+    vector a row-wise random split creates). Deterministic md5 buckets
+    (functions/portable.py) make the assignment retry/partition-invariant
+    AND cross-engine exact — a rand()-based splitter re-deals rows on
+    task retry. The query also PROVES the no-straddle property
+    relationally (straddling_groups must be 0) instead of asserting it
+    in prose.
+
+    Scale: one projection + two partial aggregates; the heavy
+    countDistinct is per split (3 groups). Reference analog: the MD5
+    sampling filter (mapred/SequenceFileInputFilter.java:195) applied
+    per-key rather than per-record."""
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash32
+
+    ev = T(spark, sf, "events")
+    bucket = portable_hash32(F.col("user_id")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = ev.select(F.col("user_id"), F.col("event_id"), split.alias("split"))
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("event_id") % 1000003).cast("long").alias("id_hash_sum"),
+    )
+    straddle = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("_k"))
+        .agg(F.sum((F.col("_k") > 1).cast("long")).cast("long").alias("straddling_groups"))
+    )
+    return per_split.join(F.broadcast(straddle))
+
+
+_GROUP_SPLIT_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+), per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(sum(event_id % 1000003) AS BIGINT) AS id_hash_sum
+  FROM tagged GROUP BY 1
+), straddle AS (
+  SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS straddling_groups
+  FROM (SELECT user_id, count(DISTINCT split) AS k FROM tagged GROUP BY 1)
+)
+SELECT * FROM per_split CROSS JOIN straddle
+"""
+
+QUERIES["q_sample_group_split"] = QueryDef(
+    _sample_group_split,
+    _GROUP_SPLIT_SQL,
+    "group-aware leakage-safe train/val/test split: md5 bucket of the "
+    "GROUP key (never the row), no-straddle property proven relationally",
+)
