@@ -37,11 +37,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the latest right row with
-    ``right_ts <= left_ts`` for the same key(s) (inclusive at equality,
-    matching DuckDB/pandas ``merge_asof`` backward semantics). Left rows
-    with no prior right row keep NULL value columns (left-join shape).
+    """As-of join. ``direction="backward"`` (default): each left row
+    picks the LATEST right row with ``right_ts <= left_ts`` for the same
+    key(s) (inclusive at equality, matching DuckDB/pandas ``merge_asof``
+    backward semantics). ``direction="forward"``: the EARLIEST right row
+    with ``right_ts >= left_ts`` — the "next scheduled event" shape
+    (next maintenance window, next price revision), which is the same
+    one-shuffle sweep run in reverse time order. Left rows with no
+    matching right row keep NULL value columns (left-join shape).
 
     Right rows must be unique per (key, right_ts) for a deterministic
     result — pre-aggregate duplicates first (ties would otherwise make
@@ -54,6 +59,8 @@ def asof_join(
     reduce-side secondary-sort sweep (KeyFieldBasedPartitioner partitions
     on the key prefix, the comparator orders by time within the key).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
     overlap = set(value_cols) & set(left.columns)
@@ -76,9 +83,13 @@ def asof_join(
     u = lt.unionByName(r, allowMissingColumns=True)
 
     # right rows (_asof_src=0) sort before left rows at equal ts -> inclusive
+    # in BOTH directions; forward just sweeps time in reverse order
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_asof_ts", "_asof_src")
+        .orderBy(ts_order, F.col("_asof_src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # the carried state is the whole matched right ROW (a struct), not the

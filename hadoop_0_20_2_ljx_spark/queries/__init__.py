@@ -83,7 +83,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_window_rank",
     "q_join_inner",
     "q_join_full_outer",
-    # ---- 50-row cut line: names below rotate to the front in r5 (with q_udf_pipes, q_agg_tpch_q4, q_agg_tpch_q10, q_sample_group_split — new, sim-only) ----
+    # ---- 50-row cut line: names below rotate to the front in r5 (with q_udf_pipes, q_agg_tpch_q4, q_agg_tpch_q10, q_sample_group_split, q_join_asof_fwd — new, sim-only) ----
     "q_join_3way",
     "q_join_broadcast",
     "q_join_semi_anti",

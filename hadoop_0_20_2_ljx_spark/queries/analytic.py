@@ -64,6 +64,51 @@ FROM clicks c ASOF LEFT JOIN p
 """
 
 
+def _join_asof_fwd(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: each click picks the user's NEXT purchase at or
+    after the click (time-to-conversion). Same union+window sweep as the
+    backward form, run in reverse time order (temporal.asof_join
+    direction='forward'); the oracle is DuckDB's native forward ASOF
+    (the `<=` inequality selects the nearest following row)."""
+    ev = T(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("value").alias("pval"))
+    )
+    j = temporal.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="t_us", right_ts="t_us",
+        value_cols=["pval"], direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("click_us"),
+        F.round("pval", 2).alias("next_purchase"),
+        F.floor((F.col("_asof_matched_ts") - F.col("t_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("secs_until"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.t_us AS click_us,
+       round(p.pval, 2) AS next_purchase,
+       CAST(floor((p.t_us - c.t_us) / 1000000) AS BIGINT) AS secs_until
+FROM clicks c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.t_us <= p.t_us
+"""
+
+
 # --- binned range join: purchases inside each error's 1-hour window ----------
 def _join_range(spark: SparkSession, sf: str) -> DataFrame:
     """Keyless point-in-interval join: every 'error' event opens a 1-hour
@@ -235,6 +280,13 @@ QUERIES: dict[str, QueryDef] = {
         _join_asof,
         _ASOF_SQL,
         "as-of (point-in-time) join via union+window sweep; oracle is native ASOF JOIN",
+    ),
+    "q_join_asof_fwd": QueryDef(
+        _join_asof_fwd,
+        _ASOF_FWD_SQL,
+        "FORWARD as-of join (next event at-or-after): the same one-"
+        "shuffle sweep in reverse time order; oracle is native forward "
+        "ASOF (<= inequality)",
     ),
     "q_join_range": QueryDef(
         _join_range,

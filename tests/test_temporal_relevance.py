@@ -200,3 +200,29 @@ def test_asof_null_value_rows_are_real_matches(spark):
     )
     row = temporal.asof_join(left, right, ["k"], "t", "t", ["v"]).collect()[0]
     assert row["v"] is None and row["_asof_matched_ts"] == 5
+
+
+def test_asof_forward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 30, "L4"), ("b", 9, "L3")],
+        "k string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 25, 2.0), ("b", 8, 9.0)],
+        "k string, t long, v double",
+    )
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["v"], direction="forward")
+    rows = {r["tag"]: (r["v"], r["_asof_matched_ts"]) for r in out.collect()}
+    assert rows["L1"] == (1.0, 10)  # inclusive at equality
+    assert rows["L2"] == (2.0, 25)  # earliest following, not latest
+    assert rows["L4"] == (None, None)  # nothing at or after t=30
+    assert rows["L3"] == (None, None)  # right row is strictly earlier
+    assert out.count() == left.count()
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, x double")
+    with pytest.raises(ValueError, match="direction"):
+        temporal.asof_join(df, df, ["k"], "t", "t", ["x2"], direction="nearest")
