@@ -57,6 +57,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_embed_ivfpq",
     "q_multimodal_decode",
     "q_multimodal_features",
+    "q_join_asof",  # changed r4: direction param touched the sweep's orderBy
     # (b) oldest external evidence (r1-only), file order; 32 fit in the 50
     "q_scan_text_count",
     "q_scan_kv_split",
@@ -82,8 +83,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_cube",
     "q_agg_window_rank",
     "q_join_inner",
+    # ---- 50-row cut line (q_join_full_outer displaced by q_join_asof)
     "q_join_full_outer",
-    # ---- 50-row cut line: names below rotate to the front in r5 (with q_udf_pipes, q_agg_tpch_q4, q_agg_tpch_q10, q_sample_group_split, q_join_asof_fwd — new, sim-only) ----
+    # ---- continued r5 queue: names below rotate to the front in r5 (with q_udf_pipes, q_agg_tpch_q4, q_agg_tpch_q10, q_sample_group_split, q_join_asof_fwd — new, sim-only) ----
     "q_join_3way",
     "q_join_broadcast",
     "q_join_semi_anti",
