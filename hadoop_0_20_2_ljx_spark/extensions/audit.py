@@ -101,12 +101,12 @@ def zscore_outliers(
     group_col: str,
     cents_col: F.Column,
     id_cols: list[str],
-    z_threshold: int = 2,
+    z_threshold: float = 2,
 ) -> DataFrame:
     """Per-group statistical outliers with an EXACT decision boundary.
 
     |x - mean| > z*sigma is evaluated entirely in integers:
-        (n*x - S)^2 > z^2 * (n*Q - S^2)
+        10^4 * (n*x - S)^2 > round(10^4 * z^2) * (n*Q - S^2)
     where S = sum(cents), Q = sum(cents^2) — both BIGINT sums, so the
     outlier SET is bit-exact across engines/partitionings (a float
     mean/stddev would make boundary rows flip with summation order).
@@ -118,8 +118,9 @@ def zscore_outliers(
     z^2*var) are computed in DECIMAL(38,0): in pure int64 the binding
     constraint is n*max_cents < ~3.0e9 — only ~60k rows per group at
     $500 values, nowhere near corpus scale. DECIMAL(38,0) holds dev^2
-    and z^2*n^2*var up to 10^38, i.e. n*max_cents < ~10^19/z — ~1e14
-    rows per group at $500, comfortably past the 100 TB posture. The
+    and z^2*n^2*var up to 10^38; with the extra 10^4 fixed-point factor
+    on each side the bound is n*max_cents < ~10^17/z — ~1e12 rows per
+    group at $500, comfortably past the 100 TB posture. The
     raw cent values and the emitted columns stay BIGINT.
     """
     x = cents_col.cast("long").alias("_c")
@@ -138,7 +139,14 @@ def zscore_outliers(
     j = base.join(F.broadcast(stats), "_g")
     dev = _d(F.col("_n")) * _d(F.col("_c")) - _d(F.col("_s"))  # n*x - S
     var_n2 = _d(F.col("_n")) * F.col("_q") - _d(F.col("_s")) * _d(F.col("_s"))  # n^2 * var
-    is_out = (dev * dev) > F.lit(z_threshold * z_threshold).cast("decimal(38,0)") * var_n2
+    # z^2 in fixed point at 10^-4 (the same granularity as the reported
+    # z_bp): a fractional z^2 (z=2.5 -> 6.25) must not silently round to
+    # an integer and loosen the boundary. Both sides scale by 10^4, so
+    # integer z^2 call sites (z=2 -> 40000/10^4) are bit-unchanged.
+    z2_fp = round(float(z_threshold) * float(z_threshold) * 10_000)
+    is_out = (dev * dev * F.lit(10_000).cast("decimal(38,0)")) > (
+        F.lit(z2_fp).cast("decimal(38,0)") * var_n2
+    )
     z_bp = F.floor(
         F.lit(10000.0) * dev.cast("double") / F.sqrt(var_n2.cast("double"))
     ).cast("long")

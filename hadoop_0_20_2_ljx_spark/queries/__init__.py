@@ -11,81 +11,35 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # the first 50 registry rows per round. Priority: (a) queries with NO
 # driver row yet or whose implementation/oracle changed this round
 # (unproven claims are worse than aging proofs), then (b) the
-# oldest-evidence queries. Round 4 fronts: the 12 r3 additions that have
-# no external row, 1 new query (bz2 splittable scan), 6 whose code
-# changed this round (n-ary override extension, the four ADVICE-fix
-# queries, and Q3's broadcast-policy fix — their prior proofs predate
-# the change), then 25 of the 44 remaining r1-only names (6 more slots went to the
-# self-audit's changed modules: kmeans/PQ/IVF signature changes and the
-# multimodal media_type check invalidate those queries' r2/r3 proofs).
-# The 19 r1-only names that miss the cut
-# (q_sink_text_roundtrip .. q_dedup_jaccard below the marker) plus the
-# r2-latest block rotate in r5, together with q_udf_pipes (added late
-# in r4, sim-only — new/changed queries front first). Local pytest and tools/driver_sim.py
-# re-prove ALL queries at sf0.01 every gate run regardless — the driver
-# rows are the hard external signal, not the only signal. Correctness
-# itself is order-independent (each query is self-contained).
+# oldest-evidence queries. Round 5 fronts: the 4 new queries (TPC-H
+# Q2/Q19/Q16/Q14 shapes), the 5 r4 additions that have only sim
+# evidence, 2 whose code changed this round (outliers' z^2 fixed-point
+# ADVICE fix; item_sim's unhinted frequency re-entry — their r4 proofs
+# predate the change), then ALL 20 r1-only names, then the 19 oldest
+# r2-latest names. After r5 every query has an external row and none is
+# older than r2; the 17 r2 names below the cut line are the committed
+# r6 block. Local pytest and
+# tools/driver_sim.py re-prove ALL queries at sf0.01 every gate run
+# regardless — the driver rows are the hard external signal, not the
+# only signal. Correctness itself is order-independent (each query is
+# self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # (a1) r3 additions with NO external driver row yet
-    "q_sink_zorder",  # Z-order (morton) layout write
-    "q_agg_copurchase",  # market-basket co-occurrence top-k
-    "q_graph_kcore",  # bounded k-core peeling
-    "q_agg_item_sim",  # item-item cosine from co-occurrence
-    "q_agg_wau",  # 7-day rolling distinct users
-    "q_agg_scd2",  # SCD type-2 history build
-    "q_agg_tpch_q6",  # TPC-H Q6 shape (full-pushdown scan)
-    "q_agg_tpch_q18",  # TPC-H Q18 shape (agg-then-join + top-100)
-    "q_sample_weighted",  # deterministic priority sampling
-    "q_agg_gapfill",  # calendar gap-fill + forward fill
-    "q_proj_unpivot",  # unpivot/melt via the Expand node
-    "q_text_entropy",  # per-source token-entropy diversity monitor
-    # (a2) new this round
-    "q_scan_bz2_text",  # new r4: splittable bzip2 single-file scan
+    # (a1) new this round
+    "q_agg_tpch_q2",  # new r5: correlated scalar-agg decorrelation shape
+    "q_agg_tpch_q19",  # new r5: OR-of-ANDs disjunctive join predicate
+    "q_agg_tpch_q16",  # new r5: NOT IN -> anti-join + count-distinct
+    "q_agg_tpch_q14",  # new r5: conditional-agg ratio (integer ppm)
+    # (a2) r4 additions with NO external driver row yet (sim-only)
+    "q_udf_pipes",  # external-process line protocol, oracle-gated
+    "q_join_asof_fwd",  # forward as-of join (next event at-or-after)
+    "q_sample_group_split",  # group-aware leakage-safe split
+    "q_agg_tpch_q4",  # TPC-H Q4 shape (EXISTS -> left-semi)
+    "q_agg_tpch_q10",  # TPC-H Q10 shape (agg-then-join top-20)
     # (a3) changed this round — prior proofs predate the change
-    "q_join_override",  # extended to n-ary (3 sources), r1 proof stale
-    "q_agg_tpch_q5",  # ADVICE fix: no forced broadcast of SF-linear dims
-    "q_agg_outliers",  # ADVICE fix: DECIMAL(38,0) products, int64 budget
-    "q_agg_drift_js",  # ADVICE fix: n_bins now enforced (least-clamp)
-    "q_udf_cogroup",  # ADVICE fix: half-away-from-zero cent rounding
-    "q_agg_tpch_q3",  # self-audit fix: no forced broadcast of customer
-    # modules changed in the r4 self-audit (kmeans_lloyd/pq_train/
-    # ivf_assign signatures; multimodal decode media_type check) — their
-    # r2/r3 proofs predate the change, so they re-prove before the old set
-    "q_embed_kmeans",
-    "q_embed_pq",
-    "q_embed_ivf",
-    "q_embed_ivfpq",
-    "q_multimodal_decode",
-    "q_multimodal_features",
-    "q_join_asof",  # changed r4: direction param touched the sweep's orderBy
-    # (b) oldest external evidence (r1-only), file order; 32 fit in the 50
-    "q_scan_text_count",
-    "q_scan_kv_split",
-    "q_scan_sample_filter",
-    "q_scan_multi_input",
-    "q_gen_random_writer",
-    "q_gen_terasort",
-    "q_proj_fieldsel",
-    "q_proj_chain",
-    "q_filter_grep",
-    "q_filter_skipbad",
-    "q_sort_keyfield",
-    "q_sort_total_order",
-    "q_sort_secondary",
-    "q_top_tokens",
-    "q_agg_wordcount",
-    "q_agg_tpch_q1",
-    "q_agg_minmax",
-    "q_agg_distinct",
-    "q_agg_histogram",
-    "q_agg_multi",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_window_rank",
-    "q_join_inner",
-    # ---- 50-row cut line (q_join_full_outer displaced by q_join_asof)
+    "q_agg_outliers",  # ADVICE fix: z^2 in 10^-4 fixed point
+    "q_agg_item_sim",  # broadcast policy: frequency re-entry unhinted
+    # (b) oldest external evidence — all 20 r1-only names, file order
     "q_join_full_outer",
-    # ---- continued r5 queue: names below rotate to the front in r5 (with q_udf_pipes, q_agg_tpch_q4, q_agg_tpch_q10, q_sample_group_split, q_join_asof_fwd — new, sim-only) ----
     "q_join_3way",
     "q_join_broadcast",
     "q_join_semi_anti",
@@ -105,6 +59,46 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_dedup_jaccard",
+    # (c) oldest r2-latest names, file order; 22 fit in the 50
+    "q_sort_keyfield_offsets",
+    "q_agg_grouping_sets",
+    "q_agg_pivot",
+    "q_agg_numeric_hist",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_agg_hot_keys",
+    "q_agg_profile",
+    "q_agg_median_mode",
+    "q_agg_daily",
+    "q_agg_window_funcs",
+    "q_sink_named_outputs",
+    "q_sink_csv_json_roundtrip",
+    "q_udf_tokenize_udtf",
+    "q_fn_pentomino",
+    "q_stream_late_data",
+    "q_stream_interval_join",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    # ---- 50-row cut line ----
+    # committed r6 block: the remaining 17 r2-latest names (plus any
+    # query added/changed in r5 after this list was written)
+    "q_dedup_embed",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_redact",
+    "q_pipeline_training",
+    "q_text_repetition",
+    "q_text_contamination",
+    "q_dedup_fuzzy",
+    "q_text_boilerplate",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_embed_quantize",
+    "q_shuffle_global",
+    "q_join_range",
+    "q_join_overlap",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Declared queries: TPC-H Q3 / Q4 / Q5 / Q6 / Q10 / Q18 shapes over the star schema.
+"""Declared queries: TPC-H Q2/Q3/Q4/Q5/Q6/Q10/Q14/Q16/Q18/Q19 shapes over the star schema.
 
 The reference's users run exactly these report shapes as hand-rolled
 MapReduce chains (join job -> agg job -> sort job via
@@ -320,8 +320,9 @@ def _agg_item_sim(spark: SparkSession, sf: str) -> DataFrame:
     sqrt(freq(a)*freq(b)), reported in integer basis points —
     floor(1e4 * s / sqrt(fa*fb)) of identical integers is bit-exact
     cross-engine. Shape: the copurchase pair join (row-local basket
-    dedup bounds it) + the item-frequency table re-entering via two
-    broadcast joins; top-500 with full tie-break."""
+    dedup bounds it) + the item-frequency table re-entering unhinted
+    (catalog-sized, so Catalyst/AQE broadcasts while it fits and
+    shuffle-joins past that); top-500 with full tie-break."""
     items = (
         T(spark, sf, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 1000).alias("p"))
@@ -339,7 +340,12 @@ def _agg_item_sim(spark: SparkSession, sf: str) -> DataFrame:
     )
     fa = freq.select(F.col("p").alias("pa"), F.col("f").alias("fa"))
     fb = freq.select(F.col("p").alias("pb"), F.col("f").alias("fb"))
-    sim = pairs.join(F.broadcast(fa), "pa").join(F.broadcast(fb), "pb")
+    # no broadcast hint: the frequency table is catalog-sized (distinct
+    # items), which grows with the corpus — the same SF-linear class the
+    # Q3/Q5 dims fell into. Catalyst/AQE picks BHJ whenever it fits the
+    # threshold (it does at every test SF — plan-pinned) and degrades to
+    # a shuffle join past it instead of OOMing the driver.
+    sim = pairs.join(fa, "pa").join(fb, "pb")
     sim_bp = F.floor(
         F.lit(10000.0) * F.col("support")
         # cast each factor BEFORE multiplying: a BIGINT fa*fb overflows
@@ -491,4 +497,304 @@ QUERIES["q_agg_tpch_q10"] = QueryDef(
     "TPC-H Q10 shape: returns-revenue top-20 — agg-then-join (dims join "
     "the aggregate, not the fact stream), 25-row nation broadcast, "
     "integer-cent revenue with unique-key tiebreak",
+)
+
+
+# --- Q2: min-cost supplier (correlated scalar-agg decorrelation) -------------
+def _tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the minimum cost — the correlated SCALAR-AGG subquery
+    (cost = (SELECT min(cost) ... WHERE partkey = outer.partkey))
+    decorrelated into groupBy-min + re-join. The fixture has no
+    partsupp, so the (part, supplier) cost table derives from lineitem:
+    min observed sale cents per pair — same cardinality class
+    (|parts|×avg suppliers/part), preserving the optimizer shape.
+
+    Decorrelation: ONE groupBy(partkey).min over the region-eligible
+    cost table, equi-joined back on (partkey, cost = min_cost) — never a
+    per-row subquery (plan-pinned: equi-joins only). The reference ran
+    this as the manual two-job min-then-join chain
+    (examples/.../Join.java:74-145 + JobControl): job 1 reduces to the
+    per-part min, job 2 reduce-side joins it against the pairs.
+
+    Scale: the cost table partial-aggs out of lineitem (combiner) and
+    shuffles on (partkey, suppkey); supplier/nation/region prune it
+    BEFORE the min (smaller agg state); nation×region is a broadcast
+    of constant dims; part is SF-linear so its join is unhinted.
+    Determinism: costs are integer cents; ordering tie-breaks on the
+    unique (p_partkey, s_suppkey) pair."""
+    ps = (
+        T(spark, sf, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "cost_cents"
+            )
+        )
+    )
+    nat = (
+        T(spark, sf, "nation")
+        .join(
+            T(spark, sf, "region").where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = T(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    elig = (
+        ps.join(supp, ps.suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == F.col("n_nationkey"))
+        .select("partkey", "suppkey", "cost_cents", "s_name", "s_acctbal", "n_name")
+        .transform(pin)  # consumed twice: min table + re-join probe
+    )
+    min_cost = (
+        elig.groupBy("partkey")
+        .agg(F.min("cost_cents").alias("_mc"))
+        .withColumnRenamed("partkey", "_mk")  # self-join disambiguation
+    )
+    part = (
+        T(spark, sf, "part")
+        .where(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        elig.join(
+            min_cost,
+            (F.col("partkey") == F.col("_mk")) & (F.col("cost_cents") == F.col("_mc")),
+        )
+        .drop("_mk", "_mc")
+        .join(part, F.col("partkey") == part.p_partkey)
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "suppkey")
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("suppkey").alias("s_suppkey"),
+            "cost_cents",
+        )
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+), elig AS (
+  SELECT partkey, suppkey, cost_cents, s_name,
+         round(s_acctbal, 2) AS s_acctbal, n_name
+  FROM ps
+  JOIN supplier ON suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       suppkey AS s_suppkey, cost_cents
+FROM elig
+JOIN part ON partkey = p_partkey
+WHERE p_size = 15
+  AND cost_cents = (SELECT min(e2.cost_cents) FROM elig e2
+                    WHERE e2.partkey = elig.partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+QUERIES["q_agg_tpch_q2"] = QueryDef(
+    _tpch_q2,
+    _Q2_SQL,
+    "TPC-H Q2 shape: correlated scalar-agg subquery decorrelated to "
+    "groupBy-min + equi-re-join (oracle keeps the correlated form); "
+    "lineitem-derived partsupp surrogate, integer-cent costs",
+)
+
+
+# --- Q19: disjunctive-predicate join (OR-of-ANDs equi-key extraction) --------
+def _tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lineitem><part where an OR of three
+    AND-groups (brand × size band × quantity band) qualifies the pair —
+    the disjunctive-predicate showcase. Naively each OR arm correlates
+    both sides and a row-at-a-time engine nest-loops it; Catalyst
+    extracts the COMMON equi-key (l_partkey = p_partkey) so the join is
+    a plain hash join with the OR as a residual filter — plan-pinned: no
+    BroadcastNestedLoopJoin/CartesianProduct. The fixture lacks
+    p_container/l_shipmode, so the arms use p_brand/p_size/l_quantity —
+    same predicate structure. The reference would run this as a
+    reduce-side join with the OR evaluated in the reducer
+    (mapred/join/CompositeRecordReader tagged-value pattern).
+
+    Scale: part is SF-linear and unhinted (BHJ locally, shuffle join at
+    cluster scale); only l_partkey/l_quantity/price/discount are read
+    (column pruning); the single-row answer is a partial-sum reduce."""
+    li = T(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        _rev_cents("l_extendedprice", "l_discount").alias("_rc"),
+    )
+    part = T(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, (F.col("l_partkey") == F.col("p_partkey")) & arm)
+        .agg(
+            F.sum("_rc").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+QUERIES["q_agg_tpch_q19"] = QueryDef(
+    _tpch_q19,
+    _Q19_SQL,
+    "TPC-H Q19 shape: OR-of-ANDs disjunctive join predicate — common "
+    "equi-key extracted to a hash join, OR residual-filtered "
+    "(plan-pinned no nested loop); integer-cent revenue",
+)
+
+
+# --- Q16: supplier diversity per part class (NOT IN anti-join) ---------------
+def _tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for qualifying parts, EXCLUDING suppliers on a complaint list — the
+    NOT IN subquery decorrelated to a left-anti join. The fixture has no
+    partsupp/comment, so pairs come from distinct lineitem
+    (l_partkey, l_suppkey) and the exclusion is s_acctbal < 0 (the
+    reference's complaint scan over supplier comments). The anti side is
+    tiny and broadcasts; count(DISTINCT) plans as the two-phase
+    partial/final distinct aggregate, never a driver collect.
+
+    Determinism: counts are exact integers; ordering tie-breaks through
+    the full (cnt desc, brand, type, size) key, which is unique."""
+    ps = (
+        T(spark, sf, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    complaints = (
+        T(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    part = (
+        T(spark, sf, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(complaints, ps.suppkey == complaints.s_suppkey, "left_anti")
+        .join(part, ps.partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem) ps
+JOIN part ON partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+QUERIES["q_agg_tpch_q16"] = QueryDef(
+    _tpch_q16,
+    _Q16_SQL,
+    "TPC-H Q16 shape: NOT IN decorrelated to a broadcast anti-join + "
+    "two-phase count-distinct per part class (oracle keeps NOT IN)",
+)
+
+
+# --- Q14: promo revenue share (conditional-aggregate ratio) ------------------
+def _tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of a month's revenue from PROMO parts
+    — one join + a conditional aggregate pair reduced to a single-row
+    ratio. The ratio is integer-exact cross-engine: both revenue sums
+    are BIGINT cents and the ppm share is their integer division in
+    DECIMAL(38,0) (a float 1e6*x/y loses exactness past 2^53 cents —
+    ~$90M promo revenue — which a 100 TB month exceeds)."""
+    li = (
+        T(spark, sf, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .select("l_partkey", _rev_cents("l_extendedprice", "l_discount").alias("_rc"))
+    )
+    part = T(spark, sf, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rc")).otherwise(0))
+            .cast("long")
+            .alias("promo_cents"),
+            F.sum("_rc").cast("long").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(promo_cents AS DECIMAL(38,0)) * 1000000) div total_cents AS BIGINT)"
+        ).alias("promo_ppm"),
+    )
+
+
+_Q14_SQL = """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT promo_cents, total_cents,
+       CAST((1000000 * CAST(promo_cents AS HUGEINT)) // total_cents AS BIGINT) AS promo_ppm
+FROM a
+"""
+
+QUERIES["q_agg_tpch_q14"] = QueryDef(
+    _tpch_q14,
+    _Q14_SQL,
+    "TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share) "
+    "— integer-cent sums, ppm share via DECIMAL integer division",
 )

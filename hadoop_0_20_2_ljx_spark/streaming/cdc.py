@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions.pipeline_ops import keep_latest_versions
-from hadoop_0_20_2_ljx_spark.pinning import pin
 
 _BUCKET = "_kb"
 
@@ -63,8 +62,12 @@ def apply_cdc_batch(
     else:
         merged = latest
     # materialize BEFORE overwriting: the merged plan lazily reads the
-    # same files dynamic overwrite is about to replace
-    merged = merged.transform(pin)
+    # same files dynamic overwrite is about to replace. This pin exists
+    # for SELF-OVERWRITE ISOLATION, not multi-consumer reuse, so it must
+    # TRUNCATE lineage unconditionally: under pin()'s durable mode
+    # (persist + lineage kept) a lost/unsubstituted cache block would
+    # recompute partitions from the very files the overwrite replaces.
+    merged = merged.localCheckpoint(eager=True)
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -62,6 +62,11 @@ class SessionCloseProcessor(StatefulProcessor):
             else:
                 closed.append((uid, cur[0], cur[1], cur[2]))
                 cur = (t, t, 1)
+        if cur is None:
+            # empty input batch for a key with no open session (the
+            # iterator can legally yield only empty DataFrames): nothing
+            # to track, and update(None)/registerTimer would TypeError
+            return
         self._sess.update(cur)
         # one armed timer per key: re-arm at the (possibly extended)
         # session's expiry; stale timers are deleted, and the expiry

@@ -49,3 +49,29 @@ def test_iterative_query_results_mode_invariant(spark):
     finally:
         spark.conf.unset(PIN_MODE_CONF)
     assert local == durable and len(local) > 0
+
+
+def test_bm25_results_mode_invariant_and_timed(spark, capsys):
+    """Second pin family: BM25's corpus-stat side tables (df/avgdl)
+    materialize via pin before re-entering the scoring join. Both modes
+    must score identically; the measured local overhead of the durable
+    (production) posture is reported so SCALE.md can cite a number
+    instead of asserting acceptability."""
+    import time
+
+    name = "q_text_bm25"
+    walls = {}
+    try:
+        for mode in ("local", "durable"):
+            spark.conf.set(PIN_MODE_CONF, mode)
+            t0 = time.time()
+            walls[mode] = (_rows(REGISTRY[name].spark(spark, SF_SMOKE)), time.time() - t0)
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
+    (local_rows, t_local), (durable_rows, t_durable) = walls["local"], walls["durable"]
+    assert local_rows == durable_rows and len(local_rows) > 0
+    with capsys.disabled():
+        print(
+            f"\n[pin-mode overhead] bm25 sf-smoke: local={t_local:.2f}s "
+            f"durable={t_durable:.2f}s (x{t_durable / max(t_local, 1e-9):.2f})"
+        )

@@ -263,6 +263,20 @@ def test_tpch_q5_dims_broadcast_single_fact_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_item_sim_freq_reentry_unhinted_broadcast(spark):
+    """item_sim's frequency table re-enters UNHINTED (it is
+    catalog-sized — distinct items — which grows with the corpus, the
+    same SF-linear class as Q3/Q5's dims). Catalyst must still pick BHJ
+    for both re-entries at smoke scale; past the threshold it degrades
+    to a shuffle join instead of a forced-broadcast OOM."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_item_sim"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_audit_family_single_scan_and_bounded_exchanges(spark):
     """Drift and entropy must scan the corpus ONCE (window-based totals,
     not groupBy+join-back which double-scans when pruning defeats
@@ -418,3 +432,49 @@ def test_tpch_q10_aggregates_before_dim_joins(spark):
     # the per-customer revenue aggregate keys on o_custkey (pre-dim-join
     # column) — a post-join aggregate would key on c_custkey/c_name
     assert "o_custkey" in plan.split("HashAggregate")[1][:300]
+
+
+def test_tpch_q2_decorrelates_to_min_join(spark):
+    """Q2's correlated scalar-agg subquery (per-part min cost) must
+    compile to a groupBy-min + equi-join — no per-row subquery, no
+    cartesian/nested-loop — with the p_size filter pushed to the part
+    scan and the constant nation×region dim joining as BHJ."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q2"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decorrelated in the DataFrame build: no per-row scalar subquery.
+    # (A bare "Subquery" DOES appear — Spark's runtime bloom-filter join
+    # pushdown materializes the min-table's keys as a one-shot subquery
+    # feeding might_contain on the probe scan; that's a runtime filter,
+    # exactly the plan we want, not correlation.)
+    assert "ScalarSubquery" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the min table keys on partkey (the decorrelated group key)
+    assert "partkey" in plan.split("HashAggregate")[1][:300]
+
+
+def test_tpch_q19_disjunction_is_hash_join(spark):
+    """Q19's OR-of-ANDs join predicate must extract the common equi-key
+    into a hash join (BHJ at smoke scale) with the OR as a residual
+    filter — never a nested-loop/cartesian evaluation of the
+    disjunction."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q19"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q16_anti_join_and_two_phase_distinct(spark):
+    """Q16's NOT IN must decorrelate to a left-anti join (the complaint
+    list broadcasts) and count(DISTINCT) must plan the two-phase
+    partial/final distinct aggregate — no driver-side distinct."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q16"].spark(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
