@@ -174,7 +174,15 @@ def main() -> int:
     spark = get_spark(
         app_name="ljx-bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4951"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4951",
+            # _stage_bytes sums over RETAINED completed stages; the
+            # default 1000-stage eviction made late-run deltas negative
+            # (r5: bm25_durable_pin input_bytes=-549580). Keep every
+            # stage for the run's lifetime so deltas stay monotone.
+            "spark.ui.retainedStages": "100000",
+        },
     )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
@@ -206,9 +214,15 @@ def main() -> int:
         "tpch_q4": "q_agg_tpch_q4",
         "tpch_q6": "q_agg_tpch_q6",
         "tpch_q10": "q_agg_tpch_q10",
+        "tpch_q8": "q_agg_tpch_q8",
+        "tpch_q9": "q_agg_tpch_q9",
+        "tpch_q13": "q_agg_tpch_q13",
         "tpch_q14": "q_agg_tpch_q14",
         "tpch_q16": "q_agg_tpch_q16",
+        "tpch_q17": "q_agg_tpch_q17",
         "tpch_q19": "q_agg_tpch_q19",
+        "tpch_q21": "q_agg_tpch_q21",
+        "tpch_q22": "q_agg_tpch_q22",
         "group_split": "q_sample_group_split",
         "triangles": "q_graph_triangles",
         "audit_constraints": "q_audit_constraints",
@@ -307,8 +321,10 @@ def main() -> int:
         "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "shuffle_write_bytes": shuffle_b,
-        "input_bytes": input_b,
+        # clamped: a negative delta can only mean stage-store eviction
+        # (metric artifact), never negative bytes
+        "shuffle_write_bytes": {k: max(0, v) for k, v in shuffle_b.items()},
+        "input_bytes": {k: max(0, v) for k, v in input_b.items()},
         "wall_total": round(time.time() - t0, 2),
         "sf": sf,
     }

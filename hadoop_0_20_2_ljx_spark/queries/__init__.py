@@ -11,14 +11,14 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # the first 50 registry rows per round. Priority: (a) queries with NO
 # driver row yet or whose implementation/oracle changed this round
 # (unproven claims are worse than aging proofs), then (b) the
-# oldest-evidence queries. Round 5 fronts: the 4 new queries (TPC-H
-# Q2/Q19/Q16/Q14 shapes), the 5 r4 additions that have only sim
-# evidence, 2 whose code changed this round (outliers' z^2 fixed-point
-# ADVICE fix; item_sim's unhinted frequency re-entry — their r4 proofs
-# predate the change), then ALL 20 r1-only names, then the 19 oldest
-# r2-latest names. After r5 every query has an external row and none is
-# older than r2; the 17 r2 names below the cut line are the committed
-# r6 block. Local pytest and
+# oldest-evidence queries. Round 5 fronts: the 8 new queries (TPC-H
+# Q2/Q19/Q16/Q14/Q13/Q17/Q21/Q22 shapes), the 5 r4 additions that have
+# only sim evidence, 2 whose code changed this round (outliers' z^2
+# fixed-point ADVICE fix; item_sim's unhinted frequency re-entry —
+# their r4 proofs predate the change), then ALL 20 r1-only names, then
+# the 15 oldest r2-latest names that fit. After r5 every query has an
+# external row and none is older than r2; the 21 r2 names below the
+# cut line are the committed r6 block. Local pytest and
 # tools/driver_sim.py re-prove ALL queries at sf0.01 every gate run
 # regardless — the driver rows are the hard external signal, not the
 # only signal. Correctness itself is order-independent (each query is
@@ -29,6 +29,17 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_tpch_q19",  # new r5: OR-of-ANDs disjunctive join predicate
     "q_agg_tpch_q16",  # new r5: NOT IN -> anti-join + count-distinct
     "q_agg_tpch_q14",  # new r5: conditional-agg ratio (integer ppm)
+    "q_agg_tpch_q13",  # new r5: outer-join double-agg distribution
+    "q_agg_tpch_q17",  # new r5: correlated AVG self-decorrelation
+    "q_agg_tpch_q21",  # new r5: EXISTS/NOT-EXISTS inequality-correlation
+    "q_agg_tpch_q22",  # new r5: global scalar avg + anti-join
+    "q_agg_tpch_q7",  # new r5: symmetric nation-pair disjunction
+    "q_agg_tpch_q8",  # new r5: grouped conditional-ratio market share
+    "q_agg_tpch_q9",  # new r5: widest join tree + cost surrogate
+    "q_agg_tpch_q11",  # new r5: per-group agg vs global scalar (HAVING)
+    "q_agg_tpch_q12",  # new r5: join + two conditional counts
+    "q_agg_tpch_q15",  # new r5: argmax equality re-join
+    "q_agg_tpch_q20",  # new r5: nested-IN semi-join chain
     # (a2) r4 additions with NO external driver row yet (sim-only)
     "q_udf_pipes",  # external-process line protocol, oracle-gated
     "q_join_asof_fwd",  # forward as-of join (next event at-or-after)
@@ -68,7 +79,12 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_string_agg",
     "q_agg_hot_keys",
     "q_agg_profile",
+    # ---- 50-row cut line ----
     "q_agg_median_mode",
+    # committed r6 block: the remaining 28 r2-latest names (plus any
+    # query added/changed in r6). Eleven r2 names moved below the cut
+    # as the 11 further TPC-H shapes landed — new unproven queries
+    # outrank aging r2 proofs; every name below keeps its green r2 row.
     "q_agg_daily",
     "q_agg_window_funcs",
     "q_sink_named_outputs",
@@ -79,9 +95,6 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_interval_join",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
-    # ---- 50-row cut line ----
-    # committed r6 block: the remaining 17 r2-latest names (plus any
-    # query added/changed in r5 after this list was written)
     "q_dedup_embed",
     "q_text_langid",
     "q_text_quality",

@@ -138,3 +138,32 @@ def test_drift_n_bins_is_enforced(spark):
         df, "g", F.col("b"), F.col("h") == 1, n_bins=2
     ).collect()
     assert out[0]["js_nano"] == 0
+
+
+def test_zscore_fractional_threshold_exact(spark):
+    # z=2.5 -> z^2=6.25 must NOT round to 6 (the pre-r5 integer cast
+    # loosened the boundary): replay the decision in exact rationals
+    # 10^4*dev^2 > 62500*var_n2 against every row
+    # row 8 (130) sits BETWEEN the 6·var and 6.25·var boundaries: outlier
+    # under the rounded threshold, inlier under the exact one
+    vals = [95, 103, 92, 98, 90, 110, 92, 98, 130]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "event_id long, t string, v long"
+    )
+    out = audit.zscore_outliers(
+        df, "t", F.col("v"), ["event_id"], z_threshold=2.5
+    ).collect()
+    n, s, q = len(vals), sum(vals), sum(v * v for v in vals)
+    expect = {
+        i
+        for i, v in enumerate(vals)
+        if 10_000 * (n * v - s) ** 2 > 62_500 * (n * q - s * s)
+    }
+    got = {r["event_id"] for r in out}
+    assert got == expect
+    # and the set must differ from what the rounded-to-6 boundary gives,
+    # proving the fixture actually exercises the fractional part
+    loosened = {
+        i for i, v in enumerate(vals) if (n * v - s) ** 2 > 6 * (n * q - s * s)
+    }
+    assert loosened != expect

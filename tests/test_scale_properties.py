@@ -478,3 +478,138 @@ def test_tpch_q16_anti_join_and_two_phase_distinct(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q13_aggregates_fact_before_outer_join(spark):
+    """Q13 must aggregate orders to per-customer counts BEFORE the outer
+    join (the dim outer-joins the bounded aggregate, not the raw fact) —
+    the first HashAggregate keys on the pre-join o_custkey — and the
+    plan stays hash-join shaped."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q13"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan
+    # innermost aggregate (listed last in the formatted tree) keys on
+    # o_custkey — aggregation happened on the fact side of the join
+    assert "o_custkey" in plan.split("HashAggregate")[-1][:300]
+
+
+def test_tpch_q17_decorrelates_to_stats_join(spark):
+    """Q17's correlated per-part AVG must compile to one groupBy stats
+    aggregate + equi-join — no per-row scalar subquery, no
+    cartesian/nested-loop — with the integer cross-multiplied threshold
+    (no division node needed for the filter)."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q17"].spark(spark, SF_SMOKE))
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_partkey" in plan.split("HashAggregate")[-1][:300]
+
+
+def test_tpch_q21_rewrites_exists_chain_to_aggregates(spark):
+    """Q21's EXISTS / NOT-EXISTS pair (inequality correlation — not
+    semi/anti-join expressible) must compile to per-order
+    distinct-supplier aggregates + equi-joins: no subquery of any kind,
+    no cartesian, and a two-phase (partial) distinct aggregate."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q21"].spark(spark, SF_SMOKE))
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial/final distinct
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22 must plan the no-urgent-order predicate as a left-anti join
+    and the global (total, count) scalar as a keyless 1-row broadcast
+    (a BroadcastNestedLoopJoin over one row — the intended plan, same
+    as bm25's corpus stats), never a cartesian or a per-row subquery."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q22"].spark(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "ScalarSubquery" not in plan
+
+
+def test_tpch_q7_pair_disjunction_is_residual(spark):
+    """Q7's symmetric nation-pair OR must evaluate as a residual over
+    broadcast nation joins — the equi-keys stay the supp/cust keys,
+    never a nested-loop over the disjunction."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q7"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q8_single_fact_pass_and_merged_dim(spark):
+    """Q8 must compute both the target-nation numerator and the total
+    in ONE aggregate over one fact pass (two CASE sums, no second join
+    tree), with the enriched nation dim derived once (<= 6 source
+    scans — nation/region read once, not once per consumer)."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q8"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_tpch_q9_cost_surrogate_joins_on_pair_key(spark):
+    """Q9's supply-cost surrogate must be a (partkey, suppkey) partial
+    aggregate equi-joined back — no per-row subquery, no cartesian —
+    keeping the widest join tree hash-join shaped."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q9"].spark(spark, SF_SMOKE))
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_having_vs_global_scalar(spark):
+    """Q11's fraction-of-total threshold must join the 1-row total as a
+    keyless broadcast against the pinned per-part value table — no
+    per-row scalar subquery, no cartesian, integer comparison."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q11"].spark(spark, SF_SMOKE))
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_one_pass_conditional_counts(spark):
+    """Q12's high/low counts must both come from ONE aggregate over one
+    join pass (CASE sums), never two scans of the fact."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q12"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+
+
+def test_tpch_q15_argmax_equality_rejoin(spark):
+    """Q15's max-revenue selection must be an equality re-join against
+    the pinned revenue view's 1-row max — no per-row scalar subquery,
+    no cartesian; ties surface via equality, not an arbitrary top-1."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q15"].spark(spark, SF_SMOKE))
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_nested_in_becomes_semi_chain(spark):
+    """Q20's nested INs must decorrelate to left-semi joins around one
+    (part, supp) aggregate — plan shows LeftSemi and no subquery."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_tpch_q20"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
