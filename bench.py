@@ -224,6 +224,10 @@ def main() -> int:
         "tpch_q21": "q_agg_tpch_q21",
         "tpch_q22": "q_agg_tpch_q22",
         "group_split": "q_sample_group_split",
+        "table_diff": "q_audit_table_diff",
+        "fingerprint": "q_audit_fingerprint",
+        "diff_incremental": "q_audit_diff_incremental",
+        "winsorize": "q_agg_winsorize",
         "triangles": "q_graph_triangles",
         "audit_constraints": "q_audit_constraints",
         "copurchase": "q_agg_copurchase",

@@ -257,3 +257,310 @@ def js_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
         .agg(F.sum("_tn").cast("long").alias("js_nano"))
         .withColumnRenamed("_g", group_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed snapshot reconciliation: classify every key as added /
+    removed / changed / unchanged and attribute changes per column —
+    the CDC-validation / replica-divergence primitive.
+
+    The reference's users diff table dumps with a chained sort-merge
+    MapReduce pair (sort both dumps, compare in the reducer — the
+    Sorter.merge pattern, io/SequenceFile.java:2909); here it is ONE
+    co-partitioned full-outer join on the key columns carrying only the
+    compared columns, then a single partial aggregate over row-local
+    flags. One shuffle of each snapshot (the diff's lower bound; zero
+    if both snapshots are bucketed on the key), no row ever reaches the
+    driver, and the 1-row aggregate explodes into the report rows.
+
+    Counts are exact integers -> bit-identical across engines and
+    partitionings. NULL-vs-value column edits count as changes
+    (eqNullSafe); presence is tracked by side markers so NULL keys
+    cannot masquerade as absences.
+    """
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, on=list(keys), how="full_outer")
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    col_changed = {
+        c: both & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        for c in compare_cols
+    }
+    any_changed = F.lit(False)
+    for c in compare_cols:
+        any_changed = any_changed | col_changed[c]
+
+    def _cnt(cond: F.Column) -> F.Column:
+        # coalesce: an EMPTY diff input (e.g. every bucket pruned clean
+        # by incremental_snapshot_diff) must report 0, not NULL
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    agg = j.agg(
+        _cnt(F.col("__in_old").isNull()).alias("__added"),
+        _cnt(F.col("__in_new").isNull()).alias("__removed"),
+        _cnt(any_changed).alias("__changed"),
+        _cnt(both & ~any_changed).alias("__unchanged"),
+        *[_cnt(col_changed[c]).alias(f"__chg_{c}") for c in compare_cols],
+    )
+    rows = [
+        ("added", "__added"),
+        ("removed", "__removed"),
+        ("changed", "__changed"),
+        ("unchanged", "__unchanged"),
+    ] + [(f"changed:{c}", f"__chg_{c}") for c in compare_cols]
+    structs = [
+        F.struct(F.lit(kind).alias("diff_kind"), F.col(a).alias("n"))
+        for kind, a in rows
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.diff_kind", "r.n"
+    )
+
+
+def bucket_fingerprint(
+    df: DataFrame,
+    bucket: F.Column,
+    row_repr: F.Column,
+    n_buckets: int,
+) -> DataFrame:
+    """Order-independent per-bucket table fingerprint — the
+    anti-entropy primitive: two replicas of a 100 TB table compare
+    n_buckets summary rows instead of sorting/moving data, and a
+    mismatched bucket re-fingerprints with a finer modulus to localize
+    divergence (Merkle-style drill-down without the tree).
+
+    Shape: ONE scan, all work row-local (md5 -> 60-bit int), one
+    partial aggregate into n_buckets groups — no shuffle of data rows,
+    nothing driver-side. The fingerprint is the SUM of per-row hashes
+    (commutative), so it is partition-order- and retry-invariant by
+    construction; sums accumulate in DECIMAL(38,0) (2^60 per row
+    overflows int64 after ~8k rows) and are emitted folded mod 2^63 as
+    BIGINT — modular addition keeps the fold ADDITIVE ((a%m + b%m)%m =
+    (a+b)%m, so partial fingerprints still merge by sum-then-fold) and
+    the emitted type survives every downstream convention, including
+    pandas float64 conversion, which silently truncates a DECIMAL past
+    2^53. The reference's integrity check is the per-block CRC sidecar
+    (fs/ChecksumFileSystem.java:56) — a byte-order-dependent stream
+    checksum that cannot be compared across differently-partitioned
+    copies; a commutative hash-sum can.
+    """
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
+
+    h = portable_hash64(row_repr).cast("decimal(38,0)")
+    m63 = F.lit("9223372036854775808").cast("decimal(38,0)")  # 2^63
+    return (
+        df.select(
+            F.pmod(bucket.cast("long"), F.lit(n_buckets)).alias("bucket"), h.alias("_h")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.pmod(F.sum("_h"), m63).cast("long").alias("fingerprint"),
+        )
+    )
+
+
+def merge_fingerprints(parts: DataFrame) -> DataFrame:
+    """Collapse accumulated per-batch bucket fingerprints back to one
+    row per bucket — the merge step that makes the anti-entropy check
+    STREAMABLE: row counts add, and the mod-2^63 fold is additive under
+    modular addition, so a foreachBatch loop appends each micro-batch's
+    bucket_fingerprint output (n_buckets rows, corpus-size-independent)
+    and re-merges. The continuously-ingested table's fingerprint never
+    re-scans history — the same sufficient-statistics discipline as the
+    drift monitor (drift_counts / merge_drift_counts)."""
+    m63 = F.lit("9223372036854775808").cast("decimal(38,0)")  # 2^63
+    return parts.groupBy("bucket").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.pmod(F.sum(F.col("fingerprint").cast("decimal(38,0)")), m63)
+        .cast("long")
+        .alias("fingerprint"),
+    )
+
+
+def incremental_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """snapshot_diff with the shuffle pruned to DIRTY buckets: hash
+    each key into n_buckets, fingerprint both snapshots per bucket
+    (bucket_fingerprint — one scan each, no row shuffle), compare the
+    two n_buckets-row summaries to find buckets whose (count, hash-sum)
+    differ, and run the full-outer diff ONLY over rows in those
+    buckets (the dirty-bucket list re-enters as a broadcast semi-join
+    filter). Clean buckets have pairwise-identical row multisets (up
+    to the 2^-63-per-bucket hash-sum collision odds), so their rows
+    are all `unchanged` and are added back as a count — never scanned
+    again, never shuffled.
+
+    At 100 TB with change-rate eps this turns the diff's dominant cost
+    (shuffling both snapshots) into eps-proportional work: two
+    shuffle-free fingerprint scans + a full diff of only the dirty
+    slice. The added/removed/changed counts are exactly
+    snapshot_diff's; `unchanged` = clean-bucket rows + unchanged rows
+    inside dirty buckets.
+    """
+    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
+
+    key_bucket = F.pmod(
+        portable_hash64(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])),
+        F.lit(n_buckets),
+    )
+
+    def _repr(df: DataFrame) -> F.Column:
+        # concat_ws SKIPS nulls, which would let a NULL<->value flip
+        # between adjacent columns collide ('a'|NULL|'b' == 'a'|'b'|NULL)
+        # and escape dirty-bucket detection — coalesce each column to a
+        # \x00 sentinel so every position is always rendered
+        return F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in [*keys, *compare_cols]
+            ],
+        )
+
+    from hadoop_0_20_2_ljx_spark.pinning import pin
+
+    fo = bucket_fingerprint(old, key_bucket, _repr(old), n_buckets)
+    fn = bucket_fingerprint(new, key_bucket, _repr(new), n_buckets)
+    cmp = fo.select(
+        "bucket",
+        F.col("n_rows").alias("_no"),
+        F.col("fingerprint").alias("_fo"),
+    ).join(
+        fn.select(
+            "bucket",
+            F.col("n_rows").alias("_nn"),
+            F.col("fingerprint").alias("_fn"),
+        ),
+        "bucket",
+        "full_outer",
+    )
+    # pin: the n_buckets-row comparison table has THREE consumers (two
+    # dirty-bucket semi-joins + the clean-row count); un-pinned, each
+    # consumer re-derives BOTH fingerprint scans — 8 source scans where
+    # 4 suffice (the repeated-subtree trap the scan-ceiling sweep pins)
+    cmp = pin(cmp)
+    dirty = cmp.where(
+        ~(F.col("_no").eqNullSafe(F.col("_nn")) & F.col("_fo").eqNullSafe(F.col("_fn")))
+    ).select("bucket")
+    clean_rows = (
+        cmp.where(
+            F.col("_no").eqNullSafe(F.col("_nn")) & F.col("_fo").eqNullSafe(F.col("_fn"))
+        )
+        .agg(F.coalesce(F.sum("_no"), F.lit(0)).cast("long").alias("_clean"))
+    )
+
+    def _dirty_side(df: DataFrame) -> DataFrame:
+        return df.withColumn("_bkt", key_bucket).join(
+            F.broadcast(dirty.withColumnRenamed("bucket", "_bkt")), "_bkt", "left_semi"
+        )
+
+    d = snapshot_diff(_dirty_side(old), _dirty_side(new), keys, compare_cols)
+    # fold clean-bucket rows into the `unchanged` count (keyless 1-row
+    # broadcast join — the corpus-stats idiom, not a cartesian)
+    return d.join(F.broadcast(clean_rows)).select(
+        "diff_kind",
+        F.when(F.col("diff_kind") == "unchanged", F.col("n") + F.col("_clean"))
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    cents_col: F.Column,
+    id_col: F.Column,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization at EXACT order statistics: clip values
+    to [p_lo, p_hi] where p_k is the ceil(k*n/100)-th smallest value,
+    and report the clipped sum + clip counts — the robust-statistics
+    companion to zscore_outliers (which flags rows; this bounds their
+    leverage).
+
+    Determinism: the bound ranks are pure integer arithmetic
+    ((n*k + 99) div 100 = ceil, clamped >= 1) and the value AT a rank
+    depends only on the sorted cents multiset (the id tie-break only
+    permutes equal values), so bounds, clip counts, and the winsorized
+    sum are bit-exact across engines — no percentile interpolation,
+    which differs engine-to-engine, is ever evaluated.
+
+    Shape: ONE scan and ONE hash partitioning by group, period — the
+    rank window, the whole-partition bound windows, and the final
+    partial aggregate all share it. The bounds are broadcast-free:
+    max(case when rn = bound_rank then c end) OVER the whole group
+    puts each group's lo/hi on every row without a join-back (a
+    groupBy-bounds + re-join formulation re-scans and re-shuffles the
+    source — 2x the I/O at 100 TB; plan-pinned against regression). At
+    100 TB the per-group sort inside the window is the honest cost of
+    exact order statistics; approx_percentile is the escape hatch when
+    ±epsilon bounds are acceptable.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        cents_col.cast("long").alias("_c"),
+        id_col.alias("_id"),
+    )
+    w = Window.partitionBy("_g").orderBy("_c", "_id")
+    wg = Window.partitionBy("_g")
+    r = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "_lo_rank",
+            F.greatest(F.lit(1), F.expr(f"(_n * {int(lo_pct)} + 99) div 100")),
+        )
+        .withColumn(
+            "_hi_rank",
+            F.greatest(F.lit(1), F.expr(f"(_n * {int(hi_pct)} + 99) div 100")),
+        )
+    )
+    r = r.select(
+        "*",
+        F.max(F.when(F.col("_rn") == F.col("_lo_rank"), F.col("_c")))
+        .over(wg)
+        .alias("_lo"),
+        F.max(F.when(F.col("_rn") == F.col("_hi_rank"), F.col("_c")))
+        .over(wg)
+        .alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("_c"), F.col("_lo")), F.col("_hi"))
+    return (
+        r.groupBy("_g")
+        .agg(
+            F.max("_n").cast("long").alias("n_rows"),
+            F.max("_lo").cast("long").alias("lo_cents"),
+            F.max("_hi").cast("long").alias("hi_cents"),
+            F.sum(F.when(F.col("_c") < F.col("_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("_c") > F.col("_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.sum(clipped).cast("long").alias("wsum_cents"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

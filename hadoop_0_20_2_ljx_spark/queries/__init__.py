@@ -11,14 +11,15 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # the first 50 registry rows per round. Priority: (a) queries with NO
 # driver row yet or whose implementation/oracle changed this round
 # (unproven claims are worse than aging proofs), then (b) the
-# oldest-evidence queries. Round 5 fronts: the 8 new queries (TPC-H
-# Q2/Q19/Q16/Q14/Q13/Q17/Q21/Q22 shapes), the 5 r4 additions that have
-# only sim evidence, 2 whose code changed this round (outliers' z^2
-# fixed-point ADVICE fix; item_sim's unhinted frequency re-entry —
-# their r4 proofs predate the change), then ALL 20 r1-only names, then
-# the 15 oldest r2-latest names that fit. After r5 every query has an
-# external row and none is older than r2; the 21 r2 names below the
-# cut line are the committed r6 block. Local pytest and
+# oldest-evidence queries. Round 5 fronts: the 19 new queries (the 15
+# remaining TPC-H shapes completing Q1-Q22, plus table-diff /
+# fingerprint / winsorize reconciliation-and-robust-stats), the 5 r4
+# additions that have only sim evidence, 2 whose code changed this
+# round (outliers' z^2 fixed-point ADVICE fix; item_sim's unhinted
+# frequency re-entry — their r4 proofs predate the change), then ALL
+# 20 r1-only names, then the 4 oldest r2-latest names that fit. After
+# r5 every query has an external row and none is older than r2; the 25
+# r2 names below the cut line are the committed r6 block. Local pytest and
 # tools/driver_sim.py re-prove ALL queries at sf0.01 every gate run
 # regardless — the driver rows are the hard external signal, not the
 # only signal. Correctness itself is order-independent (each query is
@@ -40,6 +41,10 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_tpch_q12",  # new r5: join + two conditional counts
     "q_agg_tpch_q15",  # new r5: argmax equality re-join
     "q_agg_tpch_q20",  # new r5: nested-IN semi-join chain
+    "q_audit_table_diff",  # new r5: keyed snapshot reconciliation
+    "q_audit_fingerprint",  # new r5: anti-entropy bucket hash-sum
+    "q_agg_winsorize",  # new r5: exact-order-statistic clipping
+    "q_audit_diff_incremental",  # new r5: dirty-bucket-pruned diff
     # (a2) r4 additions with NO external driver row yet (sim-only)
     "q_udf_pipes",  # external-process line protocol, oracle-gated
     "q_join_asof_fwd",  # forward as-of join (next event at-or-after)
@@ -70,21 +75,22 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_dedup_jaccard",
-    # (c) oldest r2-latest names, file order; 22 fit in the 50
+    # (c) oldest r2-latest names, file order; 4 fit in the 50
     "q_sort_keyfield_offsets",
     "q_agg_grouping_sets",
     "q_agg_pivot",
     "q_agg_numeric_hist",
+    # ---- 50-row cut line ----
     "q_agg_stats",
     "q_agg_string_agg",
     "q_agg_hot_keys",
     "q_agg_profile",
-    # ---- 50-row cut line ----
     "q_agg_median_mode",
-    # committed r6 block: the remaining 28 r2-latest names (plus any
-    # query added/changed in r6). Eleven r2 names moved below the cut
-    # as the 11 further TPC-H shapes landed — new unproven queries
-    # outrank aging r2 proofs; every name below keeps its green r2 row.
+    # committed r6 block: the remaining 25 r2-latest names (plus any
+    # query added/changed in r6). Fifteen r2 names moved below the cut
+    # as 11 further TPC-H shapes + 4 reconciliation queries landed —
+    # new unproven queries outrank aging r2 proofs; every name below
+    # keeps its green r2 row.
     "q_agg_daily",
     "q_agg_window_funcs",
     "q_sink_named_outputs",

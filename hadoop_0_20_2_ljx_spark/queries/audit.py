@@ -253,3 +253,197 @@ QUERIES["q_text_entropy"] = QueryDef(
     "per-source token-distribution entropy in integer nano-units "
     "(corpus diversity monitor)",
 )
+
+
+# --- snapshot reconciliation (CDC validation / replica divergence) ----------
+def _diff_snapshots(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """The shared diff fixture: two derived snapshots of orders (keys
+    ending 9 only in the new snapshot, keys ending 0 only in the old;
+    status edited on %7, cents bumped on %13; priority untouched — its
+    changed:priority row proves per-column attribution reports zero,
+    not absence)."""
+    snap = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    old = snap.where(F.col("k") % 10 != 9)
+    new = (
+        snap.where(F.col("k") % 10 != 0)
+        .withColumn(
+            "status",
+            F.when(F.col("k") % 7 == 0, F.lit("X")).otherwise(F.col("status")),
+        )
+        .withColumn(
+            "cents",
+            F.col("cents") + F.when(F.col("k") % 13 == 0, 1).otherwise(0),
+        )
+    )
+    return old, new
+
+
+def _audit_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """One co-partitioned full-outer join + one partial aggregate over
+    the shared diff fixture (extensions/audit.py snapshot_diff)."""
+    old, new = _diff_snapshots(spark, sf)
+    return audit.snapshot_diff(old, new, ["k"], ["status", "cents", "priority"])
+
+
+def _audit_diff_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-pruned diff over the SAME fixture — and the oracle is the
+    PLAIN full-diff SQL: fingerprint-based pruning must lose nothing,
+    so incremental and full answers are required to be identical
+    (extensions/audit.py incremental_snapshot_diff)."""
+    old, new = _diff_snapshots(spark, sf)
+    return audit.incremental_snapshot_diff(
+        old, new, ["k"], ["status", "cents", "priority"], n_buckets=64
+    )
+
+
+_TABLE_DIFF_SQL = """
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderpriority AS priority
+  FROM orders
+), o AS (SELECT * FROM snap WHERE k % 10 <> 9),
+n AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 THEN 'X' ELSE status END AS status,
+         cents + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS cents,
+         priority
+  FROM snap WHERE k % 10 <> 0
+), j AS (
+  SELECT o.k AS ok, n.k AS nk, o.status AS os, n.status AS ns,
+         o.cents AS oc, n.cents AS nc, o.priority AS op, n.priority AS np
+  FROM o FULL JOIN n ON o.k = n.k
+), a AS (
+  SELECT
+    CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+    CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+      (os IS DISTINCT FROM ns OR oc IS DISTINCT FROM nc OR op IS DISTINCT FROM np)
+      THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+      os IS NOT DISTINCT FROM ns AND oc IS NOT DISTINCT FROM nc
+      AND op IS NOT DISTINCT FROM np THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+      AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END) AS BIGINT) AS chg_status,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+      AND oc IS DISTINCT FROM nc THEN 1 ELSE 0 END) AS BIGINT) AS chg_cents,
+    CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+      AND op IS DISTINCT FROM np THEN 1 ELSE 0 END) AS BIGINT) AS chg_priority
+  FROM j
+)
+SELECT 'added' AS diff_kind, added AS n FROM a
+UNION ALL SELECT 'removed', removed FROM a
+UNION ALL SELECT 'changed', changed FROM a
+UNION ALL SELECT 'unchanged', unchanged FROM a
+UNION ALL SELECT 'changed:status', chg_status FROM a
+UNION ALL SELECT 'changed:cents', chg_cents FROM a
+UNION ALL SELECT 'changed:priority', chg_priority FROM a
+"""
+
+
+# --- anti-entropy bucket fingerprint ----------------------------------------
+def _audit_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bucket commutative hash-sum fingerprint of orders
+    (extensions/audit.py bucket_fingerprint): one scan, row-local md5,
+    64-group partial agg — replica comparison without data movement."""
+    orders = T(spark, sf, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return audit.bucket_fingerprint(orders, F.col("o_orderkey"), row, 64)
+
+
+_FINGERPRINT_SQL = """
+WITH r AS (
+  SELECT o_orderkey % 64 AS bucket,
+         CAST(('0x' || substring(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), o_orderstatus,
+           CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+           o_orderpriority)), 1, 15)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(h AS DECIMAL(38,0))) % 9223372036854775808 AS BIGINT)
+         AS fingerprint
+FROM r GROUP BY 1
+"""
+
+
+# --- per-group winsorization at exact order statistics ----------------------
+def _agg_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorize event value-cents per event_type at the exact p5/p95
+    order statistics (extensions/audit.py winsorized_stats): integer
+    ceil-rank bounds, no percentile interpolation, one shared group
+    partitioning."""
+    ev = T(spark, sf, "events")
+    return audit.winsorized_stats(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100, 0),
+        F.col("event_id"),
+        lo_pct=5,
+        hi_pct=95,
+    )
+
+
+_WINSORIZE_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c,
+         event_id AS id
+  FROM events
+), r AS (
+  SELECT g, c,
+         row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base
+), b AS (
+  SELECT g,
+         min(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100) THEN c END) AS lo,
+         min(CASE WHEN rn = greatest(1, (n * 95 + 99) // 100) THEN c END) AS hi
+  FROM r GROUP BY 1
+)
+SELECT r.g AS event_type,
+       CAST(max(r.n) AS BIGINT) AS n_rows,
+       CAST(max(b.lo) AS BIGINT) AS lo_cents,
+       CAST(max(b.hi) AS BIGINT) AS hi_cents,
+       CAST(sum(CASE WHEN r.c < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN r.c > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(sum(least(greatest(r.c, b.lo), b.hi)) AS BIGINT) AS wsum_cents
+FROM r JOIN b ON r.g = b.g
+GROUP BY 1
+"""
+
+
+QUERIES["q_audit_table_diff"] = QueryDef(
+    _audit_table_diff,
+    _TABLE_DIFF_SQL,
+    "keyed snapshot reconciliation: added/removed/changed/unchanged + "
+    "per-column change attribution in one full-outer join + one aggregate",
+)
+QUERIES["q_audit_fingerprint"] = QueryDef(
+    _audit_fingerprint,
+    _FINGERPRINT_SQL,
+    "order-independent per-bucket hash-sum table fingerprint "
+    "(anti-entropy replica check; no data movement)",
+)
+QUERIES["q_audit_diff_incremental"] = QueryDef(
+    _audit_diff_incremental,
+    _TABLE_DIFF_SQL,
+    "fingerprint-localized incremental diff: dirty-bucket pruning with "
+    "the full-diff SQL as oracle (pruning must be lossless)",
+)
+QUERIES["q_agg_winsorize"] = QueryDef(
+    _agg_winsorize,
+    _WINSORIZE_SQL,
+    "per-group winsorized sum + clip counts at exact integer-rank "
+    "order statistics (no engine-dependent percentile interpolation)",
+)

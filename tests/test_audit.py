@@ -167,3 +167,126 @@ def test_zscore_fractional_threshold_exact(spark):
         i for i, v in enumerate(vals) if (n * v - s) ** 2 > 6 * (n * q - s * s)
     }
     assert loosened != expect
+
+
+def test_snapshot_diff_classification(spark):
+    # old: keys 1-5; new: drops 2, adds 6, edits v on 3, edits w on 4,
+    # and flips NULL->value on 5 (eqNullSafe must count that as a change)
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40), (5, None, 50)],
+        "k long, v string, w long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (3, "C", 30), (4, "d", 41), (5, "e", 50), (6, "f", 60)],
+        "k long, v string, w long",
+    )
+    got = {
+        r["diff_kind"]: r["n"]
+        for r in audit.snapshot_diff(old, new, ["k"], ["v", "w"]).collect()
+    }
+    assert got == {
+        "added": 1,
+        "removed": 1,
+        "changed": 3,
+        "unchanged": 1,
+        "changed:v": 2,
+        "changed:w": 1,
+    }
+
+
+def test_bucket_fingerprint_partition_invariant_and_localizing(spark):
+    df = spark.createDataFrame(
+        [(i, f"row-{i}") for i in range(200)], "k long, payload string"
+    )
+    row = F.concat_ws("|", F.col("k").cast("string"), F.col("payload"))
+
+    def fp(d):
+        return {
+            r["bucket"]: (r["n_rows"], r["fingerprint"])
+            for r in audit.bucket_fingerprint(d, F.col("k"), row, 8).collect()
+        }
+
+    a = fp(df.repartition(7))
+    b = fp(df.repartition(2))
+    # commutative hash-sum: identical under any partitioning/order
+    assert a == b
+    # a single-row edit must change exactly its own bucket
+    edited = df.withColumn(
+        "payload",
+        F.when(F.col("k") == 42, F.lit("tampered")).otherwise(F.col("payload")),
+    )
+    c = fp(edited)
+    diff_buckets = {bk for bk in a if a[bk] != c[bk]}
+    assert diff_buckets == {42 % 8}
+
+
+def test_winsorized_stats_exact_bounds(spark):
+    # 20 rows, one group: lo_rank = ceil(20*5/100) = 1, hi_rank =
+    # ceil(20*95/100) = 19 -> lo = min, hi = 19th smallest (=900);
+    # the 1000 outlier clips to 900
+    vals = [v * 10 for v in range(1, 20)] + [1000]  # 10..190, 1000
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "event_id long, t string, v long"
+    )
+    out = audit.winsorized_stats(
+        df, "t", F.col("v"), F.col("event_id"), lo_pct=5, hi_pct=95
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    s = sorted(vals)
+    lo, hi = s[0], s[18]
+    assert (r["lo_cents"], r["hi_cents"]) == (lo, hi)
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (0, 1)
+    assert r["wsum_cents"] == sum(min(max(v, lo), hi) for v in vals)
+    assert r["n_rows"] == 20
+
+
+def test_incremental_diff_equals_full_and_prunes(spark):
+    # 400 keys, ONE changed row: the incremental path must (a) equal the
+    # full diff exactly and (b) actually prune — its dirty-bucket filter
+    # compiles to a broadcast left-semi join, and with 16 buckets the
+    # clean ~15/16 of both snapshots are never shuffled into the
+    # full-outer diff
+    # value change on k=123 plus a value->NULL flip on k=200 (the row
+    # repr renders NULL with a sentinel, so the flip cannot collide with
+    # concat_ws's null-skipping and escape dirty-bucket detection)
+    old = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    new = old.withColumn(
+        "v",
+        F.when(F.col("k") == 123, F.lit(-1)).when(
+            F.col("k") == 200, F.lit(None).cast("long")
+        ).otherwise(F.col("v")),
+    )
+    inc = audit.incremental_snapshot_diff(old, new, ["k"], ["v"], n_buckets=16)
+    full = audit.snapshot_diff(old, new, ["k"], ["v"])
+    to_d = lambda df: {r["diff_kind"]: r["n"] for r in df.collect()}
+    got, want = to_d(inc), to_d(full)
+    assert got == want
+    assert want == {
+        "added": 0,
+        "removed": 0,
+        "changed": 2,
+        "unchanged": 398,
+        "changed:v": 2,
+    }
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the dirty-bucket pruning filter
+
+
+def test_incremental_diff_zero_change_short_circuits(spark):
+    # identical snapshots: every bucket is clean, the dirty diff is
+    # empty, and all rows surface as unchanged via the count-only path
+    df = spark.range(300).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    got = {
+        r["diff_kind"]: r["n"]
+        for r in audit.incremental_snapshot_diff(df, df, ["k"], ["v"], n_buckets=8).collect()
+    }
+    assert got == {
+        "added": 0,
+        "removed": 0,
+        "changed": 0,
+        "unchanged": 300,
+        "changed:v": 0,
+    }

@@ -613,3 +613,45 @@ def test_tpch_q20_nested_in_becomes_semi_chain(spark):
     assert "LeftSemi" in plan
     assert "ScalarSubquery" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_table_diff_single_pass_no_broadcast(spark):
+    """Snapshot diff must be ONE co-partitioned full-outer SortMergeJoin
+    (one shuffle per snapshot — the diff's lower bound) + one partial
+    aggregate. Broadcasting a snapshot (SF-linear) or a nested-loop
+    join would die at 100 TB."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_audit_table_diff"].spark(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan and plan.count("FullOuter") == 1, plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # old + new snapshot projections
+
+
+def test_fingerprint_no_row_shuffle(spark):
+    """The bucket fingerprint must partial-aggregate per input partition
+    and shuffle only n_buckets summary rows — never data rows, never a
+    join. This is what makes it a no-data-movement replica check."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_audit_fingerprint"].spark(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_winsorize_one_scan_one_exchange(spark):
+    """Exact-order-statistic winsorization must scan once and shuffle
+    once: rank window, whole-group bound windows, and the final
+    aggregate all share one hash partitioning by group. The
+    groupBy-bounds + re-join formulation re-scans and re-shuffles the
+    source (2x I/O) — pinned against that regression."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_winsorize"].spark(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan

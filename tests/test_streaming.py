@@ -371,6 +371,62 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
     assert streamed == batch and batch
 
 
+def test_streaming_fingerprint_matches_batch(spark, tmp_path):
+    """Streamable anti-entropy check: bucket_fingerprint's (n_rows,
+    mod-2^63 hash-sum) statistics are ADDITIVE, so a foreachBatch loop
+    that appends each micro-batch's bucket fingerprints and re-merges
+    (merge_fingerprints) must equal the one-shot batch fingerprint —
+    the continuously-ingested table never re-scans history. Two
+    micro-batches over the orders fixture."""
+    from pyspark.sql import functions as F
+
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+
+    orders = catalog.load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+
+    src_dir = str(tmp_path / "fp_src")
+    parts_dir = str(tmp_path / "fp_parts")
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{src_dir}/b0")
+    orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    def on_batch(batch_df, batch_id):
+        r = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        audit.bucket_fingerprint(batch_df, F.col("o_orderkey"), r, 16).write.mode(
+            "append"
+        ).parquet(parts_dir)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    streamed = {
+        r["bucket"]: (r["n_rows"], r["fingerprint"])
+        for r in audit.merge_fingerprints(spark.read.parquet(parts_dir)).collect()
+    }
+    batch = {
+        r["bucket"]: (r["n_rows"], r["fingerprint"])
+        for r in audit.bucket_fingerprint(orders, F.col("o_orderkey"), row, 16).collect()
+    }
+    assert streamed == batch and len(batch) == 16
+
+
 def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     """Built-in streaming dedup surface (dropDuplicatesWithinWatermark):
     re-deliveries of the same event id across micro-batches inside the
