@@ -168,6 +168,49 @@ def bench_skew_groupby(spark, timings, shuffle_b, input_b) -> None:
     ), results
 
 
+def bench_diff_sparse(spark, timings, shuffle_b, input_b) -> None:
+    """Incremental-diff win regime: a 0.1%-change snapshot pair. The
+    registry fixture (q_audit_diff_incremental) changes ~30% of keys, so
+    locally every bucket is dirty and incremental pays the fingerprint
+    passes for nothing; THIS pair measures the regime the operator is
+    for — sparse drift between replicas — where the dirty-bucket
+    semi-join keeps ~96% of both snapshots out of the full-outer
+    shuffle. Records full vs incremental with result equality asserted;
+    SCALE.md cites the shuffle-byte ratio."""
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    new = base.withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.pmod(F.col("k"), F.lit(1000)) == 0, 1).otherwise(0),
+    )
+    results = {}
+    for label, df in (
+        (
+            "diff_full_sparse",
+            audit.snapshot_diff(base, new, ["k"], ["status", "cents"]),
+        ),
+        (
+            "diff_incr_sparse",
+            audit.incremental_snapshot_diff(
+                base, new, ["k"], ["status", "cents"], n_buckets=4096
+            ),
+        ),
+    ):
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        results[label] = {r["diff_kind"]: r["n"] for r in df.collect()}
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
+    assert results["diff_full_sparse"] == results["diff_incr_sparse"], results
+
+
 def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # UI on so the REST stage metrics (shuffle/input bytes) are readable.
@@ -289,6 +332,7 @@ def main() -> int:
             best = min(best, time.time() - t)
         timings[label] = best
 
+    bench_diff_sparse(spark, timings, shuffle_b, input_b)
     bench_skew_join(spark, timings, shuffle_b, input_b)
     bench_skew_groupby(spark, timings, shuffle_b, input_b)
 

@@ -13,6 +13,15 @@ Cross-engine ground rules used throughout:
     hash-match).
   - timestamps: always output as formatted strings (UTC both sides).
   - computed integers: cast to long/BIGINT both sides.
+  - NEVER emit DECIMAL output columns: one in-repo harness fetches the
+    oracle via pandas (fetchdf), which converts DuckDB DECIMALs to
+    float64 and silently truncates past 2^53 (r5: the fingerprint
+    hash-sum). Accumulate in DECIMAL(38,0) when int64 would overflow,
+    then fold to BIGINT (e.g. mod 2^63) before emitting.
+  - concat_ws SKIPS NULL arguments in BOTH engines: a row
+    representation built with it lets NULL<->value flips between
+    adjacent columns collide. coalesce each column to a sentinel when
+    the rendered string feeds change detection.
 """
 
 from __future__ import annotations

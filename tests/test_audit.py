@@ -290,3 +290,37 @@ def test_incremental_diff_zero_change_short_circuits(spark):
         "unchanged": 300,
         "changed:v": 0,
     }
+
+
+def test_snapshot_diff_partition_identity(spark):
+    # structural invariant over a messy fixture: the four statuses
+    # partition the key universe — added + removed + changed + unchanged
+    # == |keys(old) U keys(new)| — and each per-column changed count is
+    # bounded by the total changed count
+    old = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).alias("a"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") % 5).alias("b"),
+    )
+    new = (
+        spark.range(100, 620)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 17 == 0, -1).otherwise(F.col("id") % 13).alias("a"),
+            F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 5).alias("b"),
+        )
+    )
+    got = {
+        r["diff_kind"]: r["n"]
+        for r in audit.snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    }
+    n_union = 620  # keys 0..619
+    assert got["added"] + got["removed"] + got["changed"] + got["unchanged"] == n_union
+    assert got["changed:a"] <= got["changed"] and got["changed:b"] <= got["changed"]
+    assert got["changed"] <= got["changed:a"] + got["changed:b"]
+    # and the incremental path agrees on the same messy fixture
+    inc = {
+        r["diff_kind"]: r["n"]
+        for r in audit.incremental_snapshot_diff(old, new, ["k"], ["a", "b"], n_buckets=32).collect()
+    }
+    assert inc == got
