@@ -282,6 +282,13 @@ def snapshot_diff(
     partitionings. NULL-vs-value column edits count as changes
     (eqNullSafe); presence is tracked by side markers so NULL keys
     cannot masquerade as absences.
+
+    PRECONDITION: `keys` must uniquely identify rows on each side (the
+    reconciliation contract). Under duplicate keys the full-outer join
+    multiplies matches (m x n rows per key), so counts become
+    join-multiplicities, and incremental_snapshot_diff — which counts
+    clean-bucket ROWS — would disagree with this function; run
+    uniqueness_check first when the source is untrusted.
     """
     o = old.select(
         *keys,
@@ -414,32 +421,46 @@ def incremental_snapshot_diff(
     shuffle-free fingerprint scans + a full diff of only the dirty
     slice. The added/removed/changed counts are exactly
     snapshot_diff's; `unchanged` = clean-bucket rows + unchanged rows
-    inside dirty buckets.
+    inside dirty buckets. Same PRECONDITION as snapshot_diff: keys
+    unique per side (clean-bucket accounting counts rows, which only
+    equals the join's unchanged count for 1:1 keys). NULL-keyed rows
+    ride a dedicated always-dirty bucket so the full-outer join — where
+    NULL keys never match — stays the semantics owner.
     """
     from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
-
-    key_bucket = F.pmod(
-        portable_hash64(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])),
-        F.lit(n_buckets),
-    )
-
-    def _repr(df: DataFrame) -> F.Column:
-        # concat_ws SKIPS nulls, which would let a NULL<->value flip
-        # between adjacent columns collide ('a'|NULL|'b' == 'a'|'b'|NULL)
-        # and escape dirty-bucket detection — coalesce each column to a
-        # \x00 sentinel so every position is always rendered
-        return F.concat_ws(
-            "|",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in [*keys, *compare_cols]
-            ],
-        )
-
     from hadoop_0_20_2_ljx_spark.pinning import pin
 
-    fo = bucket_fingerprint(old, key_bucket, _repr(old), n_buckets)
-    fn = bucket_fingerprint(new, key_bucket, _repr(new), n_buckets)
+    def _enc(c: str) -> F.Column:
+        # INJECTIVE per-column rendering: len:value, NULL -> '-'. A bare
+        # delimiter join is not injective — ('a|b','c') and ('a','b|c')
+        # both render 'a|b|c', so a real change could fingerprint as a
+        # clean bucket and escape the diff; the length prefix makes the
+        # parse unambiguous, and no real value collides with the NULL
+        # marker because rendered values always contain ':'.
+        sc = F.col(c).cast("string")
+        return F.when(sc.isNull(), F.lit("-")).otherwise(
+            F.concat(F.length(sc).cast("string"), F.lit(":"), sc)
+        )
+
+    def _repr(df: DataFrame) -> F.Column:
+        return F.concat_ws("|", *[_enc(c) for c in [*keys, *compare_cols]])
+
+    # NULL-keyed rows never join-match in the full-outer diff (NULL !=
+    # NULL), but two identical NULL-keyed rows WOULD fingerprint as
+    # matching — route them to a dedicated bucket that is always dirty,
+    # so the join (the semantics owner) decides them.
+    any_key_null = F.lit(False)
+    for k in keys:
+        any_key_null = any_key_null | F.col(k).isNull()
+    key_bucket = F.when(any_key_null, F.lit(n_buckets)).otherwise(
+        F.pmod(
+            portable_hash64(F.concat_ws("|", *[_enc(k) for k in keys])),
+            F.lit(n_buckets),
+        )
+    )
+
+    fo = bucket_fingerprint(old, key_bucket, _repr(old), n_buckets + 1)
+    fn = bucket_fingerprint(new, key_bucket, _repr(new), n_buckets + 1)
     cmp = fo.select(
         "bucket",
         F.col("n_rows").alias("_no"),
@@ -458,14 +479,13 @@ def incremental_snapshot_diff(
     # consumer re-derives BOTH fingerprint scans — 8 source scans where
     # 4 suffice (the repeated-subtree trap the scan-ceiling sweep pins)
     cmp = pin(cmp)
-    dirty = cmp.where(
-        ~(F.col("_no").eqNullSafe(F.col("_nn")) & F.col("_fo").eqNullSafe(F.col("_fn")))
-    ).select("bucket")
-    clean_rows = (
-        cmp.where(
-            F.col("_no").eqNullSafe(F.col("_nn")) & F.col("_fo").eqNullSafe(F.col("_fn"))
-        )
-        .agg(F.coalesce(F.sum("_no"), F.lit(0)).cast("long").alias("_clean"))
+    fp_match = F.col("_no").eqNullSafe(F.col("_nn")) & F.col("_fo").eqNullSafe(
+        F.col("_fn")
+    )
+    is_null_key_bucket = F.col("bucket") == n_buckets
+    dirty = cmp.where(~fp_match | is_null_key_bucket).select("bucket")
+    clean_rows = cmp.where(fp_match & ~is_null_key_bucket).agg(
+        F.coalesce(F.sum("_no"), F.lit(0)).cast("long").alias("_clean")
     )
 
     def _dirty_side(df: DataFrame) -> DataFrame:

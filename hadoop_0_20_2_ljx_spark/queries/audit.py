@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions import audit
-from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h64_sql
 
 
 # --- Deequ-style constraint suite -------------------------------------------
@@ -362,13 +362,16 @@ def _audit_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return audit.bucket_fingerprint(orders, F.col("o_orderkey"), row, 64)
 
 
-_FINGERPRINT_SQL = """
+_ROW_REPR = ("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, "
+             "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), "
+             "o_orderpriority)")
+# h64_sql keeps the md5->BIGINT rendering in ONE place (the DuckDB twin
+# of functions/portable.portable_hash64, which the Spark side calls) so
+# a hash-scheme change cannot silently drift the two apart
+_FINGERPRINT_SQL = f"""
 WITH r AS (
   SELECT o_orderkey % 64 AS bucket,
-         CAST(('0x' || substring(md5(concat_ws('|',
-           CAST(o_orderkey AS VARCHAR), o_orderstatus,
-           CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
-           o_orderpriority)), 1, 15)) AS BIGINT) AS h
+         {h64_sql(_ROW_REPR)} AS h
   FROM orders
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,

@@ -324,3 +324,32 @@ def test_snapshot_diff_partition_identity(spark):
         for r in audit.incremental_snapshot_diff(old, new, ["k"], ["a", "b"], n_buckets=32).collect()
     }
     assert inc == got
+
+
+def test_incremental_diff_delimiter_collision_detected(spark):
+    # ('a|b','c') -> ('a','b|c'): a bare-delimiter row repr renders both
+    # as 'a|b|c' and would prune the bucket as clean; the len-prefixed
+    # injective encoding must flag it changed on the incremental path
+    old = spark.createDataFrame([(1, "a|b", "c")], "k long, s1 string, s2 string")
+    new = spark.createDataFrame([(1, "a", "b|c")], "k long, s1 string, s2 string")
+    for fn in (audit.snapshot_diff, lambda o, n, k, c: audit.incremental_snapshot_diff(o, n, k, c, n_buckets=4)):
+        got = {r["diff_kind"]: r["n"] for r in fn(old, new, ["k"], ["s1", "s2"]).collect()}
+        assert got["changed"] == 1 and got["unchanged"] == 0, got
+
+
+def test_incremental_diff_null_keys_never_match(spark):
+    # identical NULL-keyed rows fingerprint as matching, but the
+    # full-outer join never equates NULL keys — the dedicated
+    # always-dirty bucket must hand them to the join, so both paths
+    # report added=1/removed=1 (plus the normal row unchanged)
+    old = spark.createDataFrame([(None, "a"), (7, "x")], "k string, v string")
+    new = spark.createDataFrame([(None, "a"), (7, "x")], "k string, v string")
+    for fn in (audit.snapshot_diff, lambda o, n, k, c: audit.incremental_snapshot_diff(o, n, k, c, n_buckets=4)):
+        got = {r["diff_kind"]: r["n"] for r in fn(old, new, ["k"], ["v"]).collect()}
+        assert got == {
+            "added": 1,
+            "removed": 1,
+            "changed": 0,
+            "unchanged": 1,
+            "changed:v": 0,
+        }, got
