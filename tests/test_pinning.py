@@ -1,7 +1,8 @@
 """Durability-mode switch for pinned working tables (pinning.pin).
 
 local mode = localCheckpoint (fast, executor-loss fails the job);
-durable mode = persist(DISK_ONLY) with lineage kept (production posture).
+durable mode = reliable checkpoint (replicated blocks, lineage truncated
+— the production posture; kept lineage grew iterative plans 2^rounds).
 The switch must be results-invariant: pinned tables are deterministic, so
 both modes must produce byte-identical query output.
 """
@@ -30,8 +31,12 @@ def test_pin_modes_materialize_identically(spark):
         spark.conf.set(PIN_MODE_CONF, "durable")
         durable = pin(src.groupBy("g").agg(F.sum("id").alias("s")))
         assert _rows(local) == _rows(durable)
-        # durable keeps lineage cached on disk — re-reads don't recompute
-        assert durable.storageLevel.useDisk and not durable.storageLevel.useMemory
+        # durable = reliable checkpoint: lineage must be TRUNCATED (the
+        # plan bottoms out at the checkpointed RDD, not the source) so
+        # iterative callers' plans stay constant-size per round
+        plan = durable._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+        assert spark.sparkContext.getCheckpointDir() is not None
     finally:
         spark.conf.unset(PIN_MODE_CONF)
 
@@ -41,6 +46,19 @@ def test_iterative_query_results_mode_invariant(spark):
     large-star/small-star rounds, one pin per round) must return the
     exact same clusters under both modes."""
     name = "q_dedup_clusters"
+    _run_mode_invariant(spark, name)
+
+
+def test_kcore_mode_invariant(spark):
+    """k-core references its pinned edge set TWICE per peeling round —
+    the caller whose kept-lineage plan grew 2^rounds and OOMed the
+    driver under the old persist-based durable mode (caught by the
+    registry-wide durable sweep, r5). Must now run and match local
+    mode exactly."""
+    _run_mode_invariant(spark, "q_graph_kcore")
+
+
+def _run_mode_invariant(spark, name):
     try:
         spark.conf.set(PIN_MODE_CONF, "local")
         local = _rows(REGISTRY[name].spark(spark, SF_SMOKE))
