@@ -78,6 +78,11 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "4194304")
         # Arrow for every pandas UDF / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reliable checkpoints (durable pin mode) are NOT auto-deleted by
+        # default; on a long-lived session they accumulate in the
+        # checkpoint dir (HDFS in production) until it fills. This cleans
+        # a checkpoint's files once its RDD is GC'd.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Event-time determinism: naive timestamps == UTC (matches DuckDB).
         .config("spark.sql.session.timeZone", "UTC")
         # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos type,

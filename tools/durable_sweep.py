@@ -1,0 +1,80 @@
+"""Registry-wide durable-pin-mode sweep: run EVERY registry query with
+``spark.ljx.pin.mode=durable`` (reliable checkpoint — the production
+posture for preemptible executors) and compare against the DuckDB oracle,
+exactly like tools/driver_sim.py does for the default mode.
+
+Run (from any cwd; ~6 min at sf0.01):
+
+    python tools/durable_sweep.py /root/testdata/sf0.01
+
+Expect a final ``DURABLE MODE: <N> pass, 0 fail of <N>`` line. This sweep
+is what caught the r5 kept-lineage bug: k-core references its pinned edge
+set twice per peeling round, so the old persist-based durable mode grew
+the plan tree 2^rounds and the driver OOMed merely rendering it. Results
+under durable mode must be bit-identical to local mode (pinned content is
+deterministic); a FAIL here is either a mode-variance bug or a durable-
+only crash — both are release blockers for the preemptible posture.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+
+def main() -> int:
+    from driver_sim import TABLES, fingerprint
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("durable-sweep")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.conf.set("spark.ljx.pin.mode", "durable")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    t0 = time.time()
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, sf_dir)
+            rows = [tuple(r) for r in df.collect()]
+            if name not in oracles:
+                n_pass += 1
+                continue
+            s_cnt, s_cols, s_hash = fingerprint(df.columns, rows)
+            cur = con.execute(oracles[name])
+            o_cnt, o_cols, o_hash = fingerprint(
+                [d[0] for d in cur.description], cur.fetchall()
+            )
+            if (s_cnt, s_cols, s_hash) == (o_cnt, o_cols, o_hash):
+                n_pass += 1
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: rows {s_cnt}/{o_cnt} hash {s_hash}/{o_hash}")
+        except Exception as ex:  # noqa: BLE001 — report and keep sweeping
+            n_fail += 1
+            print(f"FAIL {name}: {ex!r}"[:300])
+        sys.stdout.flush()
+    print(f"wall {time.time() - t0:.0f}s")
+    print(f"DURABLE MODE: {n_pass} pass, {n_fail} fail of {n_pass + n_fail}")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
