@@ -14,6 +14,9 @@ the plan tree 2^rounds and the driver OOMed merely rendering it. Results
 under durable mode must be bit-identical to local mode (pinned content is
 deterministic); a FAIL here is either a mode-variance bug or a durable-
 only crash — both are release blockers for the preemptible posture.
+
+The sweep core (run_sweep) is shared with tools/partition_sweep.py, which
+replays the registry under deliberately odd parallelism instead.
 """
 
 from __future__ import annotations
@@ -25,7 +28,11 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 
-def main() -> int:
+def run_sweep(
+    sf_dir: str, label: str, master: str, session_conf: dict[str, str]
+) -> int:
+    """Run every registry query under the given session perturbation and
+    oracle-compare each result. Returns the number of failures."""
     from driver_sim import TABLES, fingerprint
 
     import duckdb
@@ -33,15 +40,22 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("durable-sweep")
-        .config("spark.sql.shuffle.partitions", "32")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(f"sweep-{label}")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
-    spark.conf.set("spark.ljx.pin.mode", "durable")
+    for k, v in session_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # conf may target a live session (getOrCreate reuse): set runtime
+    # confs again so the sweep holds even then
+    for k, v in session_conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs (e.g. default.parallelism) can't re-set
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -72,8 +86,26 @@ def main() -> int:
             print(f"FAIL {name}: {ex!r}"[:300])
         sys.stdout.flush()
     print(f"wall {time.time() - t0:.0f}s")
-    print(f"DURABLE MODE: {n_pass} pass, {n_fail} fail of {n_pass + n_fail}")
-    return 0 if n_fail == 0 else 1
+    print(f"{label}: {n_pass} pass, {n_fail} fail of {n_pass + n_fail}")
+    return n_fail
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    return (
+        0
+        if run_sweep(
+            sf_dir,
+            "DURABLE MODE",
+            "local[32]",
+            {
+                "spark.sql.shuffle.partitions": "32",
+                "spark.ljx.pin.mode": "durable",
+            },
+        )
+        == 0
+        else 1
+    )
 
 
 if __name__ == "__main__":
