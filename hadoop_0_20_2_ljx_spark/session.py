@@ -100,6 +100,17 @@ def get_spark(
         # BloomMapFile pattern; functions/bloom.py covers the cross-query form).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
+    resolved_master = master or f"local[{cpus}]"
+    if not resolved_master.startswith("local"):
+        # Straggler speculation on a real cluster — the reference's
+        # TaskInProgress.hasSpeculativeTask model (progress gap 0.2,
+        # 60 s lag, mapred/TaskInProgress.java:866-874). Safe here
+        # BECAUSE every operator is retry-deterministic (hash salts not
+        # rand(), integer sums, tie-broken windows — see SCALE.md and
+        # tools/partition_sweep.py): a speculative duplicate always
+        # produces the same partition bytes. Pointless (and a timing
+        # perturbation) inside a single local JVM, so gated on master.
+        builder = builder.config("spark.speculation", "true")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
