@@ -271,6 +271,8 @@ def main() -> int:
         "fingerprint": "q_audit_fingerprint",
         "diff_incremental": "q_audit_diff_incremental",
         "winsorize": "q_agg_winsorize",
+        "interval_merge": "q_agg_interval_merge",
+        "deciles": "q_agg_deciles",
         "triangles": "q_graph_triangles",
         "audit_constraints": "q_audit_constraints",
         "copurchase": "q_agg_copurchase",

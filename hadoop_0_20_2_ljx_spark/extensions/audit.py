@@ -584,3 +584,58 @@ def winsorized_stats(
         )
         .withColumnRenamed("_g", group_col)
     )
+
+
+def order_stat_summary(
+    df: DataFrame,
+    group_col: str,
+    cents_col: F.Column,
+    id_col: F.Column,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Per-group EXACT quantile bands: the value at rank
+    ceil(k*n/n_bands) for k = 1..n_bands-1 (deciles by default) — the
+    reporting summary approx_percentile cannot give you when the
+    answer must be engine-exact (winsorized_stats' rank idiom,
+    generalized from two bounds to a band vector).
+
+    Shape: ONE scan, ONE hash partitioning by group (rank + count
+    windows), then a row-local band-membership filter: each row emits
+    the band indices whose target rank equals its row_number (an
+    array filter + explode — no join, no second pass; a row emits
+    multiple bands when a small group maps several bands to one
+    rank). Exactly n_bands-1 rows per group come out. Determinism:
+    integer ceil-rank arithmetic, tie-broken ordering, values at
+    ranks depend only on the sorted multiset.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        cents_col.cast("long").alias("_c"),
+        id_col.alias("_id"),
+    )
+    w = Window.partitionBy("_g").orderBy("_c", "_id")
+    wg = Window.partitionBy("_g")
+    nb = int(n_bands)
+    r = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "_bands",
+            F.expr(
+                f"filter(sequence(1, {nb - 1}), "
+                f"k -> _rn = greatest(1, (_n * k + {nb - 1}) div {nb}))"
+            ),
+        )
+        .where(F.size("_bands") > 0)
+    )
+    # explode is a generator — cast in a second projection (a generator
+    # nested inside an expression is rejected by the analyzer)
+    return r.select(
+        F.col("_g"), F.explode("_bands").alias("_band"), F.col("_c")
+    ).select(
+        F.col("_g").alias(group_col),
+        F.col("_band").cast("long").alias("band"),
+        F.col("_c").alias("cents"),
+    )

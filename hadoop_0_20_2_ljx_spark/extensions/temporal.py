@@ -255,3 +255,50 @@ def overlap_join_binned(
     return joined.select(
         *[lt[c] for c in left.columns], *[rt[c] for c in right.columns]
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Union overlapping/touching intervals per key into maximal
+    disjoint spans — the coverage primitive (total active time, gap
+    detection, billing-span consolidation). The reference's users run
+    it as a secondary-sort reduce sweeping each key's sorted intervals
+    with running state (the same tagged-sweep pattern as the manual
+    as-of join above); here it is one keyed window pass.
+
+    Algorithm: order intervals by (start, end, id); an interval opens a
+    NEW span iff its start is strictly after the running max of all
+    previous ends (prefix-max over an unbounded-preceding frame —
+    touching intervals, start == prev end, merge); the running sum of
+    open-flags numbers the spans, and one groupBy collapses each span.
+
+    Determinism: integer timestamps, total tie-broken ordering, and the
+    prefix-max depends only on the sorted multiset — bit-identical
+    cross-engine and under any partitioning. Shape: ONE hash
+    partitioning by key shared by the window pair and the final
+    partial aggregate; no join, no second scan.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col, id_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    seg = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_seg", seg)
+        .groupBy(*keys, "_seg")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )

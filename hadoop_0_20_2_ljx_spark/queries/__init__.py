@@ -11,14 +11,14 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # the first 50 registry rows per round. Priority: (a) queries with NO
 # driver row yet or whose implementation/oracle changed this round
 # (unproven claims are worse than aging proofs), then (b) the
-# oldest-evidence queries. Round 5 fronts: the 19 new queries (the 15
+# oldest-evidence queries. Round 5 fronts: the 21 new queries (the 15
 # remaining TPC-H shapes completing Q1-Q22, plus table-diff /
 # fingerprint / winsorize reconciliation-and-robust-stats), the 5 r4
 # additions that have only sim evidence, 2 whose code changed this
 # round (outliers' z^2 fixed-point ADVICE fix; item_sim's unhinted
 # frequency re-entry — their r4 proofs predate the change), then ALL
-# 20 r1-only names, then the 4 oldest r2-latest names that fit. After
-# r5 every query has an external row and none is older than r2; the 25
+# 20 r1-only names, then the 2 oldest r2-latest names that fit. After
+# r5 every query has an external row and none is older than r2; the 27
 # r2 names below the cut line are the committed r6 block. Local pytest and
 # tools/driver_sim.py re-prove ALL queries at sf0.01 every gate run
 # regardless — the driver rows are the hard external signal, not the
@@ -45,6 +45,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_audit_fingerprint",  # new r5: anti-entropy bucket hash-sum
     "q_agg_winsorize",  # new r5: exact-order-statistic clipping
     "q_audit_diff_incremental",  # new r5: dirty-bucket-pruned diff
+    "q_agg_interval_merge",  # new r5: interval union / coverage
+    "q_agg_deciles",  # new r5: exact ceil-rank decile bands
     # (a2) r4 additions with NO external driver row yet (sim-only)
     "q_udf_pipes",  # external-process line protocol, oracle-gated
     "q_join_asof_fwd",  # forward as-of join (next event at-or-after)
@@ -75,20 +77,20 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_dedup_jaccard",
-    # (c) oldest r2-latest names, file order; 4 fit in the 50
+    # (c) oldest r2-latest names, file order; 2 fit in the 50
     "q_sort_keyfield_offsets",
     "q_agg_grouping_sets",
+    # ---- 50-row cut line ----
     "q_agg_pivot",
     "q_agg_numeric_hist",
-    # ---- 50-row cut line ----
     "q_agg_stats",
     "q_agg_string_agg",
     "q_agg_hot_keys",
     "q_agg_profile",
     "q_agg_median_mode",
-    # committed r6 block: the remaining 25 r2-latest names (plus any
-    # query added/changed in r6). Fifteen r2 names moved below the cut
-    # as 11 further TPC-H shapes + 4 reconciliation queries landed —
+    # committed r6 block: the remaining 27 r2-latest names (plus any
+    # query added/changed in r6). Seventeen r2 names moved below the cut
+    # as 11 further TPC-H shapes + 6 reconciliation/coverage queries landed —
     # new unproven queries outrank aging r2 proofs; every name below
     # keeps its green r2 row.
     "q_agg_daily",

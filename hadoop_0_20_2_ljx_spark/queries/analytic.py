@@ -305,3 +305,78 @@ QUERIES: dict[str, QueryDef] = {
         "Okapi BM25 corpus scoring, pure built-ins, broadcast side inputs",
     ),
 }
+
+
+# --- interval union / coverage ----------------------------------------------
+def _agg_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity coverage: each event opens a 10-minute
+    interval; overlapping/touching intervals union into maximal spans
+    (extensions/temporal.py merge_intervals — one keyed window pass,
+    prefix-max segmentation), then per-user span count / covered time /
+    longest span. Integer micros end to end; covered seconds by
+    integer division."""
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("e"),
+        "event_id",
+    )
+    from hadoop_0_20_2_ljx_spark.extensions.temporal import merge_intervals
+
+    spans = merge_intervals(ev, ["user_id"], "s", "e", "event_id")
+    agg = spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_cov_us"),
+        F.max(F.col("span_end") - F.col("span_start")).alias("_max_us"),
+        F.sum("n_intervals").cast("long").alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        "n_spans",
+        F.expr("_cov_us div 1000000").cast("long").alias("covered_secs"),
+        F.expr("_max_us div 1000000").cast("long").alias("max_span_secs"),
+        "n_events",
+    )
+
+
+_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e,
+         event_id AS id
+  FROM events
+), r AS (
+  SELECT user_id, s, e, id,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), f AS (
+  SELECT user_id, s, e, id,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS opens
+  FROM r
+), seg AS (
+  -- the running sum MUST share the id tie-break with the prefix-max:
+  -- duplicate (s, e) rows otherwise land in arbitrary order and a
+  -- span can split at the tie
+  SELECT user_id, s, e,
+         sum(opens) OVER (PARTITION BY user_id ORDER BY s, e, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+  FROM f
+), spans AS (
+  SELECT user_id, sg, min(s) AS span_start, max(e) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_intervals
+  FROM seg GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_end - span_start) // 1000000 AS BIGINT) AS covered_secs,
+       CAST(max(span_end - span_start) // 1000000 AS BIGINT) AS max_span_secs,
+       CAST(sum(n_intervals) AS BIGINT) AS n_events
+FROM spans GROUP BY 1
+"""
+
+QUERIES["q_agg_interval_merge"] = QueryDef(
+    _agg_interval_merge,
+    _INTERVAL_MERGE_SQL,
+    "per-key union of overlapping intervals into maximal spans + "
+    "coverage stats (one keyed window pass, prefix-max segmentation)",
+)

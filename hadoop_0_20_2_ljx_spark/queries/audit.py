@@ -450,3 +450,42 @@ QUERIES["q_agg_winsorize"] = QueryDef(
     "per-group winsorized sum + clip counts at exact integer-rank "
     "order statistics (no engine-dependent percentile interpolation)",
 )
+
+
+# --- exact decile bands ------------------------------------------------------
+def _agg_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type EXACT decile values (extensions/audit.py
+    order_stat_summary): integer ceil-rank order statistics —
+    engine-exact where approx_percentile / interpolating percentile
+    oracles are not hash-comparable."""
+    ev = T(spark, sf, "events")
+    return audit.order_stat_summary(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100, 0),
+        F.col("event_id"),
+        n_bands=10,
+    )
+
+
+_DECILES_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c,
+         event_id AS id
+  FROM events
+), r AS (
+  SELECT g, c,
+         row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base
+), d AS (SELECT unnest(range(1, 10)) AS band)
+SELECT r.g AS event_type, CAST(d.band AS BIGINT) AS band, r.c AS cents
+FROM r JOIN d ON r.rn = greatest(1, (r.n * d.band + 9) // 10)
+"""
+
+QUERIES["q_agg_deciles"] = QueryDef(
+    _agg_deciles,
+    _DECILES_SQL,
+    "per-group exact decile values at integer ceil-ranks (no "
+    "interpolation — hash-exact cross-engine quantile summary)",
+)

@@ -353,3 +353,18 @@ def test_incremental_diff_null_keys_never_match(spark):
             "unchanged": 1,
             "changed:v": 0,
         }, got
+
+
+def test_order_stat_summary_known_deciles(spark):
+    # 20 values 10..200: decile k sits at rank ceil(20k/10) = 2k, i.e.
+    # value 20k; a 1-row group maps ALL bands to rank 1
+    rows = [(i, "g", (i + 1) * 10) for i in range(20)] + [(100, "solo", 7)]
+    df = spark.createDataFrame(rows, "event_id long, t string, v long")
+    out = audit.order_stat_summary(
+        df, "t", F.col("v"), F.col("event_id"), n_bands=10
+    ).collect()
+    got = {(r["t"], r["band"]): r["cents"] for r in out}
+    assert len(out) == 18  # 9 bands x 2 groups
+    for k in range(1, 10):
+        assert got[("g", k)] == 20 * k
+        assert got[("solo", k)] == 7

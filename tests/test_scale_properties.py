@@ -655,3 +655,16 @@ def test_winsorize_one_scan_one_exchange(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Join" not in plan
+
+
+def test_interval_merge_and_deciles_one_scan_one_exchange(spark):
+    """Interval union and exact decile bands are single-window-family
+    plans: one scan, one hash partitioning (windows + final agg or
+    band filter share it), no join — the winsorize discipline."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    for name in ("q_agg_interval_merge", "q_agg_deciles"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert plan.count("Scan parquet") == 1, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+        assert "Join" not in plan, name

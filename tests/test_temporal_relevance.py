@@ -226,3 +226,25 @@ def test_asof_rejects_bad_direction(spark):
     df = spark.createDataFrame([("a", 1, 2.0)], "k string, t long, x double")
     with pytest.raises(ValueError, match="direction"):
         temporal.asof_join(df, df, ["k"], "t", "t", ["x2"], direction="nearest")
+
+
+def test_merge_intervals_known_spans(spark):
+    from hadoop_0_20_2_ljx_spark.extensions.temporal import merge_intervals
+
+    # [0,10] + [5,15] overlap; [15,25] touches (start == prev end) and
+    # merges; [40,50] opens a new span; a duplicate (5,15) row must not
+    # split anything
+    rows = [
+        (1, 100, 0, 10),
+        (2, 100, 5, 15),
+        (3, 100, 5, 15),
+        (4, 100, 15, 25),
+        (5, 100, 40, 50),
+        (6, 200, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, s long, e long")
+    spans = {
+        (r["k"], r["span_start"], r["span_end"]): r["n_intervals"]
+        for r in merge_intervals(df, ["k"], "s", "e", "id").collect()
+    }
+    assert spans == {(100, 0, 25): 4, (100, 40, 50): 1, (200, 0, 1): 1}
