@@ -610,6 +610,11 @@ def order_stat_summary(
     """
     from pyspark.sql.window import Window
 
+    nb = int(n_bands)
+    if nb < 2:
+        # sequence(1, nb-1) steps DOWN for nb < 2 ([1, 0], [1, 0, -1])
+        # and would emit bogus band indices instead of zero rows
+        raise ValueError(f"n_bands must be >= 2, got {n_bands}")
     base = df.select(
         F.col(group_col).alias("_g"),
         cents_col.cast("long").alias("_c"),
@@ -617,7 +622,6 @@ def order_stat_summary(
     )
     w = Window.partitionBy("_g").orderBy("_c", "_id")
     wg = Window.partitionBy("_g")
-    nb = int(n_bands)
     r = (
         base.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wg))

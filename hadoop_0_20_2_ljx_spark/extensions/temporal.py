@@ -301,4 +301,5 @@ def merge_intervals(
             F.max(end_col).alias("span_end"),
             F.count(F.lit(1)).cast("long").alias("n_intervals"),
         )
+        .drop("_seg")  # internal span counter, not part of the contract
     )

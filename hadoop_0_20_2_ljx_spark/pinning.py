@@ -62,11 +62,22 @@ def pin(df: DataFrame) -> DataFrame:
         spark = df.sparkSession
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
-            import tempfile
-
             conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
-            sc.setCheckpointDir(
-                conf_dir or tempfile.mkdtemp(prefix="ljx-pin-ckpt-")
-            )
+            if conf_dir is None and not sc.master.startswith("local"):
+                # A driver-local temp dir on a real cluster means every
+                # executor checkpoints to its OWN filesystem and any
+                # cross-executor read dies with FileNotFoundException —
+                # fail fast instead of corrupting the durability story.
+                raise ValueError(
+                    "durable pin mode on a cluster needs a shared "
+                    f"checkpoint dir: set {CHECKPOINT_DIR_CONF} to an "
+                    "HDFS/object-store path (or call "
+                    "SparkContext.setCheckpointDir)"
+                )
+            if conf_dir is None:
+                import tempfile
+
+                conf_dir = tempfile.mkdtemp(prefix="ljx-pin-ckpt-")
+            sc.setCheckpointDir(conf_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

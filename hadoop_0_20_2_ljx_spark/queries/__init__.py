@@ -18,7 +18,7 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # round (outliers' z^2 fixed-point ADVICE fix; item_sim's unhinted
 # frequency re-entry — their r4 proofs predate the change), then ALL
 # 20 r1-only names, then the 2 oldest r2-latest names that fit. After
-# r5 every query has an external row and none is older than r2; the 27
+# r5 every query has an external row and none is older than r2; the 34
 # r2 names below the cut line are the committed r6 block. Local pytest and
 # tools/driver_sim.py re-prove ALL queries at sf0.01 every gate run
 # regardless — the driver rows are the hard external signal, not the
@@ -88,8 +88,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_hot_keys",
     "q_agg_profile",
     "q_agg_median_mode",
-    # committed r6 block: the remaining 27 r2-latest names (plus any
-    # query added/changed in r6). Seventeen r2 names moved below the cut
+    # committed r6 block: ALL 34 r2-latest names below the cut (from
+    # q_agg_pivot above through q_join_overlap, plus any query
+    # added/changed in r6). Seventeen r2 names moved below the cut
     # as 11 further TPC-H shapes + 6 reconciliation/coverage queries landed —
     # new unproven queries outrank aging r2 proofs; every name below
     # keeps its green r2 row.

@@ -368,3 +368,12 @@ def test_order_stat_summary_known_deciles(spark):
     for k in range(1, 10):
         assert got[("g", k)] == 20 * k
         assert got[("solo", k)] == 7
+
+
+def test_order_stat_summary_rejects_degenerate_bands(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "g", 5)], "event_id long, t string, v long")
+    for nb in (0, 1):
+        with pytest.raises(ValueError, match="n_bands"):
+            audit.order_stat_summary(df, "t", F.col("v"), F.col("event_id"), n_bands=nb)

@@ -248,3 +248,11 @@ def test_merge_intervals_known_spans(spark):
         for r in merge_intervals(df, ["k"], "s", "e", "id").collect()
     }
     assert spans == {(100, 0, 25): 4, (100, 40, 50): 1, (200, 0, 1): 1}
+
+
+def test_merge_intervals_output_schema_is_contract_only(spark):
+    from hadoop_0_20_2_ljx_spark.extensions.temporal import merge_intervals
+
+    df = spark.createDataFrame([(1, 9, 0, 5)], "id long, k long, s long, e long")
+    out = merge_intervals(df, ["k"], "s", "e", "id")
+    assert out.columns == ["k", "span_start", "span_end", "n_intervals"]
