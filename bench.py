@@ -62,14 +62,13 @@ def _stage_bytes(spark) -> tuple[int, int]:
         return 0, 0
 
 
-def bench_terasort(spark) -> None:
+def bench_terasort(spark, n: int = 1_000_000) -> None:
     """TeraGen -> total-order sort -> TeraValidate (sortedness + checksum).
 
     Validation is distributed: per-partition (min, max, count, xor-ish sum)
     then a driver-side boundary monotonicity check over the tiny
     per-partition summary — no collect of data rows (SURVEY.md §7.3).
     """
-    n = 1_000_000
     df = tera_gen(spark, n)
     sorted_df = total_order_sort(df, "key")
     summary = (
@@ -211,6 +210,30 @@ def bench_diff_sparse(spark, timings, shuffle_b, input_b) -> None:
     assert results["diff_full_sparse"] == results["diff_incr_sparse"], results
 
 
+def bench_pagerank_phases(spark) -> dict:
+    """r5 watch-item #1: pagerank wall drifted up to 40% between runs
+    with bit-identical shuffle bytes. Run the registry workload once
+    more with per-phase wall instrumentation (setup pins, each round's
+    join+agg+pin job, final drain) so the bench artifact itself shows
+    where a drifting run spends the extra wall — if the per-round
+    numbers stay near-equal and drift moves all phases together, the
+    spread is scheduler/GC noise on an 8-job iterative workload, not a
+    plan change. Diagnostic only; excluded from headline_total."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import pagerank_int
+    from hadoop_0_20_2_ljx_spark.queries.curation import _PR_ITERS, pagerank_edges
+
+    phases: dict[str, float] = {}
+    t = time.time()
+    pr = pagerank_int(
+        pagerank_edges(spark, SF_DIR), iterations=_PR_ITERS, phase_seconds=phases
+    )
+    phases["drain"] = -time.time()
+    _force(pr)
+    phases["drain"] += time.time()
+    phases["total"] = time.time() - t
+    return {k: round(v, 3) for k, v in phases.items()}
+
+
 def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # UI on so the REST stage metrics (shuffle/input bytes) are readable.
@@ -310,6 +333,19 @@ def main() -> int:
     sw1, ib1 = _stage_bytes(spark)
     shuffle_b["terasort_1m"], input_b["terasort_1m"] = sw1 - sw0, ib1 - ib0
 
+    # 10x generated-data stress row: the parquet fixtures stop at sf0.1
+    # (~17 MB lineitem), so range-partitioning/spill behavior beyond that
+    # was unmeasured. 10^7 100-byte rows ~= 1 GB through the full
+    # TeraGen -> total-order sort -> TeraValidate path; linear scaling
+    # from the ~1.6 s 1m row predicts ~16 s, and the BASELINE envelope
+    # scaled the same way budgets ~17 s.
+    sw0, ib0 = _stage_bytes(spark)
+    timings["terasort_10m"] = -time.time()
+    bench_terasort(spark, n=10_000_000)
+    timings["terasort_10m"] += time.time()
+    sw1, ib1 = _stage_bytes(spark)
+    shuffle_b["terasort_10m"], input_b["terasort_10m"] = sw1 - sw0, ib1 - ib0
+
     for label, qname in registry_workloads.items():
         # best-of-2 (best-of-3 under 2 s): the host is shared, so
         # single-shot timings carry 30-50% ambient-contention noise;
@@ -337,12 +373,13 @@ def main() -> int:
     bench_diff_sparse(spark, timings, shuffle_b, input_b)
     bench_skew_join(spark, timings, shuffle_b, input_b)
     bench_skew_groupby(spark, timings, shuffle_b, input_b)
+    pagerank_phases = bench_pagerank_phases(spark)
 
     # Durable-pin posture cost: re-run bm25 (pin()-materialized df/avgdl
-    # side tables) with spark.ljx.pin.mode=durable — persist(DISK_ONLY)
-    # + lineage kept, the preemptible-executor production mode. The
-    # delta vs the plain bm25 row above is the measured local overhead
-    # SCALE.md cites.
+    # side tables) with spark.ljx.pin.mode=durable — reliable checkpoint
+    # (lineage truncated, blocks in the checkpoint dir), the
+    # preemptible-executor production mode. The delta vs the plain bm25
+    # row above is the measured local overhead SCALE.md cites.
     from hadoop_0_20_2_ljx_spark.pinning import PIN_MODE_CONF
 
     spark.conf.set(PIN_MODE_CONF, "durable")
@@ -375,26 +412,37 @@ def main() -> int:
         # (metric artifact), never negative bytes
         "shuffle_write_bytes": {k: max(0, v) for k, v in shuffle_b.items()},
         "input_bytes": {k: max(0, v) for k, v in input_b.items()},
+        "pagerank_phases": pagerank_phases,
         "wall_total": round(time.time() - t0, 2),
         "sf": sf,
     }
     print(json.dumps(full))
     # Persist the FULL per-workload record beside the driver's truncated
     # tail capture, round-stamped so round-over-round deltas are
-    # diffable in-repo without a judge re-run. The round number is the
-    # next after the newest committed BENCH_r{N}.json (the driver writes
-    # that file after this run).
+    # diffable in-repo without a judge re-run. Round number: explicit
+    # SPARK_GRAFT_ROUND env (or argv[1]) wins; otherwise inferred as the
+    # next after the newest committed BENCH_r{N}.json. The inference
+    # assumes the driver writes BENCH_rN AFTER this run — a manual
+    # re-run after that artifact lands would stamp one round ahead
+    # (exactly how the r5 re-run produced a premature BENCH_LOCAL_r06),
+    # so pass the round explicitly for any non-driver run.
     try:
         import glob as _glob
         import re as _re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-        ]
-        rno = (max(rounds) if rounds else 0) + 1
+        explicit = os.environ.get("SPARK_GRAFT_ROUND") or (
+            sys.argv[1] if len(sys.argv) > 1 else None
+        )
+        if explicit is not None:
+            rno = int(explicit)
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+            ]
+            rno = (max(rounds) if rounds else 0) + 1
         with open(os.path.join(here, f"BENCH_LOCAL_r{rno:02d}.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except Exception as e:  # never fail the bench over bookkeeping

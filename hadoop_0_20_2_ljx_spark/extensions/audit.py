@@ -118,10 +118,12 @@ def zscore_outliers(
     z^2*var) are computed in DECIMAL(38,0): in pure int64 the binding
     constraint is n*max_cents < ~3.0e9 — only ~60k rows per group at
     $500 values, nowhere near corpus scale. DECIMAL(38,0) holds dev^2
-    and z^2*n^2*var up to 10^38; with the extra 10^4 fixed-point factor
-    on each side the bound is n*max_cents < ~10^17/z — ~1e12 rows per
-    group at $500, comfortably past the 100 TB posture. The
-    raw cent values and the emitted columns stay BIGINT.
+    and z^2*n^2*var up to 10^38, so integer z^2 thresholds (the common
+    z=2/z=3 sites) compare unscaled with bound n*max_cents < ~10^19/z
+    (~1e14 rows per group at $500); only fractional z^2 pays the 10^4
+    fixed-point factor, shrinking that to ~10^17/z — still ~1e12 rows
+    per group, comfortably past the 100 TB posture. The raw cent values
+    and the emitted columns stay BIGINT.
     """
     x = cents_col.cast("long").alias("_c")
     base = df.select(*id_cols, F.col(group_col).alias("_g"), x)
@@ -139,12 +141,21 @@ def zscore_outliers(
     j = base.join(F.broadcast(stats), "_g")
     dev = _d(F.col("_n")) * _d(F.col("_c")) - _d(F.col("_s"))  # n*x - S
     var_n2 = _d(F.col("_n")) * F.col("_q") - _d(F.col("_s")) * _d(F.col("_s"))  # n^2 * var
-    # z^2 in fixed point at 10^-4 (the same granularity as the reported
-    # z_bp): a fractional z^2 (z=2.5 -> 6.25) must not silently round to
-    # an integer and loosen the boundary. Both sides scale by 10^4, so
-    # integer z^2 call sites (z=2 -> 40000/10^4) are bit-unchanged.
-    z2_fp = round(float(z_threshold) * float(z_threshold) * 10_000)
-    is_out = (dev * dev * F.lit(10_000).cast("decimal(38,0)")) > (
+    # A fractional z^2 (z=2.5 -> 6.25) must not silently round to an
+    # integer and loosen the boundary, so those sites compare in 10^-4
+    # fixed point (the granularity of the reported z_bp). But the 10^4
+    # factor shrinks the DECIMAL(38,0) headroom 100x (dev^2 is scaled by
+    # 10^4 -> dev bound by 10^2), and past the bound the decimal
+    # overflow yields NULL under non-ANSI Spark — is_out silently false,
+    # a false-NEGATIVE outlier set (DuckDB would raise and diverge). So
+    # integer z^2 (the common z=2/z=3 sites) skips the scaling entirely
+    # and keeps the full unscaled bound.
+    z2_exact = float(z_threshold) * float(z_threshold)
+    if z2_exact == int(z2_exact):
+        scale_fp, z2_fp = 1, int(z2_exact)
+    else:
+        scale_fp, z2_fp = 10_000, round(z2_exact * 10_000)
+    is_out = (dev * dev * F.lit(scale_fp).cast("decimal(38,0)")) > (
         F.lit(z2_fp).cast("decimal(38,0)") * var_n2
     )
     z_bp = F.floor(

@@ -39,14 +39,25 @@ def pagerank_int(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    phase_seconds: dict | None = None,
 ) -> DataFrame:
     """PageRank over distinct (src, dst) edges, `iterations` rounds of
     rank_v = (100-d)% * SCALE + d% * sum(rank_u div outdeg_u), all in
-    scaled integers. Returns (node, rank) with rank a scaled BIGINT."""
+    scaled integers. Returns (node, rank) with rank a scaled BIGINT.
+
+    `phase_seconds`, when given, is populated with wall-clock
+    instrumentation: 'setup' (edge/node pins) and 'round_i' (each
+    round's join+agg+pin job). Bench-only observability — zero effect
+    on the result; it separates fixed per-round driver/job-submission
+    overhead from data cost when a wall-time number drifts between runs
+    with identical shuffle bytes."""
+    import time as _time
+
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    t0 = _time.time()
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     sc = edges.sparkSession.sparkContext
     e = e.repartition(sc.defaultParallelism, "src").transform(pin)
@@ -56,10 +67,13 @@ def pagerank_int(
         .distinct()
         .transform(pin)
     )
+    if phase_seconds is not None:
+        phase_seconds["setup"] = _time.time() - t0
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     base = F.lit((100 - damping_pct) * PR_SCALE // 100).cast("long")
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for _i in range(iterations):
+        t_r = _time.time()
         shares = (
             e.join(ranks, e.src == ranks.node)
             .join(outdeg, "src")
@@ -79,6 +93,8 @@ def pagerank_int(
             )
             .transform(pin)
         )
+        if phase_seconds is not None:
+            phase_seconds[f"round_{_i}"] = _time.time() - t_r
     return ranks
 
 
@@ -193,9 +209,9 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
 
-    prev_alive = -1
     cur = e
     d = degrees(cur).transform(pin)
+    d_prev = None
     for _ in range(rounds):
         alive = d.where(F.col("deg") >= k).select("n")
         cur = (
@@ -204,10 +220,16 @@ def kcore_peel(
             .select("u", "v")
             .transform(pin)
         )
-        prev_alive = d.where(F.col("deg") >= k).count()
+        d_prev = d
         d = degrees(cur).transform(pin)
     survivors = d.where(F.col("deg") >= k)
     n_final = survivors.count()
+    # convergence only compares the FINAL round's alive count with the
+    # one before it, so count once after the loop (d_prev is pinned) —
+    # counting inside the loop ran a redundant O(1)-row job per round.
+    prev_alive = (
+        -1 if d_prev is None else d_prev.where(F.col("deg") >= k).count()
+    )
     converged = n_final == prev_alive
     return survivors.select(
         F.col("n").alias("node"), "deg", F.lit(converged).alias("converged")

@@ -178,6 +178,56 @@ def ivf_assign(
     return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
 
 
+def ivf_probe_lists(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Multi-probe coarse routing: explode each row to its `nprobe`
+    nearest centroid lists (cos desc, ties to the smaller centroid id —
+    list 1 is exactly ivf_assign's argmax, so nprobe=1 reproduces the
+    single-probe assignment).
+
+    Like ivf_assign, the whole ranking is ONE parsed SQL expression
+    (py4j-cheap): sort an array of (negated-cos, cid) structs — struct
+    comparison is field-order lexicographic, so ascending array_sort
+    gives cos-descending with cid tiebreak — slice the first nprobe,
+    explode. Output: input columns + list_id, nprobe rows per input row.
+    """
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit
+
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+
+    v_sql = f"`{vec_col}`"
+    nv_sql = f"sqrt({dot_sql(v_sql, v_sql)})"
+    scored = []
+    for cid, cvec in centroids:
+        arr = "array(" + ", ".join(_dlit(x) for x in cvec) + ")"
+        cnorm = float(sum(x * x for x in cvec)) ** 0.5
+        # negate cos (IEEE negation is exact) so ascending struct sort
+        # ranks cos DESC; cid second field -> ties to the smaller id
+        scored.append(
+            f"struct(-({dot_sql(v_sql, arr)} / ({nv_sql} * {_dlit(cnorm)})) "
+            f"AS negcos, {int(cid)} AS cid)"
+        )
+    # cast INSIDE transform: a generator (explode) cannot be nested in
+    # another expression, and the int literals make the array int-typed
+    probes = F.expr(
+        f"transform(slice(array_sort(array({', '.join(scored)})), 1, {nprobe}), "
+        "s -> CAST(s.cid AS INT))"
+    )
+    return df.withColumn("list_id", F.explode(probes))
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,17 +235,21 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize corpus and queries against a shared
-    centroid set, probe only the query's inverted list, exact cosine
-    within it.
+    centroid set, probe the query's `nprobe` nearest inverted lists,
+    exact cosine within them.
 
     The centroid set here is the embeddings of the given ids — a
     deterministic, oracle-reproducible stand-in for a k-means training
     job; the partition/probe topology (the Spark-side substance: one
     corpus scan to assign, equi-join on list_id to probe) is identical
-    with trained centroids. Recall < 1 by design, like any single-probe
-    IVF; raise recall by probing more lists.
+    with trained centroids. Recall < 1 by design; nprobe is the standard
+    recall/cost knob — candidates (and probe cost) grow ~linearly with
+    nprobe while the corpus side is untouched (each vector still lives
+    in exactly ONE list, so the join stays an equi-join and a candidate
+    pair appears at most once — no dedup stage needed).
     """
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
@@ -207,7 +261,12 @@ def ivf_ann(
     c = ivf_assign(_spread(corpus), cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
     )
-    q = ivf_assign(queries, cents, vec_col).select(
+    q_assign = (
+        ivf_assign(queries, cents, vec_col)
+        if nprobe == 1  # keep the proven single-probe plan byte-stable
+        else ivf_probe_lists(queries, cents, vec_col, nprobe)
+    )
+    q = q_assign.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "list_id"
     )
     scored = (

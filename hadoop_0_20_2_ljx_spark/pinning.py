@@ -75,9 +75,19 @@ def pin(df: DataFrame) -> DataFrame:
                     "SparkContext.setCheckpointDir)"
                 )
             if conf_dir is None:
+                import atexit
+                import shutil
                 import tempfile
 
                 conf_dir = tempfile.mkdtemp(prefix="ljx-pin-ckpt-")
+                # cleanCheckpoints only removes checkpoint FILES on RDD
+                # GC, never the dir, and not on abrupt exit — without
+                # this, repeated sweep/bench sessions leak disk.
+                atexit.register(shutil.rmtree, conf_dir, ignore_errors=True)
+            # NOTE: the checkpoint dir is session-sticky — this conf is
+            # read only before the FIRST durable pin; once
+            # getCheckpointDir() is set, later changes to
+            # spark.ljx.pin.checkpointDir are ignored for the session.
             sc.setCheckpointDir(conf_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

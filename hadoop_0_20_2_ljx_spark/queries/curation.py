@@ -412,6 +412,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
 _PR_ITERS = 3
 
 
+def pagerank_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The bipartite user<->item edge set q_graph_pagerank runs on (item
+    = the props JSON 'k', offset past the user-id range). Exposed so
+    bench.py's instrumented pagerank row runs the IDENTICAL input."""
+    ev = T(spark, sf, "events").select(
+        F.col("user_id").alias("u"),
+        (F.get_json_object(F.col("props"), "$.k").cast("long") + F.lit(1_000_000)).alias(
+            "i"
+        ),
+    )
+    return ev.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionByName(
+        ev.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    )
+
+
 def _graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the bipartite user<->item graph from events (item =
     the props JSON 'k'), 3 rounds of scaled-integer updates — integer
@@ -419,16 +434,7 @@ def _graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     (float PageRank never would). Returns the item-side ranks."""
     from hadoop_0_20_2_ljx_spark.extensions.graph import pagerank_int
 
-    ev = T(spark, sf, "events").select(
-        F.col("user_id").alias("u"),
-        (F.get_json_object(F.col("props"), "$.k").cast("long") + F.lit(1_000_000)).alias(
-            "i"
-        ),
-    )
-    edges = ev.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionByName(
-        ev.select(F.col("i").alias("src"), F.col("u").alias("dst"))
-    )
-    pr = pagerank_int(edges, "src", "dst", iterations=_PR_ITERS)
+    pr = pagerank_int(pagerank_edges(spark, sf), "src", "dst", iterations=_PR_ITERS)
     return pr.where(F.col("node") >= 1_000_000).select(
         (F.col("node") - 1_000_000).alias("item"), F.col("rank").alias("rank_scaled")
     )

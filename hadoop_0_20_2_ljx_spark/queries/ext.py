@@ -303,6 +303,50 @@ SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5
 """
 
 
+# --- similarity: multi-probe IVF (the recall/cost knob) ----------------------
+def _embed_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """ivf_ann with nprobe=2: each query probes its TWO nearest inverted
+    lists (exploded equi-join on list_id — same topology as single-probe,
+    ~2x the candidates). Production IVF always runs nprobe > 1; this pins
+    the multi-probe routing against the oracle's rank-<=-2 replay."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(
+        emb, queries, nlist_ids=list(range(8)), k=5, nprobe=2
+    )
+
+
+# identical to _IVF_SQL except the query side keeps rn <= 2 centroid
+# assignments (the corpus side stays argmax — each vector lives in ONE list)
+_IVF_NPROBE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+ascore AS (
+  SELECT e.vec_id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_inner_product(e.v, c.cv) /
+        (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+      c.cid) AS rn
+  FROM e CROSS JOIN c
+),
+assign AS (SELECT vec_id, v, cid AS list_id FROM ascore WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, cid AS list_id
+      FROM ascore WHERE vec_id < 10 AND rn <= 2),
+scored AS (
+  SELECT q.q_id, a.vec_id AS neighbor_id,
+    list_inner_product(q.qv, a.v) /
+      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(a.v, a.v))) AS cos
+  FROM assign a JOIN q USING (list_id) WHERE a.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5
+"""
+
+
 # --- dedup: embedding-cosine near-dup ----------------------------------------
 def _dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
@@ -1377,6 +1421,13 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_embed_ann": QueryDef(
         _embed_ann, _ANN_SQL, "extension: sign-LSH bucketed ANN top-5"
+    ),
+    "q_embed_ivf_nprobe": QueryDef(
+        _embed_ivf_nprobe,
+        _IVF_NPROBE_SQL,
+        "multi-probe IVF ANN (nprobe=2): query explodes to its two nearest "
+        "inverted lists; the standard recall/cost knob, same equi-join "
+        "topology as single-probe",
     ),
     "q_embed_ivf": QueryDef(
         _embed_ivf,

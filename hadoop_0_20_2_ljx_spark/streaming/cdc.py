@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions.pipeline_ops import keep_latest_versions
+from hadoop_0_20_2_ljx_spark.pinning import pin
 
 _BUCKET = "_kb"
 
@@ -62,12 +63,14 @@ def apply_cdc_batch(
     else:
         merged = latest
     # materialize BEFORE overwriting: the merged plan lazily reads the
-    # same files dynamic overwrite is about to replace. This pin exists
-    # for SELF-OVERWRITE ISOLATION, not multi-consumer reuse, so it must
-    # TRUNCATE lineage unconditionally: under pin()'s durable mode
-    # (persist + lineage kept) a lost/unsubstituted cache block would
-    # recompute partitions from the very files the overwrite replaces.
-    merged = merged.localCheckpoint(eager=True)
+    # same files dynamic overwrite is about to replace, so the pin must
+    # TRUNCATE lineage. pin() now does that in BOTH modes (local ->
+    # localCheckpoint; durable -> reliable checkpoint), so routing
+    # through it keeps self-overwrite isolation AND lets durable-mode
+    # CDC applies survive executor loss mid-overwrite (a localCheckpoint
+    # block lost at that point would fail the batch; the reliable
+    # checkpoint re-reads from the checkpoint store instead).
+    merged = pin(merged)
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -57,3 +57,64 @@ def test_ivf_and_ivfpq_recall_vs_brute_force(spark):
     )
     # the composed index cannot beat its own router's ceiling
     assert r_ivfpq16 <= r_ivf + 0.05
+
+
+def test_ivf_nprobe_recall_cost_curve(spark):
+    """Multi-probe IVF: recall must be non-decreasing in nprobe (each
+    extra probed list only ADDS candidates — probing is monotone) and
+    the candidate count (the cost that scales to 100 TB: pairs entering
+    the exact-scoring join) must strictly grow, i.e. the knob actually
+    trades cost for recall rather than re-scoring the same list."""
+    emb = catalog.load(spark, SF_T2, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk(similarity.brute_force_knn(emb, queries, k=K))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        return hits / (len(exact) * K)
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    corpus_assigned = similarity.ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    recalls, costs = [], []
+    for nprobe in (1, 2, 4):
+        r = recall(
+            _topk(
+                similarity.ivf_ann(
+                    emb, queries, nlist_ids=list(range(8)), k=K, nprobe=nprobe
+                )
+            )
+        )
+        probed = similarity.ivf_probe_lists(queries, cents, nprobe=nprobe).select(
+            F.col("vec_id").alias("q_id"), "list_id"
+        )
+        cost = (
+            corpus_assigned.join(probed, "list_id")
+            .where(F.col("q_id") != F.col("neighbor_id"))
+            .count()
+        )
+        recalls.append(r)
+        costs.append(cost)
+    print(f"[ivf nprobe curve] recall@{K}={recalls} candidates={costs}")
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert costs[0] < costs[1] < costs[2], f"candidate cost not growing: {costs}"
+    # probing half the 8 lists must recover most of brute force
+    assert recalls[-1] >= recalls[0], recalls
+    assert recalls[-1] >= 0.8, f"nprobe=4 recall collapsed: {recalls[-1]:.2f}"
+    # nprobe=1 through the multi-probe path == the proven single-probe
+    # assignment (list 1 is ivf_assign's argmax)
+    single = similarity.ivf_assign(queries, cents).select(
+        F.col("vec_id").alias("q_id"), F.col("list_id").alias("l1")
+    )
+    multi1 = similarity.ivf_probe_lists(queries, cents, nprobe=1).select(
+        F.col("vec_id").alias("q_id"), F.col("list_id").alias("l2")
+    )
+    mismatch = single.join(multi1, "q_id").where(F.col("l1") != F.col("l2")).count()
+    assert mismatch == 0, f"{mismatch} queries route differently at nprobe=1"

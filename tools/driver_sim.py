@@ -76,6 +76,9 @@ def fingerprint(cols: list[str], rows: list) -> tuple[int, tuple, str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # optional argv[2]: comma-separated query names — iterate on a few
+    # queries fast. The COMMIT GATE is the full run (no second arg).
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -100,6 +103,8 @@ def main() -> int:
     n_pass = n_fail = 0
     t_all = time.time()
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
