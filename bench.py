@@ -300,6 +300,10 @@ def main() -> int:
         "audit_constraints": "q_audit_constraints",
         "copurchase": "q_agg_copurchase",
         "kcore": "q_graph_kcore",
+        "domain_cap": "q_sample_domain_cap",
+        "token_budget": "q_sample_token_budget",
+        "source_sim": "q_corpus_source_sim",
+        "embed_ivfpq_nprobe": "q_embed_ivfpq_nprobe",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

@@ -267,6 +267,87 @@ def incremental_lsh_candidates(
     )
 
 
+def group_similarity_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus-level similarity matrix between GROUPS (sources/domains):
+    for every unordered group pair, the MinHash Jaccard ESTIMATE of the
+    two groups' shingle-set unions next to the EXACT set Jaccard, both in
+    integer basis points — the "how much does source A overlap source B"
+    report that decides whether two crawls/dumps are worth merging before
+    doc-level dedup is even attempted.
+
+    The per-group signature needs no per-doc signatures: min commutes
+    with union, so grouping the per-shingle hashes by group IS the
+    signature of the union. Short docs pad the sentinel empty gram,
+    exactly like minhash_signatures_relational, so both the estimate and
+    the exact side see the same sets.
+
+    100 TB shape: one distinct (group, shingle) vocabulary (pinned — it
+    feeds the signature agg, the size agg, and both sides of the
+    intersection join; without the pin each consumer re-tokenizes the
+    corpus); signature/size aggs are map-side-partial with state bounded
+    by groups x num_hashes; the intersection is a vocabulary self-equi-
+    join on the shingle (<= groups^2 rows per shingle, never doc x doc);
+    pair enumeration broadcasts the O(groups) signature table (tiny-side
+    BroadcastNestedLoopJoin, the brute-knn pattern) so zero-overlap pairs
+    still appear in the matrix.
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    padded = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    gs = (
+        df.select(F.col(group_col).alias("grp"), F.explode(padded).alias("g"))
+        .distinct()
+        .transform(pin)
+    )
+    sigs = (
+        gs.select("grp", _mh_base(F.col("g")).alias("v"))
+        .groupBy("grp")
+        .agg(
+            *[F.min(_mh_hash(F.col("v"), s)).alias(f"h{s}") for s in range(num_hashes)]
+        )
+    )
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        gs.alias("ia")
+        .join(gs.alias("ib"), "g")
+        .where(F.col("ia.grp") < F.col("ib.grp"))
+        .groupBy(F.col("ia.grp").alias("ga"), F.col("ib.grp").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    sa = sigs.select(
+        F.col("grp").alias("ga"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)]
+    )
+    sb = sigs.select(
+        F.col("grp").alias("gb"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)]
+    )
+    pairs = F.broadcast(sa).join(sb, F.col("ga") < F.col("gb"))
+    matches = sum(
+        (F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(num_hashes)),
+        F.lit(0),
+    )
+    na = sizes.select(F.col("grp").alias("ga"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("grp").alias("gb"), F.col("n").alias("nb"))
+    j = (
+        pairs.join(F.broadcast(inter), ["ga", "gb"], "left")
+        .join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return j.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.floor(F.lit(10000) * matches / F.lit(num_hashes)).cast("long").alias("est_bp"),
+        F.floor(F.lit(10000) * ni / (F.col("na") + F.col("nb") - ni))
+        .cast("long")
+        .alias("jaccard_bp"),
+    )
+
+
 def simhash64(text: Column, bits: int = 60) -> Column:
     """SimHash of the token stream (60 bits: the md5-derived hash width).
 

@@ -211,6 +211,45 @@ def global_shuffle(df: DataFrame, key_col: str, pos_col: str = "shuffle_pos") ->
     return out.drop("_h")
 
 
+def global_running_total(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Exclusive (or inclusive) running total of ``value_col`` under the
+    TOTAL order given by ``order_exprs`` — the two-pass range-partition
+    prefix sum: range-partition on the sort key, per-partition window
+    cumsum, then add each partition's collected offset (driver sees
+    O(num_partitions) summary rows, never data rows). The same scale
+    shape as sorts.with_global_row_number; a global single-partition
+    window would serialize the corpus through one task.
+
+    ``order_exprs`` must be a tie-broken total order (end with a unique
+    id) or per-partition window order is nondeterministic under retry.
+    """
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_part, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .transform(pin)
+    )
+    parts = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    offsets: list[Column] = []
+    acc = 0
+    for r in sorted(parts, key=lambda r: r["_pid"]):
+        offsets.extend([F.lit(int(r["_pid"])), F.lit(acc)])
+        acc += int(r["_s"] or 0)
+    omap = F.create_map(*offsets) if offsets else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    cum = F.sum(value_col).over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0))
+    if exclusive:
+        cum = cum - F.col(value_col)
+    return ranged.withColumn(out_col, cum.cast("long")).drop("_pid")
+
+
 def pack_sequences(
     df: DataFrame, id_col: str, tokens_col: str, ctx: int, bin_col: str = "bin_id"
 ) -> DataFrame:
@@ -218,34 +257,62 @@ def pack_sequences(
     ``id_col`` order into a token stream and assign each doc the
     ctx-window its first token lands in (bin_id = floor(cum_before /
     ctx)) — the deterministic concat-then-chunk packing used by LLM data
-    loaders, expressed relationally.
-
-    The global running total uses the two-pass range-partition shape
-    (per-partition window + collected O(P) partial sums), not a global
-    single-partition window — same scale argument as
-    sorts.with_global_row_number.
+    loaders, expressed relationally over global_running_total.
     """
-    spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_part, F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .transform(pin)
+    out = global_running_total(df, [F.col(id_col)], tokens_col, "_cb", exclusive=True)
+    return out.withColumn(bin_col, F.floor(F.col("_cb") / ctx).cast("long")).drop("_cb")
+
+
+def select_token_budget(
+    df: DataFrame,
+    tokens_col: str,
+    order_exprs: list[Column],
+    budget: int,
+    cum_col: str = "cum_before",
+) -> DataFrame:
+    """Greedy best-first corpus selection under a global token budget:
+    order the corpus by ``order_exprs`` (quality-descending with a
+    unique-id tiebreak), take the shortest prefix whose token total
+    reaches ``budget`` — the "top N tokens of the corpus" curation cut
+    used to size a training mix. A row is kept iff the tokens BEFORE it
+    total < budget, so the selection includes the document that crosses
+    the boundary and is exactly a prefix of the total order
+    (retry-reproducible; no rand(), no sampling drift).
+
+    Cost is one range-partition pass (global_running_total); the budget
+    predicate is partition-local after that. Nearest reference ancestor:
+    the fixed-size output contract of TotalOrderPartitioner sampling
+    (mapred/lib/InputSampler.java) — bound the OUTPUT, keep the cut
+    deterministic.
+    """
+    out = global_running_total(df, order_exprs, tokens_col, cum_col, exclusive=True)
+    return out.where(F.col(cum_col) < budget)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_exprs: list[Column],
+    quota: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``quota`` rows per group,
+    preferring the ``order_exprs`` order (must be tie-broken total within
+    a group) — the per-domain/per-host document cap of web-corpus
+    curation, where unbounded hosts would otherwise dominate the mix.
+
+    Scale shape: Spark rewrites the row_number-<=-k filter into a
+    WindowGroupLimit: every map task locally keeps only its top-quota
+    rows per group BEFORE the exchange, so the shuffle carries at most
+    quota rows per (group, input partition) instead of the whole group —
+    the skewed-host case (one domain = billions of rows) never
+    materializes a full per-group sort. Plan-pinned in
+    tests/test_pipeline_ops.py.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_exprs)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= quota
     )
-    parts = ranged.groupBy("_pid").agg(F.sum(tokens_col).alias("_s")).collect()
-    offsets: list[Column] = []
-    acc = 0
-    for r in sorted(parts, key=lambda r: r["_pid"]):
-        offsets.extend([F.lit(int(r["_pid"])), F.lit(acc)])
-        acc += int(r["_s"] or 0)
-    omap = F.create_map(*offsets) if offsets else F.create_map()
-    w = Window.partitionBy("_pid").orderBy(id_col)
-    cum_before = (
-        F.sum(tokens_col).over(w) - F.col(tokens_col) + F.coalesce(omap[F.col("_pid")], F.lit(0))
-    )
-    return ranged.withColumn(
-        bin_col, F.floor(cum_before / ctx).cast("long")
-    ).drop("_pid")
 
 
 def temperature_sample(

@@ -290,10 +290,15 @@ def ivfpq_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse routing + PQ asymmetric-distance scoring — the composed
     billion-scale ANN shape (FAISS IVFPQ): route by inverted list, score
     candidates against their 8-byte PQ codes instead of raw vectors.
+    ``nprobe`` > 1 probes the query's n nearest lists (ivf_probe_lists;
+    same recall/cost contract as ivf_ann — candidates grow ~linearly,
+    each corpus vector still lives in exactly ONE list so the probe
+    stays an equi-join with no dedup stage).
 
     The asymmetric distance (ADC) keeps the QUERY exact and reconstructs
     only the candidate: adc(q, x) = sum_j ||q_j - codebook_j[code_j(x)]||².
@@ -322,7 +327,12 @@ def ivfpq_ann(
     cand = ivf_assign(_spread(corpus), cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "list_id", *code_cols
     )
-    q = ivf_assign(queries, cents, vec_col).select(
+    q_assign = (
+        ivf_assign(queries, cents, vec_col)
+        if nprobe == 1  # keep the proven single-probe plan byte-stable
+        else ivf_probe_lists(queries, cents, vec_col, nprobe)
+    )
+    q = q_assign.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         "list_id",

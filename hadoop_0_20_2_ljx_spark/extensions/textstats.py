@@ -70,14 +70,16 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, min_ratio: float = 0.01) 
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic document quality in [0,1]: rewards moderate length,
-    word-length plausibility, low punctuation density, stopword presence.
+def quality_expr(t: Column) -> Column:
+    """Heuristic document quality in [0,1] as a COLUMN expression (so
+    callers can compute it alongside other per-doc features in one
+    projection — one corpus scan, not a per-feature self-join): rewards
+    moderate length, word-length plausibility, low punctuation density,
+    stopword presence. Rounded to 6 so the value is cross-engine exact.
 
     score = 0.25*len_ok + 0.25*wordlen_ok + 0.25*(1-punct_ratio)
           + 0.25*min(1, 10*stopword_ratio)
     """
-    t = F.col(text_col)
     toks = tokens(t)
     n_words = F.greatest(F.size(toks), F.lit(1))
     n_chars = F.greatest(F.length(t), F.lit(1))
@@ -96,7 +98,12 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + 0.25 * (1.0 - punct_ratio)
         + 0.25 * F.least(F.lit(1.0), 10.0 * stop_ratio)
     )
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """quality_expr projected to (id, quality)."""
+    return df.select(F.col(id_col), quality_expr(F.col(text_col)).alias("quality"))
 
 
 # PII patterns chosen to parse identically under Java regex (Spark) and

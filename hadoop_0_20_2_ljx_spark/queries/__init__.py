@@ -25,11 +25,17 @@ _NEEDS_FRESH_EVIDENCE = [
     # slots so the freshness ratchet keeps advancing.
     # (a1) new this round — sim-only until the r6 driver row lands
     "q_embed_ivf_nprobe",  # new r6: multi-probe IVF (recall/cost knob)
+    "q_embed_ivfpq_nprobe",  # new r6: multi-probe composed with PQ codes
+    "q_sample_domain_cap",  # new r6: per-domain quota cap (WindowGroupLimit)
+    "q_sample_token_budget",  # new r6: global token-budget curation cut
+    "q_corpus_source_sim",  # new r6: source-pair MinHash/exact Jaccard matrix
     # (a2) changed this round — prior proofs predate the change
     "q_agg_outliers",  # r6: z^2 10^4 scaling now conditional (ADVICE)
     "q_graph_kcore",  # r6: alive-count probe hoisted out of the loop
     "q_graph_pagerank",  # r6: phase_seconds instrumentation hook
     "q_dedup_keep_latest",  # r6: cdc self-overwrite pin routed via pin()
+    "q_filter_skipbad",  # r6: pid-suffixed scratch dir (concurrent gates)
+    "q_embed_ivfpq",  # r6: nprobe param threaded through (nprobe=1 plan stable)
     # (b) the committed r6 block: all 34 r2-latest names, file order
     "q_agg_pivot",
     "q_agg_numeric_hist",
@@ -65,22 +71,19 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_shuffle_global",
     "q_join_range",
     "q_join_overlap",
-    # (c) oldest r3-latest names, file order; 11 fit in the 50
+    # (c) oldest r3-latest names, file order; 5 fit in the 50 after the
+    # round's 4 new + 2 changed additions displaced six of them
     "q_agg_cms",
     "q_join_bloom",
     "q_scan_gzip_text",
     "q_sink_tar_shards",
     "q_sink_har_roundtrip",
-    "q_sink_schema_evolution",
-    "q_sink_compaction",
-    "q_sink_orc_roundtrip",
-    "q_sink_tfile_roundtrip",
-    "q_fn_recordio",
-    "q_dedup_substring",
     # ---- 50-row cut line ----
-    # committed r7 block: the remaining r3-latest names (q_text_classifier
-    # through q_agg_approx_quantile in SURVEY §8's Ext column), plus any
-    # query added/changed in r7.
+    # committed r7 block: the remaining r3-latest names
+    # (q_sink_schema_evolution, q_sink_compaction, q_sink_orc_roundtrip,
+    # q_sink_tfile_roundtrip, q_fn_recordio, q_dedup_substring, then
+    # q_text_classifier through q_agg_approx_quantile in SURVEY §8's Ext
+    # column), plus any query added/changed in r7.
 ]
 
 

@@ -1132,3 +1132,160 @@ QUERIES["q_sample_group_split"] = QueryDef(
     "group-aware leakage-safe train/val/test split: md5 bucket of the "
     "GROUP key (never the row), no-straddle property proven relationally",
 )
+
+
+# --- per-domain quota cap (round 6) ------------------------------------------
+_CAP_QUOTA = 15
+
+
+def _sample_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap: keep at most 15 docs per source,
+    preferring the longest (n_chars desc, doc_id tiebreak) — the
+    per-domain/per-host cap of web-corpus curation, where one unbounded
+    host would otherwise dominate the training mix. The rank<=quota
+    filter plans as a WindowGroupLimit (map-side per-group top-k BEFORE
+    the exchange), so a billion-row domain ships only quota rows per
+    input partition — plan-pinned in tests/test_pipeline_ops.py."""
+    from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops
+
+    docs = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    capped = pipeline_ops.cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], _CAP_QUOTA
+    )
+    return capped.select(
+        "doc_id", "source", F.col("rk").cast("long").alias("rk")
+    )
+
+
+_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_CAP_QUOTA}
+"""
+
+QUERIES["q_sample_domain_cap"] = QueryDef(
+    _sample_domain_cap,
+    _DOMAIN_CAP_SQL,
+    "per-domain quota cap (keep best 15 per source): WindowGroupLimit "
+    "map-side top-k, the web-corpus per-host cap",
+)
+
+
+# --- global token-budget selection (round 6) ---------------------------------
+_TOKEN_BUDGET = 5000
+
+
+def _sample_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-first corpus cut under a global token budget: rank docs by
+    quality (desc, doc_id tiebreak), keep the prefix whose token total
+    first reaches 5000 — "give me the top N tokens of the corpus", the
+    deterministic sizing cut for a training mix. One range-partition
+    prefix-sum pass (two-pass offsets, driver sees O(partitions) rows);
+    the ordering key is the ROUNDED quality score, which q_text_quality
+    already proves bit-identical cross-engine."""
+    from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops, textstats
+
+    # ONE projection computes both features — never a per-feature
+    # self-join back on doc_id (that costs a second corpus scan + an
+    # extra shuffle at 100 TB)
+    scored = T(spark, sf, "documents").select(
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        textstats.quality_expr(F.col("text")).alias("quality"),
+    )
+    sel = pipeline_ops.select_token_budget(
+        scored,
+        "n_tokens",
+        [F.col("quality").desc(), F.col("doc_id")],
+        _TOKEN_BUDGET,
+    )
+    return sel.select("doc_id", "n_tokens", "cum_before")
+
+
+def _token_budget_sql() -> str:
+    from hadoop_0_20_2_ljx_spark.queries.ext import _quality_expr_sql
+
+    words = _WORDS.format(col="text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST(len({words}) AS BIGINT) AS n_tokens,
+         {_quality_expr_sql()} AS q
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM scored
+)
+SELECT doc_id, n_tokens, cum_before FROM c WHERE cum_before < {_TOKEN_BUDGET}
+"""
+
+QUERIES["q_sample_token_budget"] = QueryDef(
+    _sample_token_budget,
+    _token_budget_sql(),
+    "global token-budget curation cut: quality-ranked prefix whose token "
+    "total reaches the budget; two-pass range-partition prefix sum",
+)
+
+
+# --- corpus source-similarity matrix (round 6) -------------------------------
+def _corpus_source_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-estimated vs exact Jaccard between every pair of SOURCES'
+    shingle-set unions — the merge-worthiness report run before doc-level
+    dedup of two crawls. min commutes with union, so the per-source
+    signature is one map-side-partial agg over per-shingle hashes; the
+    exact side is a shingle-vocabulary equi-join (never doc x doc)."""
+    return dedup.group_similarity_matrix(
+        T(spark, sf, "documents"), "source", "text", num_hashes=16, shingle_k=3
+    )
+
+
+def _source_sim_sql() -> str:
+    from hadoop_0_20_2_ljx_spark.queries.ext import _shingles_sql
+
+    words = _WORDS.format(col="text")
+    sh = _shingles_sql(words, 3)
+    v = h64_sql("g")
+    return f"""
+WITH gs AS (
+  SELECT DISTINCT source AS grp, g FROM (
+    SELECT source, unnest(CASE WHEN len(sh) = 0 THEN [''] ELSE sh END) AS g
+    FROM (SELECT source, {sh} AS sh FROM documents))
+),
+hv AS (SELECT grp, {v} AS v FROM gs),
+sigs AS (
+  SELECT grp, s, min(((v >> 30) + s * (v & 1073741823)) % 1073741824) AS h
+  FROM hv, (SELECT unnest(range(16)) AS s)
+  GROUP BY grp, s
+),
+m AS (
+  SELECT sa.grp AS ga, sb.grp AS gb,
+         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS matches
+  FROM sigs sa JOIN sigs sb ON sa.s = sb.s AND sa.grp < sb.grp
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT a.grp AS ga, b.grp AS gb, count(*) AS ni
+  FROM gs a JOIN gs b ON a.g = b.g AND a.grp < b.grp
+  GROUP BY 1, 2
+),
+sizes AS (SELECT grp, count(*) AS n FROM gs GROUP BY grp)
+SELECT m.ga AS source_a, m.gb AS source_b,
+  CAST(floor(10000 * m.matches / 16) AS BIGINT) AS est_bp,
+  CAST(floor(10000 * coalesce(i.ni, 0) / (sa.n + sb.n - coalesce(i.ni, 0))) AS BIGINT) AS jaccard_bp
+FROM m
+LEFT JOIN inter i ON m.ga = i.ga AND m.gb = i.gb
+JOIN sizes sa ON sa.grp = m.ga
+JOIN sizes sb ON sb.grp = m.gb
+"""
+
+QUERIES["q_corpus_source_sim"] = QueryDef(
+    _corpus_source_sim,
+    _source_sim_sql(),
+    "corpus-level source-similarity matrix: per-source MinHash signature "
+    "(min commutes with union) estimate next to exact vocabulary-join "
+    "Jaccard, all pairs incl. zero-overlap, integer basis points",
+)

@@ -403,17 +403,24 @@ def _text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.quality_score(T(spark, sf, "documents"), "doc_id", "text")
 
 
-def _quality_oracle() -> str:
+def _quality_expr_sql() -> str:
+    """DuckDB rendering of textstats.quality_score's rounded score —
+    shared by the quality query and the token-budget curation oracle
+    (the SAME text must render on both or their orderings diverge)."""
     toks = _WORDS.format(col="text")
-    return f"""
-SELECT doc_id, round(
+    return f"""round(
   0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END)
 + 0.25 * (CASE WHEN (list_sum(list_transform({toks}, w -> length(w))) / greatest(len({toks}), 1)) >= 2.0
                AND (list_sum(list_transform({toks}, w -> length(w))) / greatest(len({toks}), 1)) <= 12.0
           THEN 1.0 ELSE 0.0 END)
 + 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1))
 + 0.25 * least(1.0, 10.0 * (len(list_filter({toks}, w -> lower(w) IN ('the','a','of','and')))
-                            / greatest(len({toks}), 1))), 6) AS quality
+                            / greatest(len({toks}), 1))), 6)"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+SELECT doc_id, {_quality_expr_sql()} AS quality
 FROM documents
 """
 
@@ -907,8 +914,19 @@ def _embed_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(nprobe: int = 1) -> str:
     sub, m = _PQ_SUB, _PQ_M
+    # nprobe=1 renders byte-identically to the proven single-probe oracle
+    # (q from the rn=1 assignment); nprobe>1 keeps the query's rn<=nprobe
+    # coarse assignments, mirroring ivf_probe_lists' cos-desc/cid ranking.
+    q_part = (
+        "q AS (SELECT vec_id AS q_id, list_id FROM assign WHERE vec_id < 10)"
+        if nprobe == 1
+        else (
+            "q AS (SELECT vec_id AS q_id, cid AS list_id FROM ascore "
+            f"WHERE vec_id < 10 AND rn <= {nprobe})"
+        )
+    )
     parts = _pq_chain_parts()
     parts += [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -921,7 +939,7 @@ def _ivfpq_oracle() -> str:
       c.cid) AS rn
   FROM e CROSS JOIN coarse c)""",
         "assign AS (SELECT vec_id, cid AS list_id FROM ascore WHERE rn = 1)",
-        "q AS (SELECT vec_id AS q_id, list_id FROM assign WHERE vec_id < 10)",
+        q_part,
         """pairs AS (
   SELECT q.q_id, a.vec_id AS neighbor_id
   FROM assign a JOIN q USING (list_id)
@@ -949,6 +967,20 @@ SELECT q_id, neighbor_id, round(adc, 6) AS adc FROM (
   FROM adc)
 WHERE rnk <= 5
 """
+    )
+
+
+# --- ANN: multi-probe IVF-PQ (the knob composed with the codes) --------------
+def _embed_ivfpq_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """ivfpq_ann with nprobe=2: the production FAISS posture (multi-probe
+    coarse routing AND PQ codes in the scoring join). The query side
+    explodes to its two nearest lists via ivf_probe_lists; the corpus
+    side still streams 8-byte codes through the same equi-join."""
+    emb = T(spark, sf, "embeddings")
+    books = clustering.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_K, iters=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_ann(
+        emb, queries, nlist_ids=list(range(8)), books=books, k=5, nprobe=2
     )
 
 
@@ -1538,6 +1570,13 @@ QUERIES: dict[str, QueryDef] = {
         "extension: IVF-PQ composed ANN — coarse-list routing + asymmetric "
         "PQ distance scoring (the FAISS-IVFPQ shape); ranked neighbors and "
         "ADC values pinned vs the fully replayed chain",
+    ),
+    "q_embed_ivfpq_nprobe": QueryDef(
+        _embed_ivfpq_nprobe,
+        _ivfpq_oracle(2),
+        "extension: multi-probe IVF-PQ (nprobe=2) — the full production "
+        "ANN posture: two probed lists per query AND 8-byte PQ codes in "
+        "the scoring join; oracle replays the rn<=2 coarse routing",
     ),
     "q_multimodal_decode": QueryDef(
         _multimodal_decode,

@@ -90,7 +90,10 @@ def _filter_skipbad(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(line)
         .alias("value")
     )
-    path = os.path.join(TMP_ROOT, "q_filter_skipbad")
+    # pid-suffixed like every sink scratch dir (queries/sink.py:22):
+    # concurrent gate runs (pytest + sim, or the two sweeps) otherwise
+    # overwrite each other's files mid-read
+    path = os.path.join(TMP_ROOT, f"q_filter_skipbad-{os.getpid()}")
     os.makedirs(TMP_ROOT, exist_ok=True)
     dirty.write.mode("overwrite").text(path)
     parsed = spark.read.csv(

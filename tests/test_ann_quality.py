@@ -118,3 +118,34 @@ def test_ivf_nprobe_recall_cost_curve(spark):
     )
     mismatch = single.join(multi1, "q_id").where(F.col("l1") != F.col("l2")).count()
     assert mismatch == 0, f"{mismatch} queries route differently at nprobe=1"
+
+
+def test_ivfpq_nprobe_recall_monotone(spark):
+    """Multi-probe composed with PQ: probing a second coarse list only
+    ADDS candidates (the corpus side is unchanged, one list per vector).
+    Under exact scoring that makes recall provably monotone; under PQ's
+    approximate ADC a new candidate can in principle displace a true
+    neighbor, so this is a pinned deterministic-fixture regression (it
+    measures that the knob helps HERE), not a theorem. At nprobe=1 the
+    multi-probe path must reproduce the proven single-probe routing
+    exactly (same neighbor sets)."""
+    emb = catalog.load(spark, SF_T2, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _topk(similarity.brute_force_knn(emb, queries, k=K))
+    books = clustering.pq_train(emb, "vec_id", "embedding", 8, 16, iters=2)
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        return hits / (len(exact) * K)
+
+    p1 = _topk(similarity.ivfpq_ann(emb, queries, list(range(8)), books, k=K))
+    p1_multi = _topk(
+        similarity.ivfpq_ann(emb, queries, list(range(8)), books, k=K, nprobe=1)
+    )
+    p2 = _topk(
+        similarity.ivfpq_ann(emb, queries, list(range(8)), books, k=K, nprobe=2)
+    )
+    assert p1_multi == p1, "nprobe=1 diverged from the single-probe plan"
+    assert recall(p2) >= recall(p1), (
+        f"second probed list lowered recall: {recall(p2):.2f} < {recall(p1):.2f}"
+    )

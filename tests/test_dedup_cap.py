@@ -66,3 +66,57 @@ def test_connected_components_multi_component_with_singletons(spark):
     assert rows[10] == rows[11] == rows[12] == 10
     for singleton in (0, 4, 5, 6, 7, 8, 9, 13, 14):
         assert rows[singleton] == singleton
+
+
+def test_group_similarity_matrix_exact_and_estimate_contract(spark):
+    """Hand-built three-source corpus: A and B share half their shingle
+    vocabulary, C is disjoint, D is a clone of A. The exact column must
+    equal the serial set-Jaccard of the padded shingle unions; the
+    16-perm MinHash estimate must be exact at the j=0 and j=1 endpoints
+    (disjoint sets share no hashes; identical sets share all) and within
+    sketch tolerance in between."""
+    rows = [
+        # source A: two docs
+        (1, "A", "alpha beta gamma delta epsilon zeta"),
+        (2, "A", "eta theta iota kappa"),
+        # source B: overlaps A's first doc
+        (3, "B", "alpha beta gamma delta epsilon zeta"),
+        (4, "B", "lambda mu nu xi"),
+        # source C: disjoint vocabulary
+        (5, "C", "one two three four five six"),
+        # source D: exactly A's shingle union
+        (6, "D", "alpha beta gamma delta epsilon zeta"),
+        (7, "D", "eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): (r["est_bp"], r["jaccard_bp"])
+        for r in dedup.group_similarity_matrix(df, "source", "text").collect()
+    }
+    # all C(4,2)=6 unordered pairs present, including the disjoint ones
+    assert set(out) == {
+        ("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D")
+    }
+
+    def shingle_union(texts: list[str], k: int = 3) -> set:
+        u: set = set()
+        for t in texts:
+            w = t.split()
+            grams = {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            u |= grams if grams else {""}
+        return u
+
+    groups = {}
+    for _, src, text in rows:
+        groups.setdefault(src, []).append(text)
+    sets = {s: shingle_union(t) for s, t in groups.items()}
+    for (a, b), (est, exact) in out.items():
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert exact == 10000 * len(sets[a] & sets[b]) // len(sets[a] | sets[b]), (a, b)
+        # endpoints are estimate-exact; the middle is within 16-perm noise
+        if j == 0.0:
+            assert est == 0, (a, b, est)
+        elif j == 1.0:
+            assert est == 10000, (a, b, est)
+        else:
+            assert abs(est - 10000 * j) <= 4000, (a, b, est, j)

@@ -218,3 +218,51 @@ def test_keep_latest_deterministic_tiebreak(spark):
     got = {(r["user_id"]): (r["event_id"], r["value"]) for r in out.collect()}
     assert got[1] == (9, 2.0)  # ts tie -> higher event_id wins
     assert got[2] == (1, 4.0)
+
+
+def test_cap_per_group_quota_and_windowgrouplimit_plan(spark):
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    quota = 3
+    capped = pipeline_ops.cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], quota
+    )
+    per_group = capped.groupBy("source").count().collect()
+    assert per_group and all(r["count"] <= quota for r in per_group)
+    # the kept set is exactly the serial per-group top-quota
+    kept = {r["doc_id"] for r in capped.collect()}
+    serial: dict[str, list] = {}
+    for r in docs.select("doc_id", "source", "n_chars").collect():
+        serial.setdefault(r["source"], []).append((-r["n_chars"], r["doc_id"]))
+    expect = {
+        doc for rows in serial.values() for _, doc in sorted(rows)[:quota]
+    }
+    assert kept == expect
+    # the scale claim: the rank filter is pushed below the exchange as a
+    # WindowGroupLimit (map-side per-group top-k), so a skewed group
+    # ships at most quota rows per input partition
+    assert "WindowGroupLimit" in plan_of(capped)
+
+
+def test_select_token_budget_is_exact_prefix(spark):
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 7).alias("prio"),  # deliberately tie-heavy
+    )
+    budget = 500
+    sel = pipeline_ops.select_token_budget(
+        tok, "n_tokens", [F.col("prio").desc(), F.col("doc_id")], budget
+    )
+    got = {r["doc_id"]: r["cum_before"] for r in sel.collect()}
+    # serial replay: prefix of the (prio desc, doc_id) order until the
+    # running total reaches the budget; the crossing doc is included
+    acc = 0
+    expect = {}
+    for r in sorted(tok.collect(), key=lambda r: (-r["prio"], r["doc_id"])):
+        if acc >= budget:
+            break
+        expect[r["doc_id"]] = acc
+        acc += r["n_tokens"]
+    assert got == expect
+    assert "SinglePartition" not in plan_of(sel)
