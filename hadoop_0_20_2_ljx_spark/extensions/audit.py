@@ -654,3 +654,85 @@ def order_stat_summary(
         F.col("_band").cast("long").alias("band"),
         F.col("_c").alias("cents"),
     )
+
+
+def distribution_drift_ks(
+    df: DataFrame,
+    group_col: str,
+    value_expr: F.Column,
+    in_a: F.Column,
+    id_suffix: str = "",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    BINLESS companion to distribution_drift_js: D = max_v |F_a(v) -
+    F_b(v)| between slice A (rows where ``in_a``) and slice B, compared
+    in the cross-multiplied INTEGER domain |ca(v)*nb - cb(v)*na| so the
+    argmax never rides float CDF division (two engines flooring 0.1999..
+    vs 0.2 would disagree at the boundary; integers cannot).
+
+    Output per group: ks_ppm (floor of 1e6*D), at_value_micros (the
+    smallest value attaining D, in integer micro-units), n_a, n_b.
+
+    Scale shape: one groupBy collapses the corpus to O(distinct
+    (group, value)) count rows — the only data-sized exchange; the
+    cumulative counts and the slice totals ride ONE keyed window
+    partitioning (RANGE-frame cumsum + full-frame totals, no join-back
+    re-scan — the js_from_counts argument), and the final per-group
+    argmax agg reuses that partitioning (no third exchange). The
+    cross-products are DECIMAL(38,0) internally (headroom to ~1e18 rows
+    per slice); the OUTPUT stays BIGINT ppm — never a decimal column
+    (the round-5 harness lesson).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            value_expr.cast("double").alias("_v"),
+            in_a.cast("int").alias("_a"),
+        )
+        .groupBy("_g", "_v")
+        .agg(
+            F.sum("_a").cast("long").alias("_da"),
+            F.sum(1 - F.col("_a")).cast("long").alias("_db"),
+        )
+    )
+    wc = Window.partitionBy("_g").orderBy("_v")
+    wg = Window.partitionBy("_g")
+    c = (
+        counts.withColumn("_ca", F.sum("_da").over(wc))
+        .withColumn("_cb", F.sum("_db").over(wc))
+        .withColumn("_na", F.sum("_da").over(wg))
+        .withColumn("_nb", F.sum("_db").over(wg))
+    )
+    diff = F.expr(
+        "abs(CAST(_ca AS DECIMAL(38,0)) * _nb - CAST(_cb AS DECIMAL(38,0)) * _na)"
+    )
+    best = (
+        c.select(
+            "_g",
+            "_na",
+            "_nb",
+            diff.alias("_diff"),
+            F.floor(F.col("_v") * 1000000).cast("long").alias("_vm"),
+        )
+        # group on _g ALONE (totals re-enter via max: constant per group)
+        # so the agg reuses the window's hashpartitioning(_g) — no third
+        # exchange
+        .groupBy("_g")
+        .agg(
+            F.max(F.struct(F.col("_diff"), (-F.col("_vm")).alias("_nvm"))).alias("_m"),
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
+        )
+    )
+    return best.select(
+        F.col("_g").alias(group_col),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * _m._diff)"
+            " DIV (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+        ).alias("ks_ppm"),
+        (-F.col("_m._nvm")).cast("long").alias("at_value_micros"),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+    )

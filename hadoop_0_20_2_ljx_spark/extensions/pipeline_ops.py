@@ -360,3 +360,115 @@ def temperature_sample(
         .drop("_tg", "_tbps")
         .withColumnRenamed("_tn", "group_total")
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Span-REMOVAL decontamination: where ngram_contamination only flags
+    training docs sharing a word ``n``-gram with the benchmark suite, this
+    cuts the matching spans out — for every hit at word position i, words
+    [i, i+n) are dropped and the survivors re-joined (lowercased, the
+    n-gram normalization) — the actual remediation step an eval-hygiene
+    pipeline runs after detection.
+
+    Output: (id, n_tokens_before, n_tokens_after, clean_text) for EVERY
+    train doc; untouched docs have before == after. Overlapping hits
+    compose naturally (a word is dropped if ANY hit span covers it).
+
+    100 TB shape: the bench gram vocabulary is small (an eval suite) and
+    reaches the equi-join distinct-ed; the train side explodes
+    (id, pos, gram) row-locally and its only wide exchange is the
+    per-doc groupBy folding hit positions into ONE array. The rewrite
+    join re-enters with O(contaminated docs) rows — unhinted, AQE
+    broadcasts it while it fits — so clean docs stream through the left
+    join without a data-sized shuffle, and total cost is
+    sum_g freq_train(g) x freq_bench(g) + O(contamination), never
+    O(|train| x |bench|). Same detection topology as ngram_contamination;
+    nearest reference ancestor is the side-file lookup + rewrite shape of
+    DistributedCache joins (mapred/lib/join, filemap side lookups).
+    """
+    bench_grams = (
+        bench.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        ).distinct()
+    )
+    hits = (
+        train.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), n)).alias("_pos", "gram"),
+        )
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_ps"))
+    )
+    tr = train.withColumn("_w", tokens(F.lower(F.col(text_col))))
+    joined = tr.join(hits, id_col, "left")
+    ps = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(ps, lambda s: (i >= s) & (i < s + n)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def domain_reweight(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    target_bp: dict[str, int] | None = None,
+    rate_col: str = "rate_bp",
+) -> DataFrame:
+    """Reweight the corpus toward a TARGET group mixture by computed
+    deterministic keep-rates: measure each group's current share of
+    ``weight_col`` mass (tokens, usually), derive the keep-rate that
+    lands the group on its target share of the ORIGINAL total —
+    rate_bp(g) = min(10000, 10000 * target_mass(g) / cur_mass(g)) —
+    and keep each row by a hash threshold on ``key_col``. Downsampling
+    only (rates cap at 1.0): over-represented groups thin to the target,
+    under-represented ones pass whole — the standard one-pass mixture
+    adjustment (upsampling is a repeat-epochs decision, not a filter).
+
+    ``target_bp`` maps group -> basis points of the target mixture
+    (groups absent keep nothing); None = uniform over the groups present.
+    All of the rate arithmetic is BIGINT (DIV, never float /), so the
+    kept set is bit-reproducible across engines, retries and partition
+    counts — the stratified_sample determinism argument, but with the
+    rates COMPUTED from the corpus instead of handed in.
+
+    Scale shape: one partial-agg scan to O(groups) mass rows, a tiny
+    total/count roll-up of THAT (never a second corpus scan), and an
+    unhinted O(groups) re-entry join (AQE broadcasts it) feeding a
+    stateless per-row filter. No collect: the rates stay distributed.
+    """
+    cur = df.groupBy(group_col).agg(F.sum(weight_col).cast("long").alias("_cur"))
+    tot = cur.agg(
+        F.sum("_cur").cast("long").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    if target_bp is None:
+        tgt_sql = "_tot DIV _k"
+    else:
+        whens = " ".join(
+            f"WHEN '{g}' THEN {int(bp)}L" for g, bp in sorted(target_bp.items())
+        )
+        tgt_sql = f"(_tot * (CASE {group_col} {whens} ELSE 0L END)) DIV 10000"
+    rates = cur.join(F.broadcast(tot)).selectExpr(
+        f"{group_col} AS _rg",
+        f"least(10000L, (10000L * ({tgt_sql})) DIV _cur) AS {rate_col}",
+    )
+    bucket = portable_hash32(F.col(key_col)) % 10000
+    return (
+        df.join(rates, df[group_col] == rates["_rg"])
+        .where(bucket < F.col(rate_col))
+        .drop("_rg")
+    )

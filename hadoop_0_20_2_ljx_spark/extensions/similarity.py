@@ -402,3 +402,55 @@ def bucketed_ann(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist_ids: list[int],
+    books: list[dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 20,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The FAISS refine stage composed on ivfpq_ann: ADC over PQ codes
+    shortlists ``refine`` candidates per query, then EXACT squared-L2 on
+    raw vectors re-ranks just that shortlist down to ``k`` — recovering
+    most of the recall PQ quantization loses while touching raw vectors
+    for only |queries| x refine rows.
+
+    100 TB shape: stage 1 is ivfpq_ann unchanged (candidates stream
+    8-byte codes, raw vectors never enter the probe join); stage 2
+    fetches raw vectors via an equi-join of the O(q x refine) shortlist
+    against the corpus — unhinted, so AQE broadcasts the shortlist while
+    it fits and the corpus streams through WITHOUT a shuffle; the exact
+    arithmetic runs on refine rows per query, never per-list candidate
+    counts. Ranking is (dist asc, neighbor_id) for deterministic ties.
+    """
+    short = ivfpq_ann(
+        corpus, queries, nlist_ids, books, id_col, vec_col, k=refine, nprobe=nprobe
+    ).select("q_id", "neighbor_id")
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(_qv, _nv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    ex = (
+        short.join(cvec, "neighbor_id")
+        .join(broadcast(qvec), "q_id")
+        .select("q_id", "neighbor_id", dist.alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    return (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", F.round("dist", 6).alias("dist"))
+    )

@@ -29,6 +29,11 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sample_domain_cap",  # new r6: per-domain quota cap (WindowGroupLimit)
     "q_sample_token_budget",  # new r6: global token-budget curation cut
     "q_corpus_source_sim",  # new r6: source-pair MinHash/exact Jaccard matrix
+    "q_text_decontaminate",  # new r6: span-REMOVAL decontamination
+    "q_corpus_dataset_card",  # new r6: per-source one-scan datasheet
+    "q_sample_domain_reweight",  # new r6: computed-rate mixture reweighting
+    "q_agg_drift_ks",  # new r6: exact binless KS slice-drift per group
+    "q_embed_ivfpq_rerank",  # new r6: FAISS refine stage (exact re-rank)
     # (a2) changed this round — prior proofs predate the change
     "q_agg_outliers",  # r6: z^2 10^4 scaling now conditional (ADVICE)
     "q_graph_kcore",  # r6: alive-count probe hoisted out of the loop
@@ -71,16 +76,14 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_shuffle_global",
     "q_join_range",
     "q_join_overlap",
-    # (c) oldest r3-latest names, file order; 5 fit in the 50 after the
-    # round's 4 new + 2 changed additions displaced six of them
-    "q_agg_cms",
-    "q_join_bloom",
-    "q_scan_gzip_text",
-    "q_sink_tar_shards",
-    "q_sink_har_roundtrip",
+    # (c) the round's 10 new + 6 changed additions displaced all 11
+    # oldest r3-latest names into the r7 block; the 34-name r2 block
+    # stays whole (the committed rotation promise outranks r3 aging)
     # ---- 50-row cut line ----
     # committed r7 block: the remaining r3-latest names
-    # (q_sink_schema_evolution, q_sink_compaction, q_sink_orc_roundtrip,
+    # (q_agg_cms, q_join_bloom,
+    # q_scan_gzip_text, q_sink_tar_shards, q_sink_har_roundtrip,
+    # q_sink_schema_evolution, q_sink_compaction, q_sink_orc_roundtrip,
     # q_sink_tfile_roundtrip, q_fn_recordio, q_dedup_substring, then
     # q_text_classifier through q_agg_approx_quantile in SURVEY §8's Ext
     # column), plus any query added/changed in r7.

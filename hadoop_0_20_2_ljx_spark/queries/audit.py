@@ -198,6 +198,50 @@ GROUP BY 1
 """
 
 
+def _agg_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS per event_type between the month halves — the
+    BINLESS companion to q_agg_drift_js: no bin-width guess, the full
+    empirical CDF, max gap found in the cross-multiplied integer domain
+    (DECIMAL(38,0) internally, BIGINT ppm out)."""
+    ev = T(spark, sf, "events")
+    return audit.distribution_drift_ks(
+        ev, "event_type", F.col("value"), F.col("ts") < F.lit("2024-01-16")
+    )
+
+
+_DRIFT_KS_SQL = """
+WITH pts AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+  FROM events
+), vals AS (
+  SELECT g, v, CAST(sum(a) AS BIGINT) AS da, CAST(sum(1 - a) AS BIGINT) AS db
+  FROM pts GROUP BY 1, 2
+), c AS (
+  SELECT g, v, da, db,
+         sum(da) OVER (PARTITION BY g ORDER BY v) AS ca,
+         sum(db) OVER (PARTITION BY g ORDER BY v) AS cb,
+         sum(da) OVER (PARTITION BY g) AS na,
+         sum(db) OVER (PARTITION BY g) AS nb
+  FROM vals
+), d AS (
+  SELECT g, na, nb, abs(ca * nb - cb * na) AS diff,
+         CAST(floor(v * 1000000) AS BIGINT) AS vm
+  FROM c
+), best AS (
+  SELECT g, diff, vm, na, nb,
+         row_number() OVER (PARTITION BY g ORDER BY diff DESC, vm ASC) AS rk
+  FROM d
+)
+SELECT g AS event_type,
+       CAST((1000000 * diff) // (na * nb) AS BIGINT) AS ks_ppm,
+       vm AS at_value_micros,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b
+FROM best WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_audit_constraints": QueryDef(
         _audit_constraints,
@@ -216,6 +260,12 @@ QUERIES: dict[str, QueryDef] = {
         _DRIFT_SQL,
         "Jensen-Shannon slice-drift per group, bin terms floored to "
         "integer nano-units (order-independent sum)",
+    ),
+    "q_agg_drift_ks": QueryDef(
+        _agg_drift_ks,
+        _DRIFT_KS_SQL,
+        "exact two-sample Kolmogorov-Smirnov slice-drift per group: "
+        "binless full-CDF max gap in the cross-multiplied integer domain",
     ),
 }
 

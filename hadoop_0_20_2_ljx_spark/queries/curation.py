@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.extensions import dedup
-from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h64_sql
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, h32_sql, h64_sql
 from hadoop_0_20_2_ljx_spark.pinning import pin
 
 _WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), w -> w <> '')"
@@ -1288,4 +1288,204 @@ QUERIES["q_corpus_source_sim"] = QueryDef(
     "corpus-level source-similarity matrix: per-source MinHash signature "
     "(min commutes with union) estimate next to exact vocabulary-join "
     "Jaccard, all pairs incl. zero-overlap, integer basis points",
+)
+
+
+# --- span-removal decontamination (round 6) -----------------------------------
+def _text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-REMOVAL decontamination, the remediation step after
+    q_text_contamination's detection: same synthetic eval suite
+    (doc_id % 97 == 0), but matching 4-gram spans are CUT from the
+    training docs and the cleaned text is returned. Result rows are the
+    contaminated docs only (clean docs pass the operator untouched and
+    would bloat the result); the full clean text enters the hash so the
+    exact surviving token sequence — order, overlap composition, total
+    removal — is what the oracle certifies."""
+    from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops
+
+    docs = T(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = pipeline_ops.decontaminate_spans(
+        train, bench, "doc_id", "text", n=_DECON_N
+    )
+    return out.where(F.col("n_tokens_after") < F.col("n_tokens_before"))
+
+
+_DECON_N = 4  # 8-gram overlap vanishes below sf0.1; 4-grams hit at every SF
+
+
+def _decontaminate_sql(n: int = 4) -> str:
+    w = _WORDS.format(col="lower(text)")
+    return f"""
+WITH docs AS (SELECT doc_id, {w} AS w FROM documents),
+tg AS (
+  SELECT doc_id, pos, array_to_string(w[pos+1:pos+{n}], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(0, len(w) - {n-1})) AS pos
+        FROM docs WHERE len(w) >= {n})
+),
+bench AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT t.doc_id, t.pos FROM tg t JOIN bench b USING (gram)
+  WHERE t.doc_id % 97 <> 0
+),
+words_i AS (
+  SELECT doc_id, unnest(w) AS word, unnest(range(0, len(w))) AS wi
+  FROM docs WHERE doc_id % 97 <> 0
+),
+kept AS (
+  SELECT x.doc_id, x.wi, x.word
+  FROM words_i x
+  WHERE EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = x.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM hits h
+                    WHERE h.doc_id = x.doc_id
+                      AND x.wi BETWEEN h.pos AND h.pos + {n-1})
+)
+SELECT c.doc_id,
+  CAST(c.nb AS BIGINT) AS n_tokens_before,
+  CAST(coalesce(k.na, 0) AS BIGINT) AS n_tokens_after,
+  coalesce(k.txt, '') AS clean_text
+FROM (SELECT d.doc_id, len(d.w) AS nb FROM docs d
+      WHERE EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)) c
+LEFT JOIN (SELECT doc_id, count(*) AS na,
+                  string_agg(word, ' ' ORDER BY wi) AS txt
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
+QUERIES["q_text_decontaminate"] = QueryDef(
+    _text_decontaminate,
+    _decontaminate_sql(_DECON_N),
+    "span-removal decontamination: benchmark 4-gram hit spans cut from "
+    "training docs, overlap-composed; rewrite join touches only "
+    "contaminated docs",
+)
+
+
+# --- per-source dataset card (round 6) ----------------------------------------
+def _corpus_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset card: the one-scan corpus datasheet (doc/word/
+    char volumes, char range, language spread, punctuation + stopword
+    density, length-plausibility rate) a curation run publishes per
+    source before mixing. ONE projection computes every per-doc feature
+    (never a per-feature self-join) and one partial-agg shuffle of
+    O(sources) groups rolls it up; ratio fields are integer basis points
+    (BIGINT DIV) so the card is bit-stable cross-engine."""
+    from hadoop_0_20_2_ljx_spark.extensions import textstats
+
+    t = F.col("text")
+    toks = textstats.tokens(t)
+    per = T(spark, sf, "documents").select(
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("nw"),
+        F.length(t).cast("long").alias("nc"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+        .cast("long")
+        .alias("np"),
+        F.size(F.filter(toks, lambda x: F.lower(x).isin("the", "a", "of", "and")))
+        .cast("long")
+        .alias("ns"),
+        ((F.length(t) >= 50) & (F.length(t) <= 10000)).cast("long").alias("len_ok"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").alias("n_words"),
+        F.sum("nc").alias("n_chars"),
+        F.min("nc").alias("min_chars"),
+        F.max("nc").alias("max_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.expr("10000 * sum(np) DIV greatest(sum(nc), 1)").alias("punct_bp"),
+        F.expr("10000 * sum(ns) DIV greatest(sum(nw), 1)").alias("stop_bp"),
+        F.expr("10000 * sum(len_ok) DIV count(*)").alias("len_ok_bp"),
+    )
+
+
+def _dataset_card_sql() -> str:
+    w = _WORDS.format(col="text")
+    return f"""
+WITH per AS (
+  SELECT source, lang,
+    CAST(len({w}) AS BIGINT) AS nw,
+    CAST(length(text) AS BIGINT) AS nc,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS np,
+    CAST(len(list_filter({w}, x -> lower(x) IN ('the','a','of','and'))) AS BIGINT) AS ns,
+    CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1 ELSE 0 END AS len_ok
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nw) AS BIGINT) AS n_words,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
+  CAST(min(nc) AS BIGINT) AS min_chars,
+  CAST(max(nc) AS BIGINT) AS max_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST((10000 * sum(np)) // greatest(sum(nc), 1) AS BIGINT) AS punct_bp,
+  CAST((10000 * sum(ns)) // greatest(sum(nw), 1) AS BIGINT) AS stop_bp,
+  CAST((10000 * sum(len_ok)) // count(*) AS BIGINT) AS len_ok_bp
+FROM per GROUP BY source
+"""
+
+
+QUERIES["q_corpus_dataset_card"] = QueryDef(
+    _corpus_dataset_card,
+    _dataset_card_sql(),
+    "per-source dataset card: one-scan datasheet (volumes, char range, "
+    "language spread, punct/stopword density, length plausibility) in "
+    "integer basis points",
+)
+
+
+# --- computed-rate domain reweighting (round 6) -------------------------------
+def _sample_domain_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-mass mixture reweighting toward a UNIFORM source mix: the
+    keep-rates are COMPUTED from the corpus (one O(sources) partial agg +
+    its 1-row roll-up, re-entering unhinted), unlike q_sample_stratified's
+    handed-in rates; every rate is BIGINT arithmetic and each doc's fate
+    a deterministic hash threshold."""
+    from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops, textstats
+
+    tok = T(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kept = pipeline_ops.domain_reweight(tok, "source", "n_tokens", "doc_id")
+    return kept.groupBy("source").agg(
+        F.min("rate_bp").cast("long").alias("rate_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.sum(F.col("doc_id") % 1000003).cast("long").alias("id_hash_sum"),
+    )
+
+
+def _domain_reweight_sql() -> str:
+    w = _WORDS.format(col="text")
+    bucket = h32_sql("doc_id") + " % 10000"
+    return f"""
+WITH tok AS (
+  SELECT source, doc_id, CAST(len({w}) AS BIGINT) AS n_tokens FROM documents
+),
+cur AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS cur_t FROM tok GROUP BY source),
+tot AS (SELECT CAST(sum(cur_t) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k FROM cur),
+rates AS (
+  SELECT source, least(10000, (10000 * (t // k)) // cur_t) AS rate_bp
+  FROM cur CROSS JOIN tot
+)
+SELECT t.source,
+  CAST(min(r.rate_bp) AS BIGINT) AS rate_bp,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(t.n_tokens) AS BIGINT) AS tokens_kept,
+  CAST(sum(t.doc_id % 1000003) AS BIGINT) AS id_hash_sum
+FROM tok t JOIN rates r USING (source)
+WHERE {bucket} < r.rate_bp
+GROUP BY t.source
+"""
+
+
+QUERIES["q_sample_domain_reweight"] = QueryDef(
+    _sample_domain_reweight,
+    _domain_reweight_sql(),
+    "computed-rate mixture reweighting: per-source token mass -> uniform-"
+    "target keep rates (BIGINT DIV), deterministic hash-threshold filter",
 )

@@ -914,7 +914,7 @@ def _embed_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(nprobe: int = 1) -> str:
+def _ivfpq_oracle(nprobe: int = 1, refine: int | None = None) -> str:
     sub, m = _PQ_SUB, _PQ_M
     # nprobe=1 renders byte-identically to the proven single-probe oracle
     # (q from the rn=1 assignment); nprobe>1 keeps the query's rn<=nprobe
@@ -960,11 +960,36 @@ def _ivfpq_oracle(nprobe: int = 1) -> str:
         f"adc AS (\n  SELECT p.q_id, p.neighbor_id, {terms} AS adc\n"
         f"  FROM pairs p\n{joins})"
     )
-    return (
-        "WITH " + ",\n".join(parts) + """
+    if refine is None:
+        return (
+            "WITH " + ",\n".join(parts) + """
 SELECT q_id, neighbor_id, round(adc, 6) AS adc FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS rnk
   FROM adc)
+WHERE rnk <= 5
+"""
+        )
+    # refine stage: ADC shortlist of `refine`, then exact squared L2 on
+    # raw vectors re-ranks to top 5 (mirrors similarity.ivfpq_rerank)
+    parts.append(
+        "short AS (SELECT q_id, neighbor_id FROM (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS rnk\n"
+        f"  FROM adc) WHERE rnk <= {refine})"
+    )
+    parts.append(
+        "ex AS (\n"
+        "  SELECT s.q_id, s.neighbor_id,\n"
+        "    list_sum(list_transform(generate_series(1, len(eq.v)),\n"
+        "      i -> (eq.v[i] - en.v[i]) * (eq.v[i] - en.v[i]))) AS dist\n"
+        "  FROM short s\n"
+        "  JOIN e eq ON eq.vec_id = s.q_id\n"
+        "  JOIN e en ON en.vec_id = s.neighbor_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT q_id, neighbor_id, round(dist, 6) AS dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, neighbor_id) AS rnk
+  FROM ex)
 WHERE rnk <= 5
 """
     )
@@ -981,6 +1006,22 @@ def _embed_ivfpq_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_ann(
         emb, queries, nlist_ids=list(range(8)), books=books, k=5, nprobe=2
+    )
+
+
+# --- ANN: IVF-PQ + exact-rerank refine (the FAISS refine stage) --------------
+def _embed_ivfpq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """ivfpq_rerank: ADC over PQ codes shortlists 20 candidates per
+    query, exact squared-L2 on raw vectors re-ranks to top 5 — the FAISS
+    refine stage that recovers the recall PQ quantization loses while
+    touching raw vectors for only q x 20 rows. The oracle replays the
+    full chain (coarse routing, 8 codebooks, ADC shortlist) and then the
+    exact re-rank."""
+    emb = T(spark, sf, "embeddings")
+    books = clustering.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_K, iters=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_rerank(
+        emb, queries, nlist_ids=list(range(8)), books=books, k=5, refine=20
     )
 
 
@@ -1577,6 +1618,13 @@ QUERIES: dict[str, QueryDef] = {
         "extension: multi-probe IVF-PQ (nprobe=2) — the full production "
         "ANN posture: two probed lists per query AND 8-byte PQ codes in "
         "the scoring join; oracle replays the rn<=2 coarse routing",
+    ),
+    "q_embed_ivfpq_rerank": QueryDef(
+        _embed_ivfpq_rerank,
+        _ivfpq_oracle(refine=20),
+        "extension: IVF-PQ + exact-rerank refine — ADC shortlist of 20, "
+        "exact squared-L2 re-rank to top 5 on raw vectors fetched for the "
+        "shortlist only (the FAISS refine stage)",
     ),
     "q_multimodal_decode": QueryDef(
         _multimodal_decode,

@@ -149,3 +149,57 @@ def test_ivfpq_nprobe_recall_monotone(spark):
     assert recall(p2) >= recall(p1), (
         f"second probed list lowered recall: {recall(p2):.2f} < {recall(p1):.2f}"
     )
+
+
+def test_ivfpq_rerank_improves_exact_l2_agreement(spark):
+    """The refine stage must buy recall back: under the exact-L2 ground
+    truth, rerank(top-5 of a 20-wide ADC shortlist, exact distances)
+    agrees with the truth at least as well as the pure-ADC top-5 — and
+    the output is ordered by exact distance."""
+    emb = catalog.load(spark, SF_T2, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    books = clustering.pq_train(emb, "vec_id", "embedding", 8, 8, iters=1)
+
+    # exact squared-L2 ground truth (brute force, broadcast queries)
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_nv"),
+    )
+    d = F.expr(
+        "aggregate(zip_with(_qv, _nv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", d.alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    truth = _topk(scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K))
+
+    adc = _topk(similarity.ivfpq_ann(emb, queries, list(range(8)), books, k=K))
+    rr_df = similarity.ivfpq_rerank(
+        emb, queries, list(range(8)), books, k=K, refine=20
+    )
+    rr = _topk(rr_df)
+
+    def recall(approx):
+        hits = sum(len(approx.get(qid, set()) & nbrs) for qid, nbrs in truth.items())
+        return hits / (len(truth) * K)
+
+    r_adc, r_rr = recall(adc), recall(rr)
+    print(f"[ivfpq rerank] exact-L2 recall@{K}: adc={r_adc:.2f} rerank={r_rr:.2f}")
+    assert r_rr >= r_adc, f"refine made it worse: {r_rr:.2f} < {r_adc:.2f}"
+    assert r_rr >= 0.3, f"rerank recall collapsed: {r_rr:.2f}"
+    # output really is exact-distance ordered per query
+    for qid, grp in __import__("itertools").groupby(
+        sorted(rr_df.collect(), key=lambda r: (r["q_id"], r["dist"])), key=lambda r: r["q_id"]
+    ):
+        dists = [r["dist"] for r in grp]
+        assert dists == sorted(dists)

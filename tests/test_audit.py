@@ -377,3 +377,31 @@ def test_order_stat_summary_rejects_degenerate_bands(spark):
     for nb in (0, 1):
         with pytest.raises(ValueError, match="n_bands"):
             audit.order_stat_summary(df, "t", F.col("v"), F.col("event_id"), n_bands=nb)
+
+
+def test_ks_hand_case_and_partition_invariance(spark):
+    # A = {1,2,3}, B = {2,3,4}: max |F_a - F_b| = 1/3, first attained at
+    # v=1 -> ks_ppm = 333333, at_value_micros = 1e6
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1),
+            ("g", 2.0, 0), ("g", 3.0, 0), ("g", 4.0, 0)]
+    df = spark.createDataFrame(rows, "g string, v double, a int")
+    out = audit.distribution_drift_ks(
+        df, "g", F.col("v"), F.col("a") == 1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ks_ppm"], r["at_value_micros"], r["n_a"], r["n_b"]) == (
+        333333, 1000000, 3, 3,
+    )
+    # identical slices -> D = 0, argmax tie resolves to the smallest value
+    same = spark.createDataFrame(
+        [("g", float(v), a) for v in (5, 6, 7) for a in (0, 1)],
+        "g string, v double, a int",
+    )
+    z = audit.distribution_drift_ks(same, "g", F.col("v"), F.col("a") == 1).collect()[0]
+    assert z["ks_ppm"] == 0 and z["at_value_micros"] == 5000000
+    # partition-count invariance (retry/layout reproducibility)
+    r16 = audit.distribution_drift_ks(
+        df.repartition(16), "g", F.col("v"), F.col("a") == 1
+    ).collect()[0]
+    assert tuple(r16) == tuple(r)

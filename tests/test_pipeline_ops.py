@@ -266,3 +266,102 @@ def test_select_token_budget_is_exact_prefix(spark):
         acc += r["n_tokens"]
     assert got == expect
     assert "SinglePartition" not in plan_of(sel)
+
+
+def test_decontaminate_removes_spans_and_composes_overlaps(spark):
+    # bench doc = words b1..b8; train doc 1 embeds that 8-gram twice with
+    # overlap-adjacent context; doc 2 is clean; doc 3 IS the bench text
+    # (total removal -> empty clean_text); doc 4 is too short to gram.
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),
+            (1, "x1 x2 " + bench_text + " mid " + bench_text + " y1"),
+            (2, "clean words only here nothing shared with the suite at all"),
+            (3, bench_text),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    train = docs.filter(F.col("doc_id") != 0)
+    out = {
+        r["doc_id"]: r
+        for r in pipeline_ops.decontaminate_spans(
+            train, bench, "doc_id", "text", n=8
+        ).collect()
+    }
+    # doc 1: 20 tokens, two disjoint 8-token hits removed -> x1 x2 mid y1
+    assert out[1]["n_tokens_before"] == 20
+    assert out[1]["n_tokens_after"] == 4
+    assert out[1]["clean_text"] == "x1 x2 mid y1"
+    # doc 2 untouched
+    assert out[2]["n_tokens_before"] == out[2]["n_tokens_after"]
+    # doc 3 fully removed -> empty string, not NULL
+    assert out[3]["n_tokens_after"] == 0 and out[3]["clean_text"] == ""
+    # doc 4 (< n tokens) can never be contaminated
+    assert out[4]["n_tokens_after"] == 2
+
+
+def test_decontaminate_overlapping_hits_union_not_double_count(spark):
+    # bench grams "a1..a8" and "a2..a9" overlap in the train doc
+    # a1..a9: spans [0,8) and [1,9) union to [0,9) -> everything removed
+    words = " ".join(f"a{i}" for i in range(1, 10))
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"a{i}" for i in range(1, 9))),
+         (1, " ".join(f"a{i}" for i in range(2, 10))),
+         (2, words + " tail1 tail2")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") < 2)
+    train = docs.filter(F.col("doc_id") == 2)
+    row = pipeline_ops.decontaminate_spans(
+        train, bench, "doc_id", "text", n=8
+    ).collect()[0]
+    assert row["n_tokens_before"] == 11
+    assert row["n_tokens_after"] == 2
+    assert row["clean_text"] == "tail1 tail2"
+
+
+def test_domain_reweight_uniform_rates_and_determinism(spark):
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.length("text").cast("long").alias("w")
+    )
+    kept = pipeline_ops.domain_reweight(tok, "source", "w", "doc_id")
+    rates = {
+        r["source"]: r["rate_bp"]
+        for r in kept.select("source", "rate_bp").distinct().collect()
+    }
+    # rates are capped at 10000 and positive for every surviving group
+    assert all(0 < bp <= 10000 for bp in rates.values())
+    # replay the integer math: rate = min(10000, 10000*(tot DIV k) DIV cur)
+    cur = {
+        r["source"]: r["c"]
+        for r in tok.groupBy("source").agg(F.sum("w").alias("c")).collect()
+    }
+    tot, k = sum(cur.values()), len(cur)
+    for s, bp in rates.items():
+        assert bp == min(10000, (10000 * (tot // k)) // cur[s])
+    # deterministic: same inputs -> identical kept set
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in pipeline_ops.domain_reweight(tok, "source", "w", "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_domain_reweight_explicit_target_drops_unlisted_groups(spark):
+    tok = spark.createDataFrame(
+        [("a", i, 10) for i in range(100)] + [("b", 100 + i, 10) for i in range(100)],
+        "source string, doc_id long, w long",
+    )
+    # all mass to 'a': b keeps nothing, a keeps everything (rate 10000)
+    kept = pipeline_ops.domain_reweight(
+        tok, "source", "w", "doc_id", target_bp={"a": 10000}
+    )
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"a": 100}

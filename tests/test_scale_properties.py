@@ -668,3 +668,51 @@ def test_interval_merge_and_deciles_one_scan_one_exchange(spark):
         assert plan.count("Scan parquet") == 1, name
         assert plan.count("Exchange hashpartitioning") <= 1, name
         assert "Join" not in plan, name
+
+
+def test_drift_ks_two_exchanges_no_join(spark):
+    """Exact KS drift: the corpus collapses to (group, value) counts in
+    ONE data-sized hash exchange; the cumulative/total windows and the
+    per-group argmax agg share a second (tiny, counts-sized) exchange on
+    the group — and the totals re-enter as per-group max columns, never
+    a groupBy+join-back (which would re-scan the corpus)."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_agg_drift_ks"].spark(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_decontaminate_clean_side_never_shuffles(spark):
+    """Span-removal decontamination: the full train side must reach the
+    rewrite join WITHOUT an exchange (its hit table is the only
+    aggregated side), so clean docs stream through. Exchanges in the
+    plan belong to the bench-gram distinct + the hit-position fold —
+    both contamination-sized — plus nothing else; the rewrite is a
+    broadcast left join, never a sort-merge of the corpus."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_text_decontaminate"].spark(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # bench distinct (1) + hits fold (1); the train text never shuffles
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_domain_reweight_one_corpus_scan_rates_reenter_small(spark):
+    """Computed-rate reweighting: rates derive from ONE corpus
+    aggregation chain and re-enter via a broadcast-able join — never a
+    second corpus scan and never a shuffle of the corpus for the rates.
+    (Spark plans the self-referencing agg as a reused/duplicated scan
+    subtree; the pinned property is no corpus-sized exchange beyond the
+    O(groups) aggregations and no sort-merge join.)"""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q_sample_domain_reweight"].spark(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only SinglePartition exchange is the O(groups)->1-row total
+    # roll-up (its input is already aggregated, never corpus-sized)
+    assert "BroadcastExchange" in plan, plan
