@@ -683,9 +683,22 @@ def distribution_drift_ks(
     per slice); the OUTPUT stays BIGINT ppm — never a decimal column
     (the round-5 harness lesson).
     """
-    from pyspark.sql.window import Window
+    return ks_from_counts(ks_counts(df, group_col, value_expr, in_a), group_col)
 
-    counts = (
+
+def ks_counts(
+    df: DataFrame, group_col: str, value_expr: F.Column, in_a: F.Column
+) -> DataFrame:
+    """The KS monitor's sufficient statistics: exact per (group, value)
+    slice counts. ADDITIVE like drift_counts — micro-batch / daily counts
+    merge by plain summation, so the exact KS streams via foreachBatch
+    (accumulate counts, re-finalize with ks_from_counts, never re-scan
+    history). Unlike the binned JS state, this table is O(distinct
+    (group, value)) — value-cardinality-bounded, not constant — so a
+    long-running stream over unbounded-precision doubles should pass a
+    quantizing ``value_expr`` (the KS of the quantized distribution is
+    exact for the quantized data; pick the grid you can afford)."""
+    return (
         df.select(
             F.col(group_col).alias("_g"),
             value_expr.cast("double").alias("_v"),
@@ -697,6 +710,22 @@ def distribution_drift_ks(
             F.sum(1 - F.col("_a")).cast("long").alias("_db"),
         )
     )
+
+
+def merge_ks_counts(counts: DataFrame) -> DataFrame:
+    """Collapse accumulated per-batch KS count rows back to one row per
+    (group, value) — the merge step of the streamable exact-KS monitor."""
+    return counts.groupBy("_g", "_v").agg(
+        F.sum("_da").cast("long").alias("_da"), F.sum("_db").cast("long").alias("_db")
+    )
+
+
+def ks_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
+    """Finalize the exact KS statistic from (merged) ks_counts output —
+    the window/argmax stage of distribution_drift_ks (same determinism
+    and exchange-sharing arguments; see that docstring)."""
+    from pyspark.sql.window import Window
+
     wc = Window.partitionBy("_g").orderBy("_v")
     wg = Window.partitionBy("_g")
     c = (

@@ -651,3 +651,50 @@ def test_tws_processor_matches_batch_oracle(spark):
         out = _drive_processor([(sorted(ts_ms), final_wm)], 30 * 60_000, None)
         got.extend((uid,) + t[1:] for t in out)
     assert sorted(got) == expected
+
+
+def test_streaming_ks_monitor_matches_batch(spark, tmp_path):
+    """Streamable EXACT-KS monitor: ks_counts' per (group, value) slice
+    counts are additive, so foreachBatch accumulation + re-finalize
+    (merge_ks_counts + ks_from_counts) must equal the one-shot batch KS —
+    the binless companion to the JS monitor, same never-re-scan-history
+    contract. Two micro-batches over the events fixture."""
+    from pyspark.sql import functions as F
+
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+
+    ev = catalog.load(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    split = F.col("ts") < F.lit("2024-01-16")
+
+    src_dir = str(tmp_path / "ks_src")
+    counts_dir = str(tmp_path / "ks_counts")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src_dir}/b0")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src_dir}/b1")
+
+    def on_batch(batch_df, batch_id):
+        audit.ks_counts(batch_df, "event_type", F.col("value"), split).write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    merged = audit.merge_ks_counts(spark.read.parquet(counts_dir))
+    streamed = {
+        r["event_type"]: (r["ks_ppm"], r["at_value_micros"], r["n_a"], r["n_b"])
+        for r in audit.ks_from_counts(merged, "event_type").collect()
+    }
+    batch = {
+        r["event_type"]: (r["ks_ppm"], r["at_value_micros"], r["n_a"], r["n_b"])
+        for r in audit.distribution_drift_ks(
+            ev, "event_type", F.col("value"), split
+        ).collect()
+    }
+    assert streamed == batch and batch
