@@ -304,6 +304,11 @@ def main() -> int:
         "token_budget": "q_sample_token_budget",
         "source_sim": "q_corpus_source_sim",
         "embed_ivfpq_nprobe": "q_embed_ivfpq_nprobe",
+        "decontaminate": "q_text_decontaminate",
+        "dataset_card": "q_corpus_dataset_card",
+        "domain_reweight": "q_sample_domain_reweight",
+        "drift_ks": "q_agg_drift_ks",
+        "embed_ivfpq_rerank": "q_embed_ivfpq_rerank",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so
