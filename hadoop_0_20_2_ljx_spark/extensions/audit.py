@@ -661,7 +661,6 @@ def distribution_drift_ks(
     group_col: str,
     value_expr: F.Column,
     in_a: F.Column,
-    id_suffix: str = "",
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic per group — the
     BINLESS companion to distribution_drift_js: D = max_v |F_a(v) -

@@ -459,7 +459,11 @@ def domain_reweight(
         tgt_sql = "_tot DIV _k"
     else:
         whens = " ".join(
-            f"WHEN '{g}' THEN {int(bp)}L" for g, bp in sorted(target_bp.items())
+            # group keys are arbitrary strings interpolated into SQL —
+            # double embedded quotes or a key like "o'brien" breaks the
+            # generated CASE at parse time
+            f"""WHEN '{g.replace("'", "''")}' THEN {int(bp)}L"""
+            for g, bp in sorted(target_bp.items())
         )
         tgt_sql = f"(_tot * (CASE {group_col} {whens} ELSE 0L END)) DIV 10000"
     rates = cur.join(F.broadcast(tot)).selectExpr(

@@ -133,6 +133,38 @@ def embedding_neardup_pairs(
     )
 
 
+def _centroid_cos_sqls(
+    centroids: list[tuple[int, list[float]]], vec_col: str
+) -> list[tuple[int, str]]:
+    """Per-centroid cosine as SQL TEXT — the scoring core shared by
+    ivf_assign and ivf_probe_lists. Their nprobe=1 parity contract (and
+    the DuckDB oracle chains) require the generated expression to stay
+    bitwise-identical between the two routers; sharing the builder makes
+    a one-sided edit impossible. Built as SQL text, not Column trees:
+    a k-centroid scorer is O(k·dim) literal nodes and each Column
+    operator is a py4j round-trip — one F.expr parse is milliseconds for
+    the identical tree."""
+    from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+
+    v_sql = f"`{vec_col}`"
+    nv_sql = f"sqrt({dot_sql(v_sql, v_sql)})"
+    out = []
+    for cid, cvec in centroids:
+        arr = "array(" + ", ".join(_dlit(x) for x in cvec) + ")"
+        cnorm = float(sum(x * x for x in cvec)) ** 0.5
+        out.append(
+            (int(cid), f"{dot_sql(v_sql, arr)} / ({nv_sql} * {_dlit(cnorm)})")
+        )
+    return out
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -148,32 +180,12 @@ def ivf_assign(
 
     Output: corpus columns + list_id.
     """
-    # Built as ONE parsed SQL expression: a k-centroid argmax is O(k·dim)
-    # literal nodes and each Column operator is a py4j round-trip —
-    # Python-side tree construction costs seconds; one F.expr parse is
-    # milliseconds for the identical tree (same fold, same order, same
-    # doubles as before — the oracle chains stay bitwise-equal).
-    from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit
-
-    def dot_sql(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-
-    v_sql = f"`{vec_col}`"
-    nv_sql = f"sqrt({dot_sql(v_sql, v_sql)})"
-    scored = []
-    for cid, cvec in centroids:
-        arr = "array(" + ", ".join(_dlit(x) for x in cvec) + ")"
-        cnorm = float(sum(x * x for x in cvec)) ** 0.5
+    scored = [
         # struct max compares fields left-to-right; negate cid so cosine
         # ties resolve to the SMALLEST centroid id under max()
-        scored.append(
-            f"struct({dot_sql(v_sql, arr)} / ({nv_sql} * {_dlit(cnorm)}) AS cos, "
-            f"{-int(cid)} AS ncid)"
-        )
+        f"struct({cos} AS cos, {-cid} AS ncid)"
+        for cid, cos in _centroid_cos_sqls(centroids, vec_col)
+    ]
     best = F.expr("array_max(array(" + ", ".join(scored) + "))")
     return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
 
@@ -195,30 +207,26 @@ def ivf_probe_lists(
     gives cos-descending with cid tiebreak — slice the first nprobe,
     explode. Output: input columns + list_id, nprobe rows per input row.
     """
-    from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit
-
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
 
-    def dot_sql(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-
-    v_sql = f"`{vec_col}`"
-    nv_sql = f"sqrt({dot_sql(v_sql, v_sql)})"
-    scored = []
-    for cid, cvec in centroids:
-        arr = "array(" + ", ".join(_dlit(x) for x in cvec) + ")"
-        cnorm = float(sum(x * x for x in cvec)) ** 0.5
+    scored = [
         # negate cos (IEEE negation is exact) so ascending struct sort
-        # ranks cos DESC; cid second field -> ties to the smaller id
-        scored.append(
-            f"struct(-({dot_sql(v_sql, arr)} / ({nv_sql} * {_dlit(cnorm)})) "
-            f"AS negcos, {int(cid)} AS cid)"
-        )
+        # ranks cos DESC; cid second field -> ties to the smaller id.
+        # Degenerate cosines must land where ivf_assign's array_max puts
+        # them or nprobe=1 silently diverges from the single-probe
+        # assignment: NULL cos (non-ANSI zero-norm division) ranks WORST
+        # under struct-max (null field sorts smallest), but a bare
+        # struct(NULL, cid) sorts FIRST ascending -> fold NULL to
+        # +Infinity (rank last); NaN cos (NaN input values) ranks
+        # GREATEST in Spark's double order (= best), but -NaN is NaN
+        # which sorts LAST ascending -> fold NaN to -Infinity (rank
+        # first). Legitimate cosines are in [-1, 1], so the sentinels
+        # can't collide.
+        f"struct(nanvl(-(nvl({cos}, CAST('-Infinity' AS DOUBLE))), "
+        f"CAST('-Infinity' AS DOUBLE)) AS negcos, {cid} AS cid)"
+        for cid, cos in _centroid_cos_sqls(centroids, vec_col)
+    ]
     # cast INSIDE transform: a generator (explode) cannot be nested in
     # another expression, and the int literals make the array int-typed
     probes = F.expr(

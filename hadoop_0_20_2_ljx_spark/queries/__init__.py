@@ -18,11 +18,12 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # only signal. Correctness itself is order-independent (each query is
 # self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # Round 6 window = exactly 50 names: (a) new/changed this round,
-    # (b) the committed r6 block — ALL 34 r2-latest names (every
-    # registry query's newest external row becomes r3+ after this
-    # round), (c) 11 oldest r3-latest names filling the remaining
-    # slots so the freshness ratchet keeps advancing.
+    # Round 6 window = exactly 50 names: (a) the 10 new + 6 changed
+    # this round, (b) the committed r6 block — ALL 34 r2-latest names
+    # (every registry query's newest external row becomes r3+ after
+    # this round). The round's additions consumed every spare slot, so
+    # all 11 r3-latest names moved whole into the committed r7 block
+    # below the cut line.
     # (a1) new this round — sim-only until the r6 driver row lands
     "q_embed_ivf_nprobe",  # new r6: multi-probe IVF (recall/cost knob)
     "q_embed_ivfpq_nprobe",  # new r6: multi-probe composed with PQ codes

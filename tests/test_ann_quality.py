@@ -203,3 +203,35 @@ def test_ivfpq_rerank_improves_exact_l2_agreement(spark):
     ):
         dists = [r["dist"] for r in grp]
         assert dists == sorted(dists)
+
+
+def test_ivf_probe_nan_cosine_routes_like_assign(spark):
+    """A zero-norm centroid yields cos = NaN (0/0). Under the engine's
+    ANSI sessions that division fail-fasts identically in BOTH routers;
+    under non-ANSI sessions (the dialect-invariance sweep runs one) it
+    yields NaN, which ivf_assign's array_max ranks GREATEST (Spark sort
+    order, matching DuckDB's ORDER BY cos DESC) — so multi-probe routing
+    must also rank the NaN centroid first (negcos folds NaN to
+    -Infinity), or nprobe=1 silently diverges from the single-probe
+    assignment exactly when a degenerate centroid appears."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0])]  # centroid 0 is zero-norm
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        single = {
+            r["vec_id"]: r["list_id"]
+            for r in similarity.ivf_assign(df, cents)
+            .select("vec_id", "list_id")
+            .collect()
+        }
+        multi1 = {
+            r["vec_id"]: r["list_id"]
+            for r in similarity.ivf_probe_lists(df, cents, nprobe=1)
+            .select("vec_id", "list_id")
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    assert multi1 == single

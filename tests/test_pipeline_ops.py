@@ -365,3 +365,15 @@ def test_domain_reweight_explicit_target_drops_unlisted_groups(spark):
     )
     got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert got == {"a": 100}
+
+
+def test_domain_reweight_quotes_in_group_keys(spark):
+    tok = spark.createDataFrame(
+        [("o'brien", i, 10) for i in range(50)] + [("plain", 50 + i, 10) for i in range(50)],
+        "source string, doc_id long, w long",
+    )
+    kept = pipeline_ops.domain_reweight(
+        tok, "source", "w", "doc_id", target_bp={"o'brien": 10000}
+    )
+    got = {r["source"] for r in kept.select("source").distinct().collect()}
+    assert got == {"o'brien"}

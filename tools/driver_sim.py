@@ -100,6 +100,13 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only is not None:
+        # a typo'd name would otherwise match nothing and print a
+        # vacuous "ALL PASS of 0" with exit 0
+        unknown = sorted(only - qs.keys())
+        if unknown:
+            print(f"FAIL unknown query name(s): {', '.join(unknown)}")
+            return 1
     n_pass = n_fail = 0
     t_all = time.time()
     for name, fn in qs.items():
