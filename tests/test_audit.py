@@ -405,3 +405,41 @@ def test_ks_hand_case_and_partition_invariance(spark):
         df.repartition(16), "g", F.col("v"), F.col("a") == 1
     ).collect()[0]
     assert tuple(r16) == tuple(r)
+
+
+def test_ks_randomized_vs_python_reference(spark):
+    """Random grouped samples (ties on purpose: integer-ish values),
+    one Spark run, per-group compare against a pure-Python exact-KS
+    reference computed in the same cross-multiplied integer domain."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(6)
+    rows = [
+        (f"g{rng.randint(0, 3)}", float(rng.randint(0, 12)), rng.randint(0, 1))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, a int")
+    got = {
+        r["g"]: (r["ks_ppm"], r["at_value_micros"], r["n_a"], r["n_b"])
+        for r in audit.distribution_drift_ks(
+            df, "g", F.col("v"), F.col("a") == 1
+        ).collect()
+    }
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for g, v, a in rows:
+        per[g][v][0 if a else 1] += 1
+    for g, counts in per.items():
+        na = sum(c[0] for c in counts.values())
+        nb = sum(c[1] for c in counts.values())
+        ca = cb = 0
+        best = (-1, None)
+        for v in sorted(counts):
+            ca += counts[v][0]
+            cb += counts[v][1]
+            diff = abs(ca * nb - cb * na)
+            vm = int(v * 1000000 // 1)
+            if diff > best[0]:
+                best = (diff, vm)
+        expect = (1000000 * best[0] // (na * nb), best[1], na, nb)
+        assert got[g] == expect, (g, got[g], expect)

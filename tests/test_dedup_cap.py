@@ -120,3 +120,43 @@ def test_group_similarity_matrix_exact_and_estimate_contract(spark):
             assert est == 10000, (a, b, est)
         else:
             assert abs(est - 10000 * j) <= 4000, (a, b, est, j)
+
+
+def test_group_similarity_matrix_exact_side_vs_python_reference(spark):
+    """Random docs over a tiny vocab, one Spark run, the EXACT-Jaccard
+    side of the source-pair matrix compared per pair against a
+    pure-Python set-Jaccard reference (the MinHash side has its own
+    tolerance contract elsewhere in this file)."""
+    import random
+
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [
+        (f"s{rng.randint(0, 4)}", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r["jaccard_bp"]
+        for r in dedup.group_similarity_matrix(
+            df, "source", "text", num_hashes=8, shingle_k=3
+        ).collect()
+    }
+
+    def shingles(t):
+        w = t.lower().split()
+        s = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        return s if s else {""}
+
+    sets: dict[str, set] = {}
+    for src, t in rows:
+        sets.setdefault(src, set()).update(shingles(t))
+    srcs = sorted(sets)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            ni = len(sets[a] & sets[b])
+            expect[(a, b)] = 10000 * ni // len(sets[a] | sets[b])
+    assert got == expect

@@ -377,3 +377,49 @@ def test_domain_reweight_quotes_in_group_keys(spark):
     )
     got = {r["source"] for r in kept.select("source").distinct().collect()}
     assert got == {"o'brien"}
+
+
+def test_decontaminate_randomized_vs_python_reference(spark):
+    """200 random docs over a tiny vocabulary (dense n-gram collisions),
+    one Spark run, per-doc compare against a pure-Python span-removal
+    reference — overlap composition, total removal, and short-doc edges
+    all arise naturally at this density."""
+    import random
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(200)
+    ]
+    n = 3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") % 7 == 0)
+    train = df.filter(F.col("doc_id") % 7 != 0)
+    got = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["clean_text"])
+        for r in pipeline_ops.decontaminate_spans(
+            train, bench, "doc_id", "text", n=n
+        ).collect()
+    }
+
+    def grams(words):
+        return {
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        }
+
+    bench_grams = set()
+    for i, t in docs:
+        if i % 7 == 0:
+            bench_grams |= grams(t.lower().split())
+    for i, t in docs:
+        if i % 7 == 0:
+            continue
+        w = t.lower().split()
+        hit = [
+            p for p in range(max(len(w) - n + 1, 0))
+            if " ".join(w[p : p + n]) in bench_grams
+        ]
+        removed = {j for p in hit for j in range(p, p + n)}
+        kept = [x for j, x in enumerate(w) if j not in removed]
+        assert got[i] == (len(w), len(kept), " ".join(kept)), (i, t, got[i])
