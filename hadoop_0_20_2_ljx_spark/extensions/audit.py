@@ -696,13 +696,20 @@ def ks_counts(
     (group, value)) — value-cardinality-bounded, not constant — so a
     long-running stream over unbounded-precision doubles should pass a
     quantizing ``value_expr`` (the KS of the quantized distribution is
-    exact for the quantized data; pick the grid you can afford)."""
+    exact for the quantized data; pick the grid you can afford).
+
+    NULL values are DROPPED before counting: a NULL measurement is not a
+    point on the CDF, and letting it through would also diverge
+    cross-engine (Spark windows order NULLS FIRST, DuckDB NULLS LAST —
+    the cumulative sums would skew in opposite directions; the fixtures
+    are NULL-free, so only this filter keeps the contract explicit)."""
     return (
         df.select(
             F.col(group_col).alias("_g"),
             value_expr.cast("double").alias("_v"),
             in_a.cast("int").alias("_a"),
         )
+        .where(F.col("_v").isNotNull())
         .groupBy("_g", "_v")
         .agg(
             F.sum("_a").cast("long").alias("_da"),

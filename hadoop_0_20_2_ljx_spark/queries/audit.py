@@ -213,7 +213,7 @@ _DRIFT_KS_SQL = """
 WITH pts AS (
   SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), vals AS (
   SELECT g, v, CAST(sum(a) AS BIGINT) AS da, CAST(sum(1 - a) AS BIGINT) AS db
   FROM pts GROUP BY 1, 2

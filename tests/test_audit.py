@@ -443,3 +443,17 @@ def test_ks_randomized_vs_python_reference(spark):
                 best = (diff, vm)
         expect = (1000000 * best[0] // (na * nb), best[1], na, nb)
         assert got[g] == expect, (g, got[g], expect)
+
+
+def test_ks_null_values_are_dropped(spark):
+    # NULLs are not CDF points; they must not perturb the statistic
+    # (and Spark/DuckDB disagree on NULL sort placement, so letting
+    # them through would diverge cross-engine)
+    base = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1),
+            ("g", 2.0, 0), ("g", 3.0, 0), ("g", 4.0, 0)]
+    with_nulls = base + [("g", None, 1), ("g", None, 0), ("g", None, 0)]
+    df = spark.createDataFrame(with_nulls, "g string, v double, a int")
+    r = audit.distribution_drift_ks(df, "g", F.col("v"), F.col("a") == 1).collect()[0]
+    assert (r["ks_ppm"], r["at_value_micros"], r["n_a"], r["n_b"]) == (
+        333333, 1000000, 3, 3,
+    )
