@@ -729,7 +729,14 @@ def merge_ks_counts(counts: DataFrame) -> DataFrame:
 def ks_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
     """Finalize the exact KS statistic from (merged) ks_counts output —
     the window/argmax stage of distribution_drift_ks (same determinism
-    and exchange-sharing arguments; see that docstring)."""
+    and exchange-sharing arguments; see that docstring).
+
+    One-sided groups (every row in slice A, or every row in slice B) are
+    DROPPED: a two-sample statistic is undefined when one sample is
+    empty, and letting the n_a*n_b=0 division through would emit an
+    engine-version-dependent NULL/error instead of a defined contract
+    (r6 ADVICE). Callers that must see such groups should test
+    n_a/n_b on ks_counts directly."""
     from pyspark.sql.window import Window
 
     wc = Window.partitionBy("_g").orderBy("_v")
@@ -761,7 +768,7 @@ def ks_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
             F.max("_nb").alias("_nb"),
         )
     )
-    return best.select(
+    return best.where((F.col("_na") > 0) & (F.col("_nb") > 0)).select(
         F.col("_g").alias(group_col),
         F.expr(
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * _m._diff)"

@@ -458,11 +458,17 @@ def domain_reweight(
     if target_bp is None:
         tgt_sql = "_tot DIV _k"
     else:
+        # group keys are arbitrary strings interpolated into SQL — escape
+        # backslashes FIRST (Spark's default literal parser treats \ as an
+        # escape; an unescaped trailing '\' breaks the parse and any
+        # embedded one diverges from DuckDB's literal rendering — r6
+        # ADVICE), then double embedded quotes ("o'brien" would otherwise
+        # end the literal early)
+        def _lit(g: str) -> str:
+            return g.replace("\\", "\\\\").replace("'", "''")
+
         whens = " ".join(
-            # group keys are arbitrary strings interpolated into SQL —
-            # double embedded quotes or a key like "o'brien" breaks the
-            # generated CASE at parse time
-            f"""WHEN '{g.replace("'", "''")}' THEN {int(bp)}L"""
+            f"WHEN '{_lit(g)}' THEN {int(bp)}L"
             for g, bp in sorted(target_bp.items())
         )
         tgt_sql = f"(_tot * (CASE {group_col} {whens} ELSE 0L END)) DIV 10000"

@@ -238,7 +238,7 @@ SELECT g AS event_type,
        vm AS at_value_micros,
        CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b
-FROM best WHERE rk = 1
+FROM best WHERE rk = 1 AND na > 0 AND nb > 0
 """
 
 

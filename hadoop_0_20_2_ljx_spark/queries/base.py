@@ -26,6 +26,9 @@ Cross-engine ground rules used throughout:
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -35,6 +38,21 @@ from hadoop_0_20_2_ljx_spark import catalog
 
 # scratch space for sink round-trip queries (gitignored)
 TMP_ROOT = "/root/repo/.tmp"
+
+
+def scratch_dir(name: str) -> str:
+    """A pid-suffixed scratch dir under TMP_ROOT for write/re-read queries.
+
+    pid suffix: two sessions running the same query concurrently (the
+    driver + a local pytest, or the two sweeps) must not share a commit
+    dir. The dir is removed at interpreter exit (atexit, like pinning.py's
+    checkpoint dir) rather than eagerly — the returned DataFrames are lazy,
+    so the files must outlive the query function — and with that hook no
+    gate/sweep run leaks scratch files (r6 ADVICE)."""
+    path = os.path.join(TMP_ROOT, f"{name}-{os.getpid()}")
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @dataclass(frozen=True)

@@ -13,15 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_0_20_2_ljx_spark.operators import sinks
-from hadoop_0_20_2_ljx_spark.queries.base import TMP_ROOT, QueryDef, T
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, scratch_dir
 
 
 def _tmp(name: str) -> str:
-    # pid suffix: two sessions running the same sink query concurrently
-    # (e.g. the driver and a local pytest) must not share a commit dir.
-    path = os.path.join(TMP_ROOT, f"{name}-{os.getpid()}")
-    os.makedirs(TMP_ROOT, exist_ok=True)
-    return path
+    # pid-suffixed + atexit-cleaned (queries/base.py:scratch_dir)
+    return scratch_dir(name)
 
 
 # --- Q-sink-1: TextOutputFormat round trip -----------------------------------

@@ -5,8 +5,6 @@ Q-stream-1/2 — SURVEY.md §2.3/2.8/2.9/2.10).
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -14,7 +12,7 @@ from pyspark.sql.functions import pandas_udf
 
 from hadoop_0_20_2_ljx_spark.operators.generators import halton_pi_exact, pi_estimate
 from hadoop_0_20_2_ljx_spark.queries.agg import _HISTOGRAM_SQL
-from hadoop_0_20_2_ljx_spark.queries.base import TMP_ROOT, QueryDef, T
+from hadoop_0_20_2_ljx_spark.queries.base import QueryDef, T, scratch_dir
 from hadoop_0_20_2_ljx_spark.streaming.windows import sessionize, tumbling_counts
 
 
@@ -90,11 +88,10 @@ def _filter_skipbad(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(line)
         .alias("value")
     )
-    # pid-suffixed like every sink scratch dir (queries/sink.py:22):
-    # concurrent gate runs (pytest + sim, or the two sweeps) otherwise
-    # overwrite each other's files mid-read
-    path = os.path.join(TMP_ROOT, f"q_filter_skipbad-{os.getpid()}")
-    os.makedirs(TMP_ROOT, exist_ok=True)
+    # pid-suffixed + atexit-cleaned like every sink scratch dir
+    # (queries/base.py:scratch_dir) — concurrent gate runs must not
+    # clobber each other, and no run may leak the dir (r6 ADVICE)
+    path = scratch_dir("q_filter_skipbad")
     dirty.write.mode("overwrite").text(path)
     parsed = spark.read.csv(
         path,

@@ -457,3 +457,19 @@ def test_ks_null_values_are_dropped(spark):
     assert (r["ks_ppm"], r["at_value_micros"], r["n_a"], r["n_b"]) == (
         333333, 1000000, 3, 3,
     )
+
+
+def test_ks_one_sided_group_is_dropped(spark):
+    """A group whose rows all fall in one slice has no two-sample KS:
+    the contract is that such groups are filtered, never a NULL ks_ppm
+    from a 0-denominator division (r6 ADVICE)."""
+    rows = [
+        ("two_sided", 1.0, 1), ("two_sided", 2.0, 0),
+        ("all_a", 1.0, 1), ("all_a", 2.0, 1),
+        ("all_b", 3.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, a int")
+    out = audit.distribution_drift_ks(df, "g", F.col("v"), F.col("a") == 1)
+    got = {r["g"]: r["ks_ppm"] for r in out.collect()}
+    assert set(got) == {"two_sided"}
+    assert got["two_sided"] == 1000000  # disjoint single points: D = 1

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -140,3 +142,37 @@ class TestJobControl:
         df2, obs = observed(df, "counts", F.count("*").alias("n"), F.sum("id").alias("s"))
         df2.write.format("noop").mode("overwrite").save()
         assert obs.get == {"n": 100, "s": 4950}
+
+
+class TestScratchDir:
+    """queries/base.scratch_dir: pid-suffixed, atexit-removed (r6 ADVICE —
+    gate/sweep runs must not leak scratch text files under TMP_ROOT)."""
+
+    def test_removed_at_interpreter_exit(self, tmp_path):
+        import subprocess
+        import sys
+        import textwrap
+
+        probe = textwrap.dedent(
+            """
+            import os, sys
+            import hadoop_0_20_2_ljx_spark.queries.base as base
+            base.TMP_ROOT = sys.argv[1]
+            p = base.scratch_dir("probe")
+            os.makedirs(p, exist_ok=True)
+            open(os.path.join(p, "f.txt"), "w").write("x")
+            print(p)
+            """
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", probe, str(tmp_path)],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        )
+        path = out.stdout.strip().splitlines()[-1]
+        assert path.startswith(str(tmp_path))
+        assert not os.path.exists(path)  # atexit rmtree ran on exit
+
+    def test_pid_suffix_isolates_concurrent_runs(self):
+        from hadoop_0_20_2_ljx_spark.queries.base import scratch_dir
+
+        assert scratch_dir("x").endswith(f"x-{os.getpid()}")

@@ -379,6 +379,23 @@ def test_domain_reweight_quotes_in_group_keys(spark):
     assert got == {"o'brien"}
 
 
+def test_domain_reweight_backslashes_in_group_keys(spark):
+    """Keys with embedded and trailing backslashes must survive the
+    generated-CASE interpolation (Spark parses \\ as an escape in string
+    literals — r6 ADVICE): the literal must match the raw key bytes,
+    and a trailing backslash must not break the parse."""
+    keys = ["c:\\data\\", "a\\'b", "plain"]
+    rows = [(k, i * 10 + j, 10) for i, k in enumerate(keys) for j in range(10)]
+    tok = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    kept = pipeline_ops.domain_reweight(
+        tok, "source", "w", "doc_id", target_bp={"c:\\data\\": 5000, "a\\'b": 5000}
+    )
+    got = {r["source"] for r in kept.select("source").distinct().collect()}
+    # 'plain' is unlisted (rate 0); both backslash keys keep everything
+    # (rate caps at 10000 since each holds 1/3 of the mass > 50% target)
+    assert got == {"c:\\data\\", "a\\'b"}
+
+
 def test_decontaminate_randomized_vs_python_reference(spark):
     """200 random docs over a tiny vocabulary (dense n-gram collisions),
     one Spark run, per-doc compare against a pure-Python span-removal
