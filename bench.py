@@ -210,6 +210,48 @@ def bench_diff_sparse(spark, timings, shuffle_b, input_b) -> None:
     assert results["diff_full_sparse"] == results["diff_incr_sparse"], results
 
 
+def bench_minhash_10x(spark, timings, shuffle_b, input_b) -> None:
+    """10x stress row for the shuffle-heavy candidate-pair path (the
+    terasort_10m methodology applied to dedup): ~50k generated docs
+    (10x sf0.1's 5000 documents) with a planted 20% exact-duplicate rate
+    (ids 40000..49999 clone ids 0..9999), through the full MinHash(16) +
+    LSH(4 bands) candidate generator. Expected scaling: the signature
+    build (explode shingles -> groupBy doc) is LINEAR in corpus tokens;
+    the pair stage is bounded by bucket collisions, not corpus size —
+    random docs essentially never collide, so candidates ~= the 10,000
+    planted pairs. The assert pins LSH's recall-1.0-on-exact-dups
+    contract at this scale; wall + shuffle bytes land in the artifact
+    next to the sf0.1 `dedup_minhash` row for the delta note."""
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    words = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(32)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.pmod(F.col("id"), F.lit(40_000)).cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(50_000).select(F.col("id").alias("doc_id"), words.alias("text"))
+    sw0, ib0 = _stage_bytes(spark)
+    t = time.time()
+    n_pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
+    timings["minhash_dedup_10x"] = time.time() - t
+    sw1, ib1 = _stage_bytes(spark)
+    shuffle_b["minhash_dedup_10x"] = sw1 - sw0
+    input_b["minhash_dedup_10x"] = ib1 - ib0
+    assert n_pairs >= 10_000, f"planted duplicate pairs missed: {n_pairs}"
+
+
 def bench_pagerank_phases(spark) -> dict:
     """r5 watch-item #1: pagerank wall drifted up to 40% between runs
     with bit-identical shuffle bytes. Run the registry workload once
@@ -382,6 +424,7 @@ def main() -> int:
     bench_diff_sparse(spark, timings, shuffle_b, input_b)
     bench_skew_join(spark, timings, shuffle_b, input_b)
     bench_skew_groupby(spark, timings, shuffle_b, input_b)
+    bench_minhash_10x(spark, timings, shuffle_b, input_b)
     pagerank_phases = bench_pagerank_phases(spark)
 
     # Durable-pin posture cost: re-run bm25 (pin()-materialized df/avgdl
@@ -452,8 +495,21 @@ def main() -> int:
                 if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
             ]
             rno = (max(rounds) if rounds else 0) + 1
-        with open(os.path.join(here, f"BENCH_LOCAL_r{rno:02d}.json"), "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
+        target = os.path.join(here, f"BENCH_LOCAL_r{rno:02d}.json")
+        if explicit is None and os.path.exists(target):
+            # r6 lesson: the driver's own bench re-run inferred the same
+            # round as the builder's committed artifact and silently
+            # overwrote it (84.21 -> 91.22 in the worktree). A committed
+            # local artifact only moves when the round is passed
+            # explicitly (SPARK_GRAFT_ROUND or argv[1]).
+            print(
+                f"bench-local dump skipped: {target} exists and round was "
+                "inferred, not explicit (pass SPARK_GRAFT_ROUND to overwrite)",
+                file=sys.stderr,
+            )
+        else:
+            with open(target, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
     except Exception as e:  # never fail the bench over bookkeeping
         print(f"bench-local dump skipped: {e}", file=sys.stderr)
     # The driver records only the LAST ~2000 chars of output; the full

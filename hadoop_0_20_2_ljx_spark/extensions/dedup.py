@@ -273,6 +273,7 @@ def group_similarity_matrix(
     text_col: str,
     num_hashes: int = 16,
     shingle_k: int = 3,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Corpus-level similarity matrix between GROUPS (sources/domains):
     for every unordered group pair, the MinHash Jaccard ESTIMATE of the
@@ -296,6 +297,16 @@ def group_similarity_matrix(
     pair enumeration broadcasts the O(groups) signature table (tiny-side
     BroadcastNestedLoopJoin, the brute-knn pattern) so zero-overlap pairs
     still appear in the matrix.
+
+    ``max_shingle_freq`` is the exact side's tunable when sources share
+    boilerplate (the ngram_jaccard_pairs guard applied at group
+    granularity): shingles present in MORE than that many GROUPS are
+    excluded from the intersection JOIN — the quadratic driver, since a
+    shingle shared by all G groups contributes G^2 join rows while
+    carrying no discrimination signal. Union sizes and the MinHash
+    estimate stay exact, so a capped jaccard_bp is a LOWER BOUND of the
+    uncapped one (the cap removes intersection evidence, never invents
+    it — property-pinned in tests/test_dedup_cap.py). None = exact.
     """
     sh = word_shingles(F.col(text_col), shingle_k)
     padded = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
@@ -312,9 +323,21 @@ def group_similarity_matrix(
         )
     )
     sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gj = gs
+    if max_shingle_freq is not None:
+        # group-frequency, not doc-frequency: gs is already the distinct
+        # (group, shingle) vocabulary, so count(*) per shingle = number
+        # of groups containing it
+        keep = (
+            gs.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_gf"))
+            .filter(F.col("_gf") <= max_shingle_freq)
+            .select("g")
+        )
+        gj = gs.join(keep, "g")
     inter = (
-        gs.alias("ia")
-        .join(gs.alias("ib"), "g")
+        gj.alias("ia")
+        .join(gj.alias("ib"), "g")
         .where(F.col("ia.grp") < F.col("ib.grp"))
         .groupBy(F.col("ia.grp").alias("ga"), F.col("ib.grp").alias("gb"))
         .agg(F.count(F.lit(1)).cast("long").alias("ni"))

@@ -133,61 +133,141 @@ def embedding_neardup_pairs(
     )
 
 
+# Literal-centroid scorers are O(nlist·dim) EXPRESSION TEXT per scan —
+# py4j-cheap and fully codegen'd at small nlist, but SQL parsing and
+# whole-stage codegen blow up somewhere around 10^3-10^4 centroids (class
+# file / expression-tree limits), long before data volume matters. Above
+# this bound the centroids ride as DATA instead: a broadcast single-row
+# frame carrying array<struct<cid,cvec,cnorm>>, scored by the SAME fold
+# arithmetic over the array column — bitwise-identical results (pinned by
+# tests/test_ann_quality.py), O(1) expression size, and still no shuffle
+# (BroadcastNestedLoopJoin of one row).
+LITERAL_NLIST_MAX = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _cos_sql(vec_col: str, cvec_sql: str, cnorm_sql: str) -> str:
+    """Cosine of the row's vector against one centroid, as SQL text — the
+    scoring core shared by BOTH routing paths (literal and array-column)
+    of ivf_assign and ivf_probe_lists. The nprobe=1 parity contract (and
+    the DuckDB oracle chains) require the fold to stay bitwise-identical
+    everywhere; sharing the builder makes a one-sided edit impossible."""
+    v_sql = f"`{vec_col}`"
+    return f"{_dot_sql(v_sql, cvec_sql)} / (sqrt({_dot_sql(v_sql, v_sql)}) * {cnorm_sql})"
+
+
 def _centroid_cos_sqls(
     centroids: list[tuple[int, list[float]]], vec_col: str
 ) -> list[tuple[int, str]]:
-    """Per-centroid cosine as SQL TEXT — the scoring core shared by
-    ivf_assign and ivf_probe_lists. Their nprobe=1 parity contract (and
-    the DuckDB oracle chains) require the generated expression to stay
-    bitwise-identical between the two routers; sharing the builder makes
-    a one-sided edit impossible. Built as SQL text, not Column trees:
-    a k-centroid scorer is O(k·dim) literal nodes and each Column
-    operator is a py4j round-trip — one F.expr parse is milliseconds for
-    the identical tree."""
+    """Per-centroid cosine as SQL TEXT (the literal path). Built as SQL
+    text, not Column trees: a k-centroid scorer is O(k·dim) literal nodes
+    and each Column operator is a py4j round-trip — one F.expr parse is
+    milliseconds for the identical tree."""
     from hadoop_0_20_2_ljx_spark.extensions.clustering import _dlit
 
-    def dot_sql(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-
-    v_sql = f"`{vec_col}`"
-    nv_sql = f"sqrt({dot_sql(v_sql, v_sql)})"
     out = []
     for cid, cvec in centroids:
         arr = "array(" + ", ".join(_dlit(x) for x in cvec) + ")"
         cnorm = float(sum(x * x for x in cvec)) ** 0.5
-        out.append(
-            (int(cid), f"{dot_sql(v_sql, arr)} / ({nv_sql} * {_dlit(cnorm)})")
-        )
+        out.append((int(cid), _cos_sql(vec_col, arr, _dlit(cnorm))))
     return out
+
+
+def _centroid_array_frame(spark, centroids: list[tuple[int, list[float]]]):
+    """The array-column path's centroid carrier: ONE row holding
+    array<struct<cid int, cvec array<double>, cnorm double>>. cnorm is
+    precomputed with the same Python fold the literal path inlines, so
+    the two paths score bitwise-identically."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    rows = [
+        (
+            [
+                (
+                    int(cid),
+                    [float(x) for x in cvec],
+                    float(sum(x * x for x in cvec)) ** 0.5,
+                )
+                for cid, cvec in centroids
+            ],
+        )
+    ]
+    schema = StructType(
+        [
+            StructField(
+                "_cents",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("cid", IntegerType()),
+                            StructField("cvec", ArrayType(DoubleType())),
+                            StructField("cnorm", DoubleType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _use_literal(centroids, literal: bool | None) -> bool:
+    return len(centroids) <= LITERAL_NLIST_MAX if literal is None else literal
 
 
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
+    literal: bool | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its best centroid
     (max cosine, ties to the smaller centroid id).
 
-    Centroids arrive as driver-side literals (nlist rows — bounded), so
-    assignment is a single codegen'd projection over one corpus scan: per
-    row, argmax over an array of (cos, cid) structs. At 100 TB the
-    assignment writes `partitionBy(list_id)` so probes prune partitions.
+    Small nlist (<= LITERAL_NLIST_MAX, or ``literal=True``): centroids are
+    driver-side literals, so assignment is a single codegen'd projection
+    over one corpus scan — per row, argmax over an array of (cos, cid)
+    structs. Large nlist (or ``literal=False``): the same argmax runs over
+    a broadcast array COLUMN of centroid structs (one-row crossJoin), so
+    expression size stays O(1) — the two paths use one shared cosine fold
+    (_cos_sql) and are bitwise-identical (tests/test_ann_quality.py). At
+    100 TB the assignment writes `partitionBy(list_id)` so probes prune
+    partitions.
 
     Output: corpus columns + list_id.
     """
-    scored = [
-        # struct max compares fields left-to-right; negate cid so cosine
-        # ties resolve to the SMALLEST centroid id under max()
-        f"struct({cos} AS cos, {-cid} AS ncid)"
-        for cid, cos in _centroid_cos_sqls(centroids, vec_col)
-    ]
-    best = F.expr("array_max(array(" + ", ".join(scored) + "))")
-    return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
+    if _use_literal(centroids, literal):
+        scored = [
+            # struct max compares fields left-to-right; negate cid so cosine
+            # ties resolve to the SMALLEST centroid id under max()
+            f"struct({cos} AS cos, {-cid} AS ncid)"
+            for cid, cos in _centroid_cos_sqls(centroids, vec_col)
+        ]
+        best = F.expr("array_max(array(" + ", ".join(scored) + "))")
+        return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
+    cents_df = _centroid_array_frame(corpus.sparkSession, centroids)
+    cos = _cos_sql(vec_col, "c.cvec", "c.cnorm")
+    best = F.expr(
+        f"array_max(transform(_cents, c -> struct({cos} AS cos, -c.cid AS ncid)))"
+    )
+    return (
+        corpus.crossJoin(broadcast(cents_df))
+        .withColumn("list_id", (-best["ncid"]).cast("int"))
+        .drop("_cents")
+    )
 
 
 def ivf_probe_lists(
@@ -195,6 +275,7 @@ def ivf_probe_lists(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     nprobe: int = 1,
+    literal: bool | None = None,
 ) -> DataFrame:
     """Multi-probe coarse routing: explode each row to its `nprobe`
     nearest centroid lists (cos desc, ties to the smaller centroid id —
@@ -205,67 +286,97 @@ def ivf_probe_lists(
     (py4j-cheap): sort an array of (negated-cos, cid) structs — struct
     comparison is field-order lexicographic, so ascending array_sort
     gives cos-descending with cid tiebreak — slice the first nprobe,
-    explode. Output: input columns + list_id, nprobe rows per input row.
+    explode. Large nlist switches to the same broadcast array-column
+    carrier as ivf_assign (identical ranking arithmetic, O(1) expression
+    size). Output: input columns + list_id, nprobe rows per input row.
     """
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
 
-    scored = [
-        # negate cos (IEEE negation is exact) so ascending struct sort
-        # ranks cos DESC; cid second field -> ties to the smaller id.
-        # Degenerate cosines must land where ivf_assign's array_max puts
-        # them or nprobe=1 silently diverges from the single-probe
-        # assignment: NULL cos (non-ANSI zero-norm division) ranks WORST
-        # under struct-max (null field sorts smallest), but a bare
-        # struct(NULL, cid) sorts FIRST ascending -> fold NULL to
-        # +Infinity (rank last); NaN cos (NaN input values) ranks
-        # GREATEST in Spark's double order (= best), but -NaN is NaN
-        # which sorts LAST ascending -> fold NaN to -Infinity (rank
-        # first). Legitimate cosines are in [-1, 1], so the sentinels
-        # can't collide.
-        f"struct(nanvl(-(nvl({cos}, CAST('-Infinity' AS DOUBLE))), "
-        f"CAST('-Infinity' AS DOUBLE)) AS negcos, {cid} AS cid)"
-        for cid, cos in _centroid_cos_sqls(centroids, vec_col)
-    ]
-    # cast INSIDE transform: a generator (explode) cannot be nested in
-    # another expression, and the int literals make the array int-typed
+    # negate cos (IEEE negation is exact) so ascending struct sort
+    # ranks cos DESC; cid second field -> ties to the smaller id.
+    # Degenerate cosines must land where ivf_assign's array_max puts
+    # them or nprobe=1 silently diverges from the single-probe
+    # assignment: NULL cos (non-ANSI zero-norm division) ranks WORST
+    # under struct-max (null field sorts smallest), but a bare
+    # struct(NULL, cid) sorts FIRST ascending -> fold NULL to
+    # +Infinity (rank last); NaN cos (NaN input values) ranks
+    # GREATEST in Spark's double order (= best), but -NaN is NaN
+    # which sorts LAST ascending -> fold NaN to -Infinity (rank
+    # first). Legitimate cosines are in [-1, 1], so the sentinels
+    # can't collide.
+    def ranked_struct(cos: str, cid: str) -> str:
+        return (
+            f"struct(nanvl(-(nvl({cos}, CAST('-Infinity' AS DOUBLE))), "
+            f"CAST('-Infinity' AS DOUBLE)) AS negcos, {cid} AS cid)"
+        )
+
+    if _use_literal(centroids, literal):
+        scored = [
+            ranked_struct(cos, str(cid))
+            for cid, cos in _centroid_cos_sqls(centroids, vec_col)
+        ]
+        # cast INSIDE transform: a generator (explode) cannot be nested in
+        # another expression, and the int literals make the array int-typed
+        probes = F.expr(
+            f"transform(slice(array_sort(array({', '.join(scored)})), 1, {nprobe}), "
+            "s -> CAST(s.cid AS INT))"
+        )
+        return df.withColumn("list_id", F.explode(probes))
+    cents_df = _centroid_array_frame(df.sparkSession, centroids)
+    inner = ranked_struct(_cos_sql(vec_col, "c.cvec", "c.cnorm"), "c.cid")
     probes = F.expr(
-        f"transform(slice(array_sort(array({', '.join(scored)})), 1, {nprobe}), "
-        "s -> CAST(s.cid AS INT))"
+        f"transform(slice(array_sort(transform(_cents, c -> {inner})), "
+        f"1, {nprobe}), s -> CAST(s.cid AS INT))"
     )
-    return df.withColumn("list_id", F.explode(probes))
+    return (
+        df.crossJoin(broadcast(cents_df))
+        .withColumn("list_id", F.explode(probes))
+        .drop("_cents")
+    )
 
 
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
-    nlist_ids: list[int],
+    nlist_ids: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
+    centroids: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize corpus and queries against a shared
     centroid set, probe the query's `nprobe` nearest inverted lists,
     exact cosine within them.
 
-    The centroid set here is the embeddings of the given ids — a
-    deterministic, oracle-reproducible stand-in for a k-means training
-    job; the partition/probe topology (the Spark-side substance: one
-    corpus scan to assign, equi-join on list_id to probe) is identical
-    with trained centroids. Recall < 1 by design; nprobe is the standard
-    recall/cost knob — candidates (and probe cost) grow ~linearly with
-    nprobe while the corpus side is untouched (each vector still lives
-    in exactly ONE list, so the join stays an equi-join and a candidate
-    pair appears at most once — no dedup stage needed).
+    The centroid set is either the embeddings of the given ``nlist_ids``
+    — a deterministic, oracle-reproducible stand-in for a k-means
+    training job — or an explicit ``centroids`` codebook (cluster id ->
+    vector, e.g. clustering.kmeans_lloyd's post-update centroids: the
+    trained-quantizer composition). The partition/probe topology (the
+    Spark-side substance: one corpus scan to assign, equi-join on
+    list_id to probe) is identical either way. Recall < 1 by design;
+    nprobe is the standard recall/cost knob — candidates (and probe
+    cost) grow ~linearly with nprobe while the corpus side is untouched
+    (each vector still lives in exactly ONE list, so the join stays an
+    equi-join and a candidate pair appears at most once — no dedup stage
+    needed).
     """
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.filter(F.col(id_col).isin(nlist_ids))
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    ]
+    if (nlist_ids is None) == (centroids is None):
+        raise ValueError("pass exactly one of nlist_ids / centroids")
+    if centroids is not None:
+        cents = [
+            (int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())
+        ]
+    else:
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.filter(F.col(id_col).isin(nlist_ids))
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        ]
     c = ivf_assign(_spread(corpus), cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
     )

@@ -834,6 +834,93 @@ FROM a{iters} GROUP BY cluster
     )
 
 
+# --- embeddings: trained k-means centroids composed into IVF -----------------
+def _embed_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """The trained-quantizer composition (r6 verdict task 4): the SAME two
+    Lloyd rounds as q_embed_kmeans train the coarse quantizer, the
+    POST-UPDATE centroids become the IVF codebook (cluster id = list id),
+    and the probe is the standard ivf_ann topology — one corpus scan to
+    assign, equi-join on list_id, exact cosine top-5. Chained-job pattern
+    per the reference's Grep (examples/.../Grep.java:48-87 — job 2
+    consumes job 1's output); the oracle replays the ENTIRE chain
+    c0 -> a1 -> c1 -> a2 -> c2 -> assignment -> probe in SQL."""
+    emb = T(spark, sf, "embeddings")
+    init_rows = (
+        emb.filter(F.col("vec_id") < _KMEANS_K).select("vec_id", "embedding").collect()
+    )
+    init = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init_rows}
+    _, cents = clustering.kmeans_lloyd(
+        emb, "embedding", _KMEANS_K, _KMEANS_ITERS, init
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(emb, queries, centroids=cents, k=5)
+
+
+def _kmeans_ivf_oracle() -> str:
+    """_kmeans_oracle's chain extended one step (c2 = means of a2), then
+    _IVF_SQL's assignment/probe replay against those trained centroids."""
+    dim, iters = _KMEANS_DIM, _KMEANS_ITERS
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (e.embedding[i] - c.cv[i]) * (e.embedding[i] - c.cv[i])))"
+    )
+    means = ", ".join(f"avg(embedding[{i + 1}])" for i in range(dim))
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, "
+        f"embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {_KMEANS_K})"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, embedding, cluster FROM ("
+            f"SELECT e.vec_id, e.embedding, c.cluster, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn "
+            f"FROM embeddings e CROSS JOIN c{t - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT cluster, list_value({means}) AS cv "
+            f"FROM a{t} GROUP BY cluster)"
+        )
+    parts.append(
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    )
+    parts.append(f"cc AS (SELECT cluster AS cid, cv FROM c{iters})")
+    parts.append(
+        """ascore AS (
+  SELECT e.vec_id, e.v, cc.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_inner_product(e.v, cc.cv) /
+        (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cc.cv, cc.cv))) DESC,
+      cc.cid) AS rn
+  FROM e CROSS JOIN cc
+)"""
+    )
+    parts.append(
+        "assign AS (SELECT vec_id, v, cid AS list_id FROM ascore WHERE rn = 1)"
+    )
+    parts.append(
+        "q AS (SELECT vec_id AS q_id, v AS qv, list_id FROM assign WHERE vec_id < 10)"
+    )
+    parts.append(
+        """scored AS (
+  SELECT q.q_id, a.vec_id AS neighbor_id,
+    list_inner_product(q.qv, a.v) /
+      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(a.v, a.v))) AS cos
+  FROM assign a JOIN q USING (list_id) WHERE a.vec_id <> q.q_id
+)"""
+    )
+    parts.append(
+        """ranked AS (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5"
+    )
+
+
 # --- embeddings: product quantization ----------------------------------------
 _PQ_M, _PQ_K, _PQ_SUB = 8, 8, 8  # 64 dims -> 8 subspaces of 8, 8 centroids each
 
@@ -1598,6 +1685,13 @@ QUERIES: dict[str, QueryDef] = {
         _kmeans_oracle(),
         "extension: iterative Lloyd k-means over embeddings — fixed init, "
         "2 rounds, assignment pinned cross-engine by the replayed chain",
+    ),
+    "q_embed_kmeans_ivf": QueryDef(
+        _embed_kmeans_ivf,
+        _kmeans_ivf_oracle(),
+        "extension: trained-quantizer composition — kmeans_lloyd's "
+        "post-update centroids become the IVF codebook, then the standard "
+        "assign/probe topology; oracle replays train + route + probe",
     ),
     "q_embed_pq": QueryDef(
         _embed_pq,

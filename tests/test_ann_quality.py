@@ -235,3 +235,61 @@ def test_ivf_probe_nan_cosine_routes_like_assign(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
     assert multi1 == single
+
+
+def test_centroid_array_path_parity_and_large_nlist(spark):
+    """The two centroid-scoring paths (literal expression text vs the
+    broadcast array-column carrier) must be bitwise-identical routers —
+    they share one cosine fold (_cos_sql), so assignment and multi-probe
+    routing agree row-for-row at nlist=8 (the oracle-pinned fixture
+    shape). And the array path must survive the regime the literal path
+    cannot: nlist=256 centroids, where O(nlist*dim) expression text
+    would strain parsing/codegen — the scaling cliff the r6 verdict
+    flagged (extensions/similarity.py LITERAL_NLIST_MAX)."""
+    emb = catalog.load(spark, SF_T2, "embeddings")
+    cents8 = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    lit = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity.ivf_assign(emb, cents8, literal=True).collect()
+    }
+    arr = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity.ivf_assign(emb, cents8, literal=False).collect()
+    }
+    assert lit == arr and len(lit) > 0
+
+    probes_lit = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in similarity.ivf_probe_lists(emb, cents8, nprobe=3, literal=True).collect()
+    )
+    probes_arr = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in similarity.ivf_probe_lists(emb, cents8, nprobe=3, literal=False).collect()
+    )
+    assert probes_lit == probes_arr
+
+    # large-nlist regime: 256 centroids auto-select the array path
+    # (256 > LITERAL_NLIST_MAX) and must route every vector to its true
+    # argmax — checked against a numpy cosine argmax reference.
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {int(r[0]): np.asarray([float(x) for x in r[1]]) for r in rows}
+    cents256 = [(cid, list(vecs[cid])) for cid in sorted(vecs)[:256]]
+    assert len(cents256) == 256
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity.ivf_assign(emb, cents256).collect()
+    }
+    cmat = np.stack([np.asarray(v) for _, v in cents256])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    for vid, v in vecs.items():
+        cos = (cmat @ v) / (np.sqrt(v @ v) * cnorm)
+        best = int(np.argmax(cos))  # ties to smallest index = smallest cid
+        assert got[vid] == cents256[best][0], (vid, got[vid], cents256[best][0])

@@ -160,3 +160,56 @@ def test_group_similarity_matrix_exact_side_vs_python_reference(spark):
             ni = len(sets[a] & sets[b])
             expect[(a, b)] = 10000 * ni // len(sets[a] | sets[b])
     assert got == expect
+
+
+def test_group_similarity_matrix_cap_lower_bound_and_bite(spark):
+    """max_shingle_freq on the source-pair matrix (r6 verdict task 6):
+    shingles in more groups than the cap leave the intersection join,
+    so capped jaccard_bp is a per-pair LOWER BOUND of the uncapped one
+    while est_bp (MinHash, computed from the uncapped vocabulary) is
+    unchanged. The corpus plants boilerplate shared by all four sources
+    so the cap provably bites."""
+    boiler = "shared legal boilerplate footer text here"
+    rows = [
+        (1, "A", f"alpha beta gamma delta {boiler}"),
+        (2, "B", f"alpha beta gamma epsilon {boiler}"),
+        (3, "C", f"one two three four {boiler}"),
+        (4, "D", f"five six seven eight {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    full = {
+        (r["source_a"], r["source_b"]): (r["est_bp"], r["jaccard_bp"])
+        for r in dedup.group_similarity_matrix(df, "source", "text").collect()
+    }
+    capped = {
+        (r["source_a"], r["source_b"]): (r["est_bp"], r["jaccard_bp"])
+        for r in dedup.group_similarity_matrix(
+            df, "source", "text", max_shingle_freq=3
+        ).collect()
+    }
+    assert set(full) == set(capped) and len(full) == 6  # all pairs survive
+    for pair in full:
+        assert capped[pair][0] == full[pair][0], pair  # est untouched
+        assert capped[pair][1] <= full[pair][1], pair  # lower bound
+    # the all-4-group boilerplate shingles were the ONLY overlap of the
+    # disjoint pairs, so the cap must drive at least one pair to zero
+    assert any(c[1] == 0 < full[p][1] for p, c in capped.items())
+
+
+def test_group_similarity_matrix_loose_cap_is_noop(spark):
+    rows = [
+        (1, "A", "alpha beta gamma delta epsilon zeta"),
+        (2, "B", "alpha beta gamma delta theta iota"),
+        (3, "C", "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = sorted(map(tuple, dedup.group_similarity_matrix(df, "source", "text").collect()))
+    loose = sorted(
+        map(
+            tuple,
+            dedup.group_similarity_matrix(
+                df, "source", "text", max_shingle_freq=10**9
+            ).collect(),
+        )
+    )
+    assert base == loose
