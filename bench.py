@@ -351,6 +351,8 @@ def main() -> int:
         "domain_reweight": "q_sample_domain_reweight",
         "drift_ks": "q_agg_drift_ks",
         "embed_ivfpq_rerank": "q_embed_ivfpq_rerank",
+        "embed_kmeans_ivf": "q_embed_kmeans_ivf",
+        "embed_ivf_bcast": "q_embed_ivf_bcast",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so

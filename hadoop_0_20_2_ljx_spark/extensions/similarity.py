@@ -345,10 +345,12 @@ def ivf_ann(
     k: int = 5,
     nprobe: int = 1,
     centroids: dict[int, list[float]] | None = None,
+    literal: bool | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize corpus and queries against a shared
     centroid set, probe the query's `nprobe` nearest inverted lists,
-    exact cosine within them.
+    exact cosine within them. ``literal`` forwards to the routers'
+    path switch (None = auto by LITERAL_NLIST_MAX).
 
     The centroid set is either the embeddings of the given ``nlist_ids``
     — a deterministic, oracle-reproducible stand-in for a k-means
@@ -377,13 +379,13 @@ def ivf_ann(
             .orderBy(id_col)
             .collect()
         ]
-    c = ivf_assign(_spread(corpus), cents, vec_col).select(
+    c = ivf_assign(_spread(corpus), cents, vec_col, literal=literal).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
     )
     q_assign = (
-        ivf_assign(queries, cents, vec_col)
+        ivf_assign(queries, cents, vec_col, literal=literal)
         if nprobe == 1  # keep the proven single-probe plan byte-stable
-        else ivf_probe_lists(queries, cents, vec_col, nprobe)
+        else ivf_probe_lists(queries, cents, vec_col, nprobe, literal=literal)
     )
     q = q_assign.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "list_id"

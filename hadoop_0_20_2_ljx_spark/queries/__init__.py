@@ -20,13 +20,13 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # only signal. Correctness itself is order-independent (each query is
 # self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # Round 7 window = exactly 50 names: (a) the 1 new + 9 changed this
+    # Round 7 window = exactly 50 names: (a) the 2 new + 9 changed this
     # round (the r6 verdict capped r7 new/changed at 11 so the whole
-    # r3 block fits), (b) ALL 39 r3-latest names — after r7 no registry
-    # query's newest external row is older than r4 — and (c) one spare
-    # slot seeded with an r4 name.
+    # r3 block fits — exactly met), (b) ALL 39 r3-latest names — after
+    # r7 no registry query's newest external row is older than r4.
     # (a1) new this round — sim-only until the r7 driver row lands
     "q_embed_kmeans_ivf",  # new r7: trained kmeans centroids -> IVF probe
+    "q_embed_ivf_bcast",  # new r7: array-column centroid path vs the IVF oracle
     # (a2) changed this round — prior proofs predate the change
     "q_agg_drift_ks",  # r7: one-sided groups now dropped (ADVICE)
     "q_sample_domain_reweight",  # r7: backslash-safe key literals (ADVICE)
@@ -77,8 +77,6 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_filter_blocklist",
     "q_agg_approx_quantile",
     "q_audit_constraints",
-    # (c) spare slot: oldest-r4 freshness pull-forward
-    "q_scan_text_count",
     # ---- 50-row cut line ----
     # committed r8 block: the remaining r4-latest names (the 44 not
     # pulled forward above — SURVEY §8's Ext column lists them), plus

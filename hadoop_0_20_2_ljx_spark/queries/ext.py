@@ -303,6 +303,21 @@ SELECT q_id, neighbor_id, round(cos, 6) AS cos FROM ranked WHERE rnk <= 5
 """
 
 
+# --- similarity: IVF with the array-column centroid carrier ------------------
+def _embed_ivf_bcast(spark: SparkSession, sf: str) -> DataFrame:
+    """q_embed_ivf with the LARGE-nlist scoring path forced on at the
+    fixture's nlist=8 (literal=False): centroids ride as a broadcast
+    one-row array<struct> column instead of expression literals. Same
+    oracle as q_embed_ivf — the external proof that the scale path is
+    bitwise-equal to the literal path, not just parity-pinned in pytest
+    (extensions/similarity.py LITERAL_NLIST_MAX)."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(
+        emb, queries, nlist_ids=list(range(8)), k=5, literal=False
+    )
+
+
 # --- similarity: multi-probe IVF (the recall/cost knob) ----------------------
 def _embed_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     """ivf_ann with nprobe=2: each query probes its TWO nearest inverted
@@ -1685,6 +1700,13 @@ QUERIES: dict[str, QueryDef] = {
         _kmeans_oracle(),
         "extension: iterative Lloyd k-means over embeddings — fixed init, "
         "2 rounds, assignment pinned cross-engine by the replayed chain",
+    ),
+    "q_embed_ivf_bcast": QueryDef(
+        _embed_ivf_bcast,
+        _IVF_SQL,
+        "extension: IVF ANN with the large-nlist broadcast array-column "
+        "centroid carrier forced on — external bitwise-parity proof of "
+        "the scale path against the literal path's oracle",
     ),
     "q_embed_kmeans_ivf": QueryDef(
         _embed_kmeans_ivf,

@@ -293,3 +293,15 @@ def test_centroid_array_path_parity_and_large_nlist(spark):
         cos = (cmat @ v) / (np.sqrt(v @ v) * cnorm)
         best = int(np.argmax(cos))  # ties to smallest index = smallest cid
         assert got[vid] == cents256[best][0], (vid, got[vid], cents256[best][0])
+
+    # and the multi-probe router at the same scale: each query's 2
+    # probed lists must be numpy's top-2 cosine centroids, in order
+    queries = emb.filter(F.col("vec_id") < 10)
+    probed: dict[int, list[int]] = {}
+    for r in similarity.ivf_probe_lists(queries, cents256, nprobe=2).collect():
+        probed.setdefault(r["vec_id"], []).append(r["list_id"])
+    for vid, lists in probed.items():
+        v = vecs[vid]
+        cos = (cmat @ v) / (np.sqrt(v @ v) * cnorm)
+        top2 = [cents256[i][0] for i in np.argsort(-cos, kind="stable")[:2]]
+        assert lists == top2, (vid, lists, top2)
