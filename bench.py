@@ -276,6 +276,46 @@ def bench_pagerank_phases(spark) -> dict:
     return {k: round(v, 3) for k, v in phases.items()}
 
 
+def dump_local_artifact(full: dict, here: str, explicit: str | None) -> str | None:
+    """Write BENCH_LOCAL_r{N}.json. Round number: ``explicit``
+    (SPARK_GRAFT_ROUND env or argv[1]) wins; otherwise inferred as the
+    next after the newest committed BENCH_r{N}.json. The inference
+    assumes the driver writes BENCH_rN AFTER this run — a manual re-run
+    after that artifact lands would stamp one round ahead (exactly how
+    the r5 re-run produced a premature BENCH_LOCAL_r06), so pass the
+    round explicitly for any non-driver run.
+
+    Refuses to OVERWRITE an existing artifact when the round was merely
+    inferred (r6 lesson: the driver's own bench re-run inferred the same
+    round as the builder's committed artifact and silently overwrote it,
+    84.21 -> 91.22 in the worktree). A committed local artifact only
+    moves under an explicit round. Returns the path written, or None if
+    the dump was refused."""
+    import glob as _glob
+    import re as _re
+
+    if explicit is not None:
+        rno = int(explicit)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        rno = (max(rounds) if rounds else 0) + 1
+    target = os.path.join(here, f"BENCH_LOCAL_r{rno:02d}.json")
+    if explicit is None and os.path.exists(target):
+        print(
+            f"bench-local dump skipped: {target} exists and round was "
+            "inferred, not explicit (pass SPARK_GRAFT_ROUND to overwrite)",
+            file=sys.stderr,
+        )
+        return None
+    with open(target, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    return target
+
+
 def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # UI on so the REST stage metrics (shuffle/input bytes) are readable.
@@ -473,45 +513,13 @@ def main() -> int:
     print(json.dumps(full))
     # Persist the FULL per-workload record beside the driver's truncated
     # tail capture, round-stamped so round-over-round deltas are
-    # diffable in-repo without a judge re-run. Round number: explicit
-    # SPARK_GRAFT_ROUND env (or argv[1]) wins; otherwise inferred as the
-    # next after the newest committed BENCH_r{N}.json. The inference
-    # assumes the driver writes BENCH_rN AFTER this run — a manual
-    # re-run after that artifact lands would stamp one round ahead
-    # (exactly how the r5 re-run produced a premature BENCH_LOCAL_r06),
-    # so pass the round explicitly for any non-driver run.
+    # diffable in-repo without a judge re-run.
     try:
-        import glob as _glob
-        import re as _re
-
         here = os.path.dirname(os.path.abspath(__file__))
         explicit = os.environ.get("SPARK_GRAFT_ROUND") or (
             sys.argv[1] if len(sys.argv) > 1 else None
         )
-        if explicit is not None:
-            rno = int(explicit)
-        else:
-            rounds = [
-                int(m.group(1))
-                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-            ]
-            rno = (max(rounds) if rounds else 0) + 1
-        target = os.path.join(here, f"BENCH_LOCAL_r{rno:02d}.json")
-        if explicit is None and os.path.exists(target):
-            # r6 lesson: the driver's own bench re-run inferred the same
-            # round as the builder's committed artifact and silently
-            # overwrote it (84.21 -> 91.22 in the worktree). A committed
-            # local artifact only moves when the round is passed
-            # explicitly (SPARK_GRAFT_ROUND or argv[1]).
-            print(
-                f"bench-local dump skipped: {target} exists and round was "
-                "inferred, not explicit (pass SPARK_GRAFT_ROUND to overwrite)",
-                file=sys.stderr,
-            )
-        else:
-            with open(target, "w") as f:
-                json.dump(full, f, indent=1, sort_keys=True)
+        dump_local_artifact(full, here, explicit)
     except Exception as e:  # never fail the bench over bookkeeping
         print(f"bench-local dump skipped: {e}", file=sys.stderr)
     # The driver records only the LAST ~2000 chars of output; the full

@@ -95,3 +95,50 @@ def test_zorder_empty_input(spark, tmp_path):
     path = str(tmp_path / "zempty")
     sinks.write_zordered(df, path, "a", "b")
     assert spark.read.parquet(path).count() == 0
+
+
+def test_ivf_ann_centroid_argument_contract(spark):
+    """ivf_ann takes exactly one of nlist_ids / centroids — passing both
+    or neither is a caller bug named at call time, never a silent pick."""
+    import pytest
+
+    from hadoop_0_20_2_ljx_spark.extensions import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.ivf_ann(emb, q)
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity.ivf_ann(
+            emb, q, nlist_ids=[0, 1], centroids={0: [0.0, 1.0], 1: [5.0, 1.0]}
+        )
+
+
+def test_ivf_ann_trained_centroids_multiprobe(spark):
+    """Trained (explicit) centroids compose with nprobe > 1: every
+    nprobe=1 neighbor set is contained in the nprobe=2 candidate regime
+    (more lists probed can only improve the shortlist), and the trained
+    route matches routing by the same centroids passed as designated ids
+    when the codebook IS corpus vectors."""
+    from hadoop_0_20_2_ljx_spark.extensions import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    cents = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    by_cents_1 = similarity.ivf_ann(emb, q, centroids=cents, k=3, nprobe=1)
+    by_ids_1 = similarity.ivf_ann(emb, q, nlist_ids=[0, 1, 2], k=3, nprobe=1)
+    assert sorted(map(tuple, by_cents_1.collect())) == sorted(
+        map(tuple, by_ids_1.collect())
+    )
+    got1 = {(r["q_id"], r["neighbor_id"]) for r in by_cents_1.collect()}
+    probed2 = similarity.ivf_ann(emb, q, centroids=cents, k=50, nprobe=2)
+    got2 = {(r["q_id"], r["neighbor_id"]) for r in probed2.collect()}
+    assert got1 <= got2

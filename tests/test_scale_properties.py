@@ -716,3 +716,27 @@ def test_domain_reweight_one_corpus_scan_rates_reenter_small(spark):
     # the only SinglePartition exchange is the O(groups)->1-row total
     # roll-up (its input is already aggregated, never corpus-sized)
     assert "BroadcastExchange" in plan, plan
+
+
+def test_ivf_array_centroid_path_is_broadcast_no_shuffle(spark):
+    """The large-nlist centroid carrier (extensions/similarity.py,
+    literal=False) must plan as a one-row BroadcastNestedLoopJoin with NO
+    exchange: the centroids ride in a broadcast relation and the argmax
+    stays a per-row projection, so a corpus scan at any size routes
+    without shuffling — the literal path's scale contract, kept."""
+    from hadoop_0_20_2_ljx_spark.extensions import similarity
+
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    plan = plan_of(similarity.ivf_assign(emb, cents, literal=False))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan and "Exchange rangepartitioning" not in plan
+    # and the literal path keeps its no-join shape
+    lit_plan = plan_of(similarity.ivf_assign(emb, cents, literal=True))
+    assert "Join" not in lit_plan and "Exchange hashpartitioning" not in lit_plan
