@@ -144,6 +144,12 @@ def embedding_neardup_pairs(
 # (BroadcastNestedLoopJoin of one row).
 LITERAL_NLIST_MAX = 64
 
+# the array-column carrier rides under a reserved name; inputs may not
+# carry it (the literal path has no reserved names, so the two paths
+# must fail loudly, not diverge silently, on the one input shape where
+# they differ)
+_CENTS_COL = "__ljx_cents__"
+
 
 def _dot_sql(a: str, b: str) -> str:
     return (
@@ -208,7 +214,7 @@ def _centroid_array_frame(spark, centroids: list[tuple[int, list[float]]]):
     schema = StructType(
         [
             StructField(
-                "_cents",
+                _CENTS_COL,
                 ArrayType(
                     StructType(
                         [
@@ -258,15 +264,17 @@ def ivf_assign(
         ]
         best = F.expr("array_max(array(" + ", ".join(scored) + "))")
         return corpus.withColumn("list_id", (-best["ncid"]).cast("int"))
+    if _CENTS_COL in corpus.columns:
+        raise ValueError(f"input may not carry the reserved column {_CENTS_COL}")
     cents_df = _centroid_array_frame(corpus.sparkSession, centroids)
     cos = _cos_sql(vec_col, "c.cvec", "c.cnorm")
     best = F.expr(
-        f"array_max(transform(_cents, c -> struct({cos} AS cos, -c.cid AS ncid)))"
+        f"array_max(transform({_CENTS_COL}, c -> struct({cos} AS cos, -c.cid AS ncid)))"
     )
     return (
         corpus.crossJoin(broadcast(cents_df))
         .withColumn("list_id", (-best["ncid"]).cast("int"))
-        .drop("_cents")
+        .drop(_CENTS_COL)
     )
 
 
@@ -323,16 +331,18 @@ def ivf_probe_lists(
             "s -> CAST(s.cid AS INT))"
         )
         return df.withColumn("list_id", F.explode(probes))
+    if _CENTS_COL in df.columns:
+        raise ValueError(f"input may not carry the reserved column {_CENTS_COL}")
     cents_df = _centroid_array_frame(df.sparkSession, centroids)
     inner = ranked_struct(_cos_sql(vec_col, "c.cvec", "c.cnorm"), "c.cid")
     probes = F.expr(
-        f"transform(slice(array_sort(transform(_cents, c -> {inner})), "
+        f"transform(slice(array_sort(transform({_CENTS_COL}, c -> {inner})), "
         f"1, {nprobe}), s -> CAST(s.cid AS INT))"
     )
     return (
         df.crossJoin(broadcast(cents_df))
         .withColumn("list_id", F.explode(probes))
-        .drop("_cents")
+        .drop(_CENTS_COL)
     )
 
 
@@ -367,6 +377,10 @@ def ivf_ann(
     """
     if (nlist_ids is None) == (centroids is None):
         raise ValueError("pass exactly one of nlist_ids / centroids")
+    if not (nlist_ids or centroids):
+        # an empty codebook would route every row to a NULL list and
+        # return an empty result with no error — name the caller bug
+        raise ValueError("the centroid codebook must be non-empty")
     if centroids is not None:
         cents = [
             (int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())

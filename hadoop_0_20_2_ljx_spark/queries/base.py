@@ -40,6 +40,9 @@ from hadoop_0_20_2_ljx_spark import catalog
 TMP_ROOT = "/root/repo/.tmp"
 
 
+_SCRATCH_REGISTERED: set[str] = set()
+
+
 def scratch_dir(name: str) -> str:
     """A pid-suffixed scratch dir under TMP_ROOT for write/re-read queries.
 
@@ -48,10 +51,14 @@ def scratch_dir(name: str) -> str:
     dir. The dir is removed at interpreter exit (atexit, like pinning.py's
     checkpoint dir) rather than eagerly — the returned DataFrames are lazy,
     so the files must outlive the query function — and with that hook no
-    gate/sweep run leaks scratch files (r6 ADVICE)."""
+    gate/sweep run leaks scratch files (r6 ADVICE). One hook per path:
+    a registry sweep calls the sink queries repeatedly and must not
+    accumulate duplicate atexit entries."""
     path = os.path.join(TMP_ROOT, f"{name}-{os.getpid()}")
     os.makedirs(TMP_ROOT, exist_ok=True)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if path not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 

@@ -858,7 +858,15 @@ def _embed_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     assign, equi-join on list_id, exact cosine top-5. Chained-job pattern
     per the reference's Grep (examples/.../Grep.java:48-87 — job 2
     consumes job 1's output); the oracle replays the ENTIRE chain
-    c0 -> a1 -> c1 -> a2 -> c2 -> assignment -> probe in SQL."""
+    c0 -> a1 -> c1 -> a2 -> c2 -> assignment -> probe in SQL.
+
+    Cross-engine determinism: the trained centroids are raw float means
+    (Lloyd's update IS an average), so Spark's and DuckDB's c2 may differ
+    in the last ulp — but only the ROUTING depends on them (neighbor
+    cosines are corpus-vector-only), and every fixture vector's best-vs-
+    second centroid margin is >= 4e-5 at both gate SFs vs ~1e-16 of
+    ulp-induced cosine wobble; the margin is pinned by
+    tests/test_ann_quality.py::test_kmeans_ivf_routing_margin_dwarfs_float_wobble."""
     emb = T(spark, sf, "embeddings")
     init_rows = (
         emb.filter(F.col("vec_id") < _KMEANS_K).select("vec_id", "embedding").collect()

@@ -305,3 +305,31 @@ def test_centroid_array_path_parity_and_large_nlist(spark):
         cos = (cmat @ v) / (np.sqrt(v @ v) * cnorm)
         top2 = [cents256[i][0] for i in np.argsort(-cos, kind="stable")[:2]]
         assert lists == top2, (vid, lists, top2)
+
+
+def test_kmeans_ivf_routing_margin_dwarfs_float_wobble(spark):
+    """q_embed_kmeans_ivf's cross-engine contract rests on the trained-
+    centroid routing being insensitive to last-ulp differences between
+    Spark's and DuckDB's avg (the centroids are raw float means by
+    design — Lloyd's update IS an average). This pins the safety factor:
+    every corpus vector's best-vs-second centroid cosine margin must
+    exceed 1e-7, while a one-ulp centroid-coordinate difference moves a
+    cosine by ~1e-16 — nine orders of slack (measured min margin: 6.8e-5
+    at sf0.01, 4.1e-5 at sf0.1). If a refit or new fixture ever brings
+    two centroids that close, this fails before the oracle gate does."""
+    import numpy as np
+
+    emb = catalog.load(spark, SF_T2, "embeddings")
+    init = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+    _, cents = clustering.kmeans_lloyd(emb, "embedding", 8, 2, init)
+    cmat = np.stack([np.asarray(v) for _, v in sorted(cents.items())])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    min_margin = 1.0
+    for r in emb.select("embedding").collect():
+        v = np.asarray([float(x) for x in r[0]])
+        cos = np.sort((cmat @ v) / (np.sqrt(v @ v) * cnorm))
+        min_margin = min(min_margin, cos[-1] - cos[-2])
+    assert min_margin > 1e-7, min_margin

@@ -58,6 +58,12 @@ def parse_existing(surv: str) -> tuple[str, dict[str, str], int, int]:
             for off in (0, 4):
                 if cells[off].startswith("q_") and cells[off + 2]:
                     changed[cells[off]] = cells[off + 2]
+        elif any(c.startswith("q_") for c in cells):
+            # a note containing a literal '|' would mis-split the row and
+            # silently drop the annotation on regeneration — refuse
+            raise SystemExit(
+                f"§8 row does not split into 8 cells (embedded '|'? ): {line!r}"
+            )
     return tag, changed, start, end
 
 
@@ -91,7 +97,10 @@ def main() -> int:
     check = "--check" in sys.argv
     rnd = None
     if "--round" in sys.argv:
-        rnd = int(sys.argv[sys.argv.index("--round") + 1])
+        try:
+            rnd = int(sys.argv[sys.argv.index("--round") + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--round needs an integer argument") from None
     surv = open(SURVEY).read()
     tag, changed, start, end = parse_existing(surv)
     if rnd is not None:
