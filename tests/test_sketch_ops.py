@@ -110,3 +110,52 @@ def test_catalog_listing_metadata_only():
     }
     assert rows["region"]["n_rows"] == 5 and rows["nation"]["n_rows"] == 25
     assert all(r["n_bytes"] > 0 and r["n_files"] >= 1 for r in rows.values())
+
+
+def test_duplicate_substring_spans_randomized_vs_python_reference(spark):
+    """120 random docs over an 8-word vocabulary (n=3 windows collide
+    constantly across docs), one Spark run, per-doc compare of window
+    counts, covered-token counts, and dup_frac against a pure-Python
+    reference of the ExactSubstr semantics: a window is duplicated iff
+    its gram occurs in a DIFFERENT document; coverage is the union of
+    the duplicated windows' token slots."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(8)]
+    n = 3
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_dup_windows"], r["n_cov_tokens"], r["dup_frac"])
+        for r in duplicate_substring_spans(df, "doc_id", "text", n=n).collect()
+    }
+
+    gram_docs = defaultdict(set)
+    toks = {i: t.lower().split() for i, t in rows}
+    for i, w in toks.items():
+        for p in range(len(w) - n + 1):
+            gram_docs[" ".join(w[p : p + n])].add(i)
+    expect = {}
+    for i, w in toks.items():
+        dup_pos = [
+            p
+            for p in range(len(w) - n + 1)
+            if len(gram_docs[" ".join(w[p : p + n])] - {i}) > 0
+        ]
+        if not dup_pos:
+            continue  # docs with no duplicated window are absent (inner join)
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + n))
+        expect[i] = (
+            len(w),
+            len(dup_pos),
+            len(covered),
+            round(len(covered) / len(w), 6),
+        )
+    assert got == expect

@@ -256,3 +256,47 @@ def test_merge_intervals_output_schema_is_contract_only(spark):
     df = spark.createDataFrame([(1, 9, 0, 5)], "id long, k long, s long, e long")
     out = merge_intervals(df, ["k"], "s", "e", "id")
     assert out.columns == ["k", "span_start", "span_end", "n_intervals"]
+
+
+def test_merge_intervals_randomized_vs_python_sweep(spark):
+    """Random intervals per key with heavy duplicate starts, touching
+    edges (start == prev end must MERGE), containment, and zero-length
+    intervals — one Spark run compared per key against the classic
+    serial sweep. The window form's prefix-max + open-flag segmentation
+    must agree with running-state semantics on every span boundary."""
+    import random
+
+    from hadoop_0_20_2_ljx_spark.extensions.temporal import merge_intervals
+
+    rng = random.Random(6)
+    rows = []
+    rid = 0
+    for key in ("a", "b", "c"):
+        for _ in range(120):
+            s = rng.randint(0, 60)
+            e = s + rng.randint(0, 12)  # zero-length allowed
+            rows.append((key, s, e, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "k string, s long, e long, id long")
+    got = {
+        (r["k"], r["span_start"], r["span_end"]): r["n_intervals"]
+        for r in merge_intervals(df, ["k"], "s", "e", "id").collect()
+    }
+
+    expect = {}
+    per: dict[str, list] = {}
+    for k, s, e, _ in rows:
+        per.setdefault(k, []).append((s, e))
+    for k, iv in per.items():
+        iv.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in iv:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    expect[(k, cur_s, cur_e)] = n
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        expect[(k, cur_s, cur_e)] = n
+    assert got == expect
