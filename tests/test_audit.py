@@ -473,3 +473,52 @@ def test_ks_one_sided_group_is_dropped(spark):
     got = {r["g"]: r["ks_ppm"] for r in out.collect()}
     assert set(got) == {"two_sided"}
     assert got["two_sided"] == 1000000  # disjoint single points: D = 1
+
+
+def test_winsorize_and_deciles_randomized_vs_python_reference(spark):
+    """Random grouped integer values with heavy ties, one Spark run each,
+    per-group compare against pure-Python exact-rank references: bound
+    rank = max(1, ceil(k*n/100)) for winsorize, band rank = max(1,
+    ceil(k*n/10)) for deciles — the values AT those ranks in the sorted
+    multiset, no interpolation anywhere."""
+    import math
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(6)
+    rows = [
+        (i, f"g{rng.randint(0, 4)}", rng.randint(-30, 30)) for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, t string, v long")
+    per = defaultdict(list)
+    for _, g, v in rows:
+        per[g].append(v)
+
+    wout = {
+        r["t"]: r
+        for r in audit.winsorized_stats(
+            df, "t", F.col("v"), F.col("event_id"), lo_pct=5, hi_pct=95
+        ).collect()
+    }
+    assert set(wout) == set(per)
+    for g, vals in per.items():
+        s = sorted(vals)
+        n = len(s)
+        lo = s[max(1, math.ceil(n * 5 / 100)) - 1]
+        hi = s[max(1, math.ceil(n * 95 / 100)) - 1]
+        r = wout[g]
+        assert (r["n_rows"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi), g
+        assert r["n_clip_lo"] == sum(1 for v in vals if v < lo), g
+        assert r["n_clip_hi"] == sum(1 for v in vals if v > hi), g
+        assert r["wsum_cents"] == sum(min(max(v, lo), hi) for v in vals), g
+
+    dout = defaultdict(dict)
+    for r in audit.order_stat_summary(
+        df, "t", F.col("v"), F.col("event_id"), n_bands=10
+    ).collect():
+        dout[r["t"]][r["band"]] = r["cents"]
+    for g, vals in per.items():
+        s = sorted(vals)
+        n = len(s)
+        for k in range(1, 10):
+            assert dout[g][k] == s[max(1, math.ceil(n * k / 10)) - 1], (g, k)

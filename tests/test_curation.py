@@ -121,3 +121,47 @@ def test_pagerank_integer_determinism(spark):
     assert a == b
     # node 1 has two in-edges: must outrank the single-in-edge nodes
     assert a[1] > a[2] and a[1] > a[4]
+
+
+def test_bpe_randomized_vs_python_reference(spark):
+    """Random corpus over a 3-letter alphabet (pair counts collide and
+    tie constantly), 8 merge rounds, the full (rank, pair, cnt) merge
+    table compared against a pure-Python reference implementing the SAME
+    documented contract (extensions/bpe.py): per-position pair counts
+    weighted by word frequency, ties to the lexicographically smallest
+    pair, merge applied as ONE non-overlapping left-to-right replace
+    over the space-sentineled symbol string."""
+    import random
+    from collections import Counter
+
+    from hadoop_0_20_2_ljx_spark.extensions.bpe import learn_bpe
+
+    rng = random.Random(6)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 8))
+        )
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    _, got = learn_bpe(df, "text", n_merges=8)
+
+    wc = Counter(w for t in texts for w in t.split() if w)
+    vocab = [(" " + " ".join(w) + " ", c) for w, c in wc.items()]
+    expect = []
+    for r in range(1, 9):
+        counts: Counter = Counter()
+        for seq, freq in vocab:
+            syms = seq.strip().split(" ")
+            for i in range(len(syms) - 1):
+                counts[syms[i] + " " + syms[i + 1]] += freq
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merged = best.replace(" ", "")
+        expect.append((r, best, counts[best]))
+        vocab = [
+            (seq.replace(f" {best} ", f" {merged} "), freq) for seq, freq in vocab
+        ]
+    assert got == expect
