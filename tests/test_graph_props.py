@@ -75,3 +75,80 @@ def test_zscore_outliers_match_brute_force(spark):
             if (n * v - s) ** 2 > 4 * (n * q - s * s) > 0:
                 expect.add(i)
     assert got == expect and expect
+
+
+def test_pagerank_int_matches_integer_reference(spark):
+    """Random directed graphs (duplicate edges, self-loops, sinks, and
+    source-only nodes all arise), 3 rounds, every node's scaled-integer
+    rank replayed exactly in Python: share = rank // outdeg per DISTINCT
+    edge, rank' = base + (d * inflow) // 100. Integer division everywhere
+    means the reference is exact, not approximate."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import PR_SCALE, pagerank_int
+
+    rng = random.Random(6)
+    for _trial in range(3):
+        n = 14
+        raw = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        df = spark.createDataFrame(raw, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank_int(df, iterations=3).collect()}
+
+        edges = sorted(set(raw))
+        nodes = {u for u, _ in edges} | {v for _, v in edges}
+        outdeg = {}
+        for u, _ in edges:
+            outdeg[u] = outdeg.get(u, 0) + 1
+        d = 85
+        base = (100 - d) * PR_SCALE // 100
+        rank = {v: PR_SCALE for v in nodes}
+        for _ in range(3):
+            inflow = {v: 0 for v in nodes}
+            for u, v in edges:
+                inflow[v] += rank[u] // outdeg[u]
+            rank = {v: base + (d * inflow[v]) // 100 for v in nodes}
+        assert got == rank
+
+
+def test_kcore_peel_matches_serial_reference(spark):
+    """Random undirected graphs, bounded-round peeling replayed serially:
+    after R rounds of 'drop nodes with degree < k', the surviving
+    (node, degree) table and the converged flag (final alive count equals
+    the previous round's) must match exactly — including runs where R is
+    too small to reach the fixed point."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import kcore_peel
+
+    rng = random.Random(6)
+    for k, rounds in ((2, 1), (2, 4), (3, 6)):
+        n = 16
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(34)]
+        df = spark.createDataFrame(raw, "src long, dst long")
+        out = kcore_peel(df, k=k, rounds=rounds).collect()
+        got = {r["node"]: r["deg"] for r in out}
+        got_conv = {r["converged"] for r in out}
+
+        edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+
+        def degs(es):
+            d = {}
+            for u, v in es:
+                d[u] = d.get(u, 0) + 1
+                d[v] = d.get(v, 0) + 1
+            return d
+
+        cur = set(edges)
+        d = degs(cur)
+        d_prev = None
+        for _ in range(rounds):
+            alive = {x for x, dg in d.items() if dg >= k}
+            cur = {(u, v) for u, v in cur if u in alive and v in alive}
+            d_prev = d
+            d = degs(cur)
+        survivors = {x: dg for x, dg in d.items() if dg >= k}
+        prev_alive = (
+            -1 if d_prev is None else sum(1 for dg in d_prev.values() if dg >= k)
+        )
+        conv = len(survivors) == prev_alive
+        assert got == survivors, (k, rounds)
+        if survivors:
+            assert got_conv == {conv}, (k, rounds)
