@@ -303,10 +303,12 @@ def group_similarity_matrix(
     granularity): shingles present in MORE than that many GROUPS are
     excluded from the intersection JOIN — the quadratic driver, since a
     shingle shared by all G groups contributes G^2 join rows while
-    carrying no discrimination signal. Union sizes and the MinHash
-    estimate stay exact, so a capped jaccard_bp is a LOWER BOUND of the
-    uncapped one (the cap removes intersection evidence, never invents
-    it — property-pinned in tests/test_dedup_cap.py). None = exact.
+    carrying no discrimination signal. Per-group set sizes (na/nb) and
+    est_bp stay exact; the Jaccard denominator na+nb-ni uses the CAPPED
+    ni, which only reinforces the bound — a capped jaccard_bp is a LOWER
+    BOUND of the uncapped one (the cap removes intersection evidence,
+    never invents it; jaccard_bp is monotone in ni since ni <= min(na,nb)
+    — property-pinned in tests/test_dedup_cap.py). None = exact.
     """
     sh = word_shingles(F.col(text_col), shingle_k)
     padded = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))

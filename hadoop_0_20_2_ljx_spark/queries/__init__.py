@@ -20,67 +20,66 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # only signal. Correctness itself is order-independent (each query is
 # self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # Round 7 window = exactly 50 names: (a) the 2 new + 9 changed this
-    # round (the r6 verdict capped r7 new/changed at 11 so the whole
-    # r3 block fits — exactly met), (b) ALL 39 r3-latest names — after
-    # r7 no registry query's newest external row is older than r4.
-    # (a1) new this round — sim-only until the r7 driver row lands
-    "q_embed_kmeans_ivf",  # new r7: trained kmeans centroids -> IVF probe
-    "q_embed_ivf_bcast",  # new r7: array-column centroid path vs the IVF oracle
-    # (a2) changed this round — prior proofs predate the change
-    "q_agg_drift_ks",  # r7: one-sided groups now dropped (ADVICE)
-    "q_sample_domain_reweight",  # r7: backslash-safe key literals (ADVICE)
-    "q_filter_skipbad",  # r7: scratch dir atexit-cleaned (ADVICE)
-    "q_corpus_source_sim",  # r7: max_shingle_freq cap param (default = unchanged)
-    "q_embed_ivf",  # r7: similarity.py centroid scorer refactor (parity-pinned)
-    "q_embed_ivf_nprobe",  # r7: same refactor (ivf_probe_lists paths)
-    "q_embed_ivfpq",  # r7: ivf_assign literal/array path split
-    "q_embed_ivfpq_nprobe",  # r7: same refactor
-    "q_embed_ivfpq_rerank",  # r7: same refactor (stage 1 is ivfpq_ann)
-    # (b) the committed r7 block: all 39 r3-latest names
-    "q_agg_cms",
-    "q_join_bloom",
-    "q_scan_gzip_text",
-    "q_sink_tar_shards",
-    "q_sink_har_roundtrip",
-    "q_sink_schema_evolution",
-    "q_sink_compaction",
-    "q_sink_orc_roundtrip",
-    "q_sink_tfile_roundtrip",
-    "q_fn_recordio",
-    "q_dedup_substring",
-    "q_text_classifier",
-    "q_text_bigram_lm",
-    "q_text_chunk",
-    "q_agg_domain_mix",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_embed_knn",
-    "q_embed_ann",
-    "q_text_logprob",
-    "q_sample_temperature",
-    "q_text_inverted_index",
-    "q_text_bm25",
-    "q_agg_approx_distinct",
-    "q_dedup_jaccard_est",
-    "q_agg_retention",
-    "q_agg_conversion",
-    "q_text_bpe",
-    "q_dedup_semantic",
-    "q_pipeline_funnel",
-    "q_text_bpe_encode",
-    "q_agg_rolling",
-    "q_graph_triangles",
-    "q_dedup_canonical",
-    "q_dedup_paragraph",
-    "q_dedup_incremental",
-    "q_filter_blocklist",
-    "q_agg_approx_quantile",
-    "q_audit_constraints",
+    # Round 8 window = exactly 50 names (the committed r8 block from the
+    # r7 verdict): (a) new/changed this round — CAPPED AT 6 so all 44
+    # r4-latest names fit; (b) ALL 44 r4-latest names (after r8 no
+    # registry query's newest external row is older than r5); (c) filler
+    # to 50 from the oldest remaining tier (r5-latest, alphabetical) —
+    # free rotation, not counted against the cap.
+    # (a) new this round — sim-only until the r8 driver row lands
+    "q_embed_kmeans_ivf_bcast",  # new r8: trained centroids x array carrier
+    # (b) all 44 r4-latest names
+    "q_agg_copurchase",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_drift_js",
+    "q_agg_gapfill",
+    "q_agg_histogram",
+    "q_agg_minmax",
+    "q_agg_multi",
+    "q_agg_rollup",
+    "q_agg_scd2",
+    "q_agg_tpch_q1",
+    "q_agg_tpch_q18",
+    "q_agg_tpch_q3",
+    "q_agg_tpch_q5",
+    "q_agg_tpch_q6",
+    "q_agg_wau",
+    "q_agg_window_rank",
+    "q_agg_wordcount",
+    "q_embed_kmeans",
+    "q_embed_pq",
+    "q_filter_grep",
+    "q_gen_random_writer",
+    "q_gen_terasort",
+    "q_join_asof",
+    "q_join_inner",
+    "q_join_override",
+    "q_multimodal_decode",
+    "q_multimodal_features",
+    "q_proj_chain",
+    "q_proj_fieldsel",
+    "q_proj_unpivot",
+    "q_sample_weighted",
+    "q_scan_bz2_text",
+    "q_scan_kv_split",
+    "q_scan_multi_input",
+    "q_scan_sample_filter",
+    "q_scan_text_count",
+    "q_sink_zorder",
+    "q_sort_keyfield",
+    "q_sort_secondary",
+    "q_sort_total_order",
+    "q_text_entropy",
+    "q_top_tokens",
+    "q_udf_cogroup",
+    # (c) filler to 50: oldest tier (r5-latest), alphabetical
+    "q_agg_deciles",
+    "q_agg_grouping_sets",
+    "q_agg_interval_merge",
+    "q_agg_item_sim",
+    "q_agg_tpch_q10",
     # ---- 50-row cut line ----
-    # committed r8 block: the remaining r4-latest names (the 44 not
-    # pulled forward above — SURVEY §8's Ext column lists them), plus
-    # any query added/changed in r8.
 ]
 
 

@@ -879,6 +879,27 @@ def _embed_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_ann(emb, queries, centroids=cents, k=5)
 
 
+def _embed_kmeans_ivf_bcast(spark: SparkSession, sf: str) -> DataFrame:
+    """q_embed_kmeans_ivf with the broadcast array-column centroid carrier
+    forced on (r7 verdict task 4 composition proof): the TRAINED Lloyd
+    centroids — float means, not designated corpus vectors — ride as DATA
+    through the large-nlist path (literal=False), against the UNCHANGED
+    kmeans->IVF oracle. q_embed_ivf_bcast proved literal/array bitwise
+    parity for designated centroids; this proves the two r7 features
+    compose: trained quantizer x scale-path carrier. Routing safety is the
+    same pinned >=4e-5 margin (see _embed_kmeans_ivf's docstring)."""
+    emb = T(spark, sf, "embeddings")
+    init_rows = (
+        emb.filter(F.col("vec_id") < _KMEANS_K).select("vec_id", "embedding").collect()
+    )
+    init = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init_rows}
+    _, cents = clustering.kmeans_lloyd(
+        emb, "embedding", _KMEANS_K, _KMEANS_ITERS, init
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(emb, queries, centroids=cents, k=5, literal=False)
+
+
 def _kmeans_ivf_oracle() -> str:
     """_kmeans_oracle's chain extended one step (c2 = means of a2), then
     _IVF_SQL's assignment/probe replay against those trained centroids."""
@@ -1722,6 +1743,13 @@ QUERIES: dict[str, QueryDef] = {
         "extension: trained-quantizer composition — kmeans_lloyd's "
         "post-update centroids become the IVF codebook, then the standard "
         "assign/probe topology; oracle replays train + route + probe",
+    ),
+    "q_embed_kmeans_ivf_bcast": QueryDef(
+        _embed_kmeans_ivf_bcast,
+        _kmeans_ivf_oracle(),
+        "extension: trained kmeans centroids routed THROUGH the broadcast "
+        "array-column carrier (literal=False) — proves the r7 trained-"
+        "quantizer and scale-path features compose; oracle unchanged",
     ),
     "q_embed_pq": QueryDef(
         _embed_pq,

@@ -50,7 +50,14 @@ def parse_existing(surv: str) -> tuple[str, dict[str, str], int, int]:
         raise SystemExit("SURVEY.md §8 table header not found")
     tag = m.group(1)
     start = m.start()
-    end = surv.index("\nMapping of declared IDs -> registry names:", start)
+    sentinel = "\nMapping of declared IDs -> registry names:"
+    try:
+        end = surv.index(sentinel, start)
+    except ValueError:
+        raise SystemExit(
+            f"SURVEY.md §8 end sentinel not found after the table header: "
+            f"{sentinel.strip()!r}"
+        ) from None
     changed: dict[str, str] = {}
     for line in surv[start:end].splitlines():
         cells = [c.strip() for c in line.strip().strip("|").split("|")]
@@ -70,6 +77,14 @@ def parse_existing(surv: str) -> tuple[str, dict[str, str], int, int]:
 def render(tag: str, changed: dict[str, str]) -> str:
     from hadoop_0_20_2_ljx_spark.queries import REGISTRY, _NEEDS_FRESH_EVIDENCE
 
+    orphans = sorted(set(changed) - set(REGISTRY))
+    if orphans:
+        # a renamed registry query would otherwise silently drop its
+        # Changed-column annotation on regeneration
+        raise SystemExit(
+            f"§8 Changed-column notes reference names absent from the "
+            f"registry (renamed query?): {orphans}"
+        )
     newest = newest_evidence()
     win = set(_NEEDS_FRESH_EVIDENCE)
     rows = [
