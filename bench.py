@@ -252,6 +252,160 @@ def bench_minhash_10x(spark, timings, shuffle_b, input_b) -> None:
     assert n_pairs >= 10_000, f"planted duplicate pairs missed: {n_pairs}"
 
 
+def bench_ivfpq_10x(spark, timings, shuffle_b, input_b) -> None:
+    """10x stress row for the IVF probe's candidate growth (r7 verdict
+    task 3 — minhash_dedup_10x proved LSH pair scaling; this is the same
+    methodology on the IVF-PQ probe path). Deterministic md5-derived
+    64-dim corpora at 1x (2,000 = sf0.1's embeddings count) and 10x
+    (20,000) at fixed nlist=8 / nprobe=1 / k=5 / 1,000 queries; corpus
+    materialization and pq_train are OUTSIDE the timed window, so the
+    row times the PROBE (assign -> codes-only equi-join -> ADC top-5)
+    whose candidate count is the cost that scales: queries x docs/nlist
+    = 250k ADC pairs at 1x, 2.5M at 10x. Expected curve for the delta
+    note: per-query candidates grow ∝ docs/nlist (wall ~linear once
+    candidates dominate task overhead), while shuffle stays FLAT in
+    corpus size — the probe is an equi-join against the broadcast query
+    assignments, so PQ codes stream map-side and never shuffle; only
+    the O(queries x k) top-k aggregation exchanges rows. That flatness
+    is the 100 TB point of the codes-only probe design. The 1x
+    generated row (not the fixture embed_ivfpq row) is the comparison
+    base so the generator is held constant across the pair."""
+    from hadoop_0_20_2_ljx_spark.extensions import clustering, similarity
+
+    def gen(n: int):
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("-", F.col("id").cast("string"), i.cast("string"))
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(16777216.0)
+            - F.lit(0.5),
+        )
+        return spark.range(n).select(
+            F.col("id").cast("int").alias("vec_id"), vec.alias("embedding")
+        )
+
+    for label, n in (("ivfpq_gen_1x", 2_000), ("ivfpq_10x", 20_000)):
+        # corpus materialized and codebooks trained OUTSIDE the timed
+        # window: the row measures the PROBE path (assign -> codes-only
+        # equi-join -> ADC top-k), the part whose candidate growth is the
+        # scaling claim — not pq_train's fixed cost or the generator.
+        corpus = gen(n).localCheckpoint()
+        books = clustering.pq_train(corpus, "vec_id", "embedding", 8, 8, iters=1)
+        res = similarity.ivfpq_ann(
+            corpus,
+            corpus.filter(F.col("vec_id") < 1000),
+            nlist_ids=list(range(8)),
+            books=books,
+            k=5,
+        )
+        _force(res)  # codegen warm (compile differs per trained codebook)
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        n_rows = res.count()
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label] = sw1 - sw0
+        input_b[label] = ib1 - ib0
+        assert n_rows == 5_000, f"{label}: expected 1000 queries x top-5, got {n_rows}"
+
+
+def bench_source_sim_cap(spark, timings, shuffle_b, input_b) -> None:
+    """max_shingle_freq measured in its WIN regime (r7 verdict task 5 —
+    the r7 non-result stands on fixture text, which shares no boilerplate
+    across sources; this synthesizes the regime the knob exists for).
+    Corpus: 1,000 sources x 4 docs; every doc carries the SAME
+    1,000-token template block (~1k distinct shingles each present in
+    all 1,000 sources — the exact side's quadratic driver: ~1k shingles
+    x 10^6 group-pairs ≈ 10^9 intersection-join rows) plus 8 doc-unique
+    md5 tokens (group-frequency 1 — the discrimination signal). Rows:
+    `source_sim_uncapped` vs `source_sim_cap100` (max_shingle_freq=100 —
+    boilerplate shingles leave the intersection JOIN, unique ones stay).
+    Materialization is localCheckpoint, NOT count(): inter enters the
+    final plan as a unique-key LEFT join, which Catalyst correctly
+    eliminates under count()'s column pruning — a count-timed "bench"
+    would skip the very stage being measured. The contract assert
+    re-proves the tests/test_dedup_cap.py property at bench scale,
+    distributed (no row collect): same 499,500 pairs, est_bp
+    bit-identical (signatures never see the cap), capped jaccard_bp <=
+    uncapped everywhere."""
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    bp_block = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(999)),
+            lambda i: F.concat(F.lit("bp"), i.cast("string")),
+        ),
+        " ",
+    )
+    uniq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "u", F.col("id").cast("string"), i.cast("string")
+                    )
+                ),
+                1,
+                10,
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(4_000).select(
+        F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(1000)).cast("string")).alias(
+            "source"
+        ),
+        F.concat_ws(" ", bp_block, uniq).alias("text"),
+    )
+    results = {}
+    for label, cap in (("source_sim_uncapped", None), ("source_sim_cap100", 100)):
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        res = dedup.group_similarity_matrix(
+            docs, "source", "text", num_hashes=16, shingle_k=3, max_shingle_freq=cap
+        )
+        res = res.localCheckpoint()  # materialize inside the timed window
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label] = sw1 - sw0
+        input_b[label] = ib1 - ib0
+        results[label] = res
+    unc, cap = results["source_sim_uncapped"], results["source_sim_cap100"]
+    joined = unc.select(
+        "source_a",
+        "source_b",
+        F.col("est_bp").alias("e_u"),
+        F.col("jaccard_bp").alias("j_u"),
+    ).join(
+        cap.select(
+            "source_a",
+            "source_b",
+            F.col("est_bp").alias("e_c"),
+            F.col("jaccard_bp").alias("j_c"),
+        ),
+        ["source_a", "source_b"],
+        "full_outer",
+    )
+    bad = joined.filter(
+        F.col("e_u").isNull()
+        | F.col("e_c").isNull()
+        | (F.col("e_u") != F.col("e_c"))
+        | (F.col("j_c") > F.col("j_u"))
+    ).count()
+    n_pairs = unc.count()
+    assert bad == 0 and n_pairs == 499_500, f"cap contract violated: {bad}/{n_pairs}"
+
+
 def bench_pagerank_phases(spark) -> dict:
     """r5 watch-item #1: pagerank wall drifted up to 40% between runs
     with bit-identical shuffle bytes. Run the registry workload once
@@ -393,6 +547,7 @@ def main() -> int:
         "embed_ivfpq_rerank": "q_embed_ivfpq_rerank",
         "embed_kmeans_ivf": "q_embed_kmeans_ivf",
         "embed_ivf_bcast": "q_embed_ivf_bcast",
+        "embed_kmeans_ivf_bcast": "q_embed_kmeans_ivf_bcast",
     }
 
     # Warm the JVM/codegen AND the Python/Arrow worker pool once so
@@ -467,6 +622,8 @@ def main() -> int:
     bench_skew_join(spark, timings, shuffle_b, input_b)
     bench_skew_groupby(spark, timings, shuffle_b, input_b)
     bench_minhash_10x(spark, timings, shuffle_b, input_b)
+    bench_ivfpq_10x(spark, timings, shuffle_b, input_b)
+    bench_source_sim_cap(spark, timings, shuffle_b, input_b)
     pagerank_phases = bench_pagerank_phases(spark)
 
     # Durable-pin posture cost: re-run bm25 (pin()-materialized df/avgdl

@@ -40,14 +40,28 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-grams of a text column (the shingle set).
     Tokenization is the ONE shared corpus tokenizer (textstats.tokens) —
     every text family (dedup, contamination, BM25, logprob) and the
-    _WORDS SQL rendering in queries/ext.py must stay bit-identical."""
-    words = _tokens(text)
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    _WORDS SQL rendering in queries/ext.py must stay bit-identical.
+
+    The token array is bound ONCE as a lambda variable (wrap in a
+    1-element array, transform over it): Catalyst performs no common-
+    subexpression elimination inside higher-order-function lambdas, so
+    referencing the `words` expression directly from the per-index gram
+    lambda re-ran the regexp split once per shingle — O(tokens^2) work
+    per document. Invisible on the short fixture texts, 57x slower on a
+    2000-token document (the shape of real web pages); measured r8,
+    output bitwise identical (pinned in tests/test_dedup.py)."""
+
+    def _grams(ws: Column) -> Column:
+        n = F.size(ws)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+        )
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(_tokens(text)), _grams), 1)
 
 
 def _h32(col: Column) -> Column:
@@ -87,20 +101,27 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
     minhash_band_buckets (all short docs share one signature).
     """
     raw = word_shingles(text, shingle_k)
-    sh = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                sh,
-                lambda g: (
-                    F.shiftright(_mh_base(g), 30)
-                    + s.cast("long") * _mh_base(g).bitwiseAND(F.lit(_MH_MOD - 1))
+
+    # bind the shingle set once (see word_shingles: no CSE inside HOF
+    # lambdas — referencing `sh` from the per-seed lambda re-built the
+    # whole shingle array num_hashes times per document)
+    def _sig(sh: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    sh,
+                    lambda g: (
+                        F.shiftright(_mh_base(g), 30)
+                        + s.cast("long") * _mh_base(g).bitwiseAND(F.lit(_MH_MOD - 1))
+                    )
+                    % F.lit(_MH_MOD),
                 )
-                % F.lit(_MH_MOD),
-            )
-        ),
-    )
+            ),
+        )
+
+    padded = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
+    return F.element_at(F.transform(F.array(padded), _sig), 1)
 
 
 def minhash_signatures_relational(

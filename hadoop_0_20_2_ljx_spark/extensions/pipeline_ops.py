@@ -30,11 +30,22 @@ from hadoop_0_20_2_ljx_spark.pinning import pin
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Space-joined word n-grams of the lowercased text; [] when the doc
-    has fewer than n words."""
-    toks = tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    has fewer than n words.
+
+    The token array is bound once as a lambda variable (the
+    dedup.word_shingles pattern): Catalyst does no CSE inside
+    higher-order-function lambdas, so referencing `toks` from the
+    per-index lambda re-ran the regexp split per gram — O(tokens^2)
+    per document, fixed r8 (output bitwise identical)."""
+
+    def _grams(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(ws) - n)
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        return F.when(F.size(ws) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(text))), _grams), 1)
 
 
 def repetition_score(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -130,14 +130,24 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, window_k: int = 5
     """Winnowing-style rolling fingerprint: min md5-hash over word
     `window_k`-grams of the lowercased text — robust to whitespace-only
     edits; equal fingerprints flag near-identical prefixes/contents."""
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window_k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, window_k), " "),
-    )
-    h = F.array_min(
-        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    # token array bound once (the dedup.word_shingles pattern: no CSE
+    # inside HOF lambdas — a direct `toks` reference in the per-index
+    # lambda re-ran the regexp split per gram, O(tokens^2) per doc)
+    def _minhash(ws: Column) -> Column:
+        n = F.size(ws)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window_k, F.lit(0))),
+            lambda i: F.array_join(F.slice(ws, i + 1, window_k), " "),
+        )
+        return F.array_min(
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            )
+        )
+
+    h = F.element_at(
+        F.transform(F.array(tokens(F.lower(F.col(text_col)))), _minhash), 1
     )
     return df.select(
         F.col(id_col), F.coalesce(h, F.lit(-1).cast("long")).alias("fingerprint")

@@ -1,0 +1,202 @@
+"""Bitwise-identity pins for the r8 lambda-binding rewrite of the gram
+builders (dedup.word_shingles, pipeline_ops.word_ngrams,
+textstats.doc_fingerprint's window minhash, dedup.minhash_signature).
+
+Catalyst performs no common-subexpression elimination inside
+higher-order-function lambdas, so the original builders re-evaluated the
+token-array expression (a regexp split of the full text) once per gram
+index — O(tokens^2) work per document, 57x slower on a 2000-token doc
+(invisible on the short fixture texts; measured r8). The rewrite binds
+the token array ONCE as a lambda variable (wrap in a 1-element array,
+transform over it). These tests pin that the rewritten expressions are
+BITWISE identical to the original formulations on adversarial random
+texts — unicode, runs of whitespace, empty docs, docs shorter than one
+gram — plus the parquet fixture corpus, and that the linear plan really
+evaluates the split once (growth guard on a long synthetic doc).
+
+Reference semantics under test mirror the pre-r8 code verbatim (the
+`_old_*` builders below), so a regression in either direction fails.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+import time
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hadoop_0_20_2_ljx_spark.extensions import pipeline_ops, textstats
+from hadoop_0_20_2_ljx_spark.extensions import dedup
+from tests.conftest import SF_SMOKE
+
+
+# --- pre-r8 formulations, kept verbatim as the identity reference ------------
+def _old_word_shingles(text: Column, k: int = 3) -> Column:
+    words = dedup._tokens(text)
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _old_word_ngrams(text: Column, n: int) -> Column:
+    toks = textstats.tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _old_fingerprint_hash(text: Column, window_k: int = 5) -> Column:
+    toks = textstats.tokens(F.lower(text))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window_k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, window_k), " "),
+    )
+    return F.array_min(
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        )
+    )
+
+
+def _new_fingerprint_hash(text: Column, window_k: int = 5) -> Column:
+    # doc_fingerprint's rewritten hash, extracted the same way
+    def _minhash(ws: Column) -> Column:
+        n = F.size(ws)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window_k, F.lit(0))),
+            lambda i: F.array_join(F.slice(ws, i + 1, window_k), " "),
+        )
+        return F.array_min(
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(textstats.tokens(F.lower(text))), _minhash), 1)
+
+
+def _random_texts(n_rows: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    alphabet = string.ascii_lowercase + "äöü猫 \t\n  -_.!?"
+    out = []
+    for i in range(n_rows):
+        n_chars = rng.choice((0, 1, 2, 3, 5, 8, 40, 200))
+        out.append("".join(rng.choice(alphabet) for _ in range(n_chars)))
+    # pin the structured edge cases explicitly
+    out += ["", " ", "\t\n ", "one", "one two", "one two three",
+            "a  b   c    d", " lead", "trail ", "a a a a a a"]
+    return out
+
+
+def _assert_bitwise_equal(spark, texts: list[str], old: Column, new: Column) -> None:
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    bad = df.select(
+        F.when(old.eqNullSafe(new), 0).otherwise(1).alias("x")
+    ).agg(F.sum("x")).first()[0]
+    assert bad == 0, f"{bad}/{len(texts)} rows differ between old and new expression"
+
+
+def test_word_shingles_binding_is_bitwise_identical(spark):
+    texts = _random_texts(400, seed=81)
+    for k in (1, 2, 3, 5):
+        _assert_bitwise_equal(
+            spark, texts, _old_word_shingles(F.col("text"), k),
+            dedup.word_shingles(F.col("text"), k),
+        )
+
+
+def test_word_ngrams_binding_is_bitwise_identical(spark):
+    texts = _random_texts(400, seed=82)
+    for n in (1, 2, 3, 8):
+        _assert_bitwise_equal(
+            spark, texts, _old_word_ngrams(F.col("text"), n),
+            pipeline_ops.word_ngrams(F.col("text"), n),
+        )
+
+
+def test_fingerprint_binding_is_bitwise_identical(spark):
+    texts = _random_texts(400, seed=83)
+    _assert_bitwise_equal(
+        spark, texts, _old_fingerprint_hash(F.col("text"), 5),
+        _new_fingerprint_hash(F.col("text"), 5),
+    )
+
+
+def test_minhash_signature_binding_is_bitwise_identical(spark):
+    texts = _random_texts(200, seed=84)
+    # pre-r8 array form: per-seed lambda re-referenced the padded shingle set
+    raw = _old_word_shingles(F.col("text"), 3)
+    sh = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
+    old = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda s: F.array_min(
+            F.transform(
+                sh,
+                lambda g: (
+                    F.shiftright(dedup._mh_base(g), 30)
+                    + s.cast("long") * dedup._mh_base(g).bitwiseAND(F.lit(dedup._MH_MOD - 1))
+                )
+                % F.lit(dedup._MH_MOD),
+            )
+        ),
+    )
+    _assert_bitwise_equal(
+        spark, texts, old, dedup.minhash_signature(F.col("text"), 8, 3)
+    )
+
+
+def test_shingles_match_on_fixture_corpus(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for old, new in (
+        (_old_word_shingles(F.col("text"), 3), dedup.word_shingles(F.col("text"), 3)),
+        (_old_word_ngrams(F.col("text"), 8), pipeline_ops.word_ngrams(F.col("text"), 8)),
+        (_old_fingerprint_hash(F.col("text"), 5), _new_fingerprint_hash(F.col("text"), 5)),
+    ):
+        bad = docs.select(
+            F.when(old.eqNullSafe(new), 0).otherwise(1).alias("x")
+        ).agg(F.sum("x")).first()[0]
+        assert bad == 0
+
+
+def test_long_doc_shingle_build_is_not_quadratic(spark):
+    """Growth guard, not a wall-clock benchmark: on 200 generated docs,
+    growing the doc 8x (250 -> 2000 tokens) must not grow the shingle
+    build superlinearly. The quadratic form is 64x work per doc at 8x
+    tokens (measured 57x slower wall); the linear form is 8x work. The
+    12x ratio bound leaves 50% headroom over perfect linearity on a
+    shared host while failing the quadratic form by 5x."""
+
+    def corpus(n_tokens: int):
+        words = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                lambda i: F.concat(F.lit("w"), ((F.col("id") * 31 + i) % 9973).cast("string")),
+            ),
+            " ",
+        )
+        return spark.range(200).select(words.alias("text"))
+
+    def build_secs(n_tokens: int) -> float:
+        df = corpus(n_tokens).select(
+            F.explode(dedup.word_shingles(F.col("text"), 3)).alias("g")
+        )
+        t = time.time()
+        df.count()
+        return time.time() - t
+
+    build_secs(250)  # warm codegen
+    small = min(build_secs(250) for _ in range(2))
+    large = min(build_secs(2000) for _ in range(2))
+    assert large < max(12 * small, 2.0), (
+        f"shingle build grew {large / max(small, 1e-9):.1f}x for 8x tokens "
+        f"({small:.2f}s -> {large:.2f}s): quadratic regression?"
+    )
