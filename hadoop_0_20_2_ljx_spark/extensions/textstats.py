@@ -43,31 +43,53 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Stopword-hit ratio per candidate language."""
-    toks = tokens(F.lower(text))
-    n = F.greatest(F.size(toks), F.lit(1))
-    out = {}
-    for lang, words in STOPWORDS.items():
-        hits = F.size(F.filter(toks, lambda w: w.isin(*words)))
-        out[lang] = hits / n
-    return out
+def lang_pred_expr(text: Column, min_ratio: float = 0.01) -> Column:
+    """Language-ID heuristic as a COLUMN expression: argmax stopword-hit
+    ratio, 'und' when no language clears min_ratio. Deterministic
+    tie-break by language code.
+
+    The token array is bound ONCE as a lambda variable and the per-
+    language score vector ONCE more (the word_shingles pattern: Catalyst
+    performs no CSE through higher-order-function trees, so the original
+    formulation — one `toks` Column object referenced from every score,
+    every score referenced three times by the argmax when-chain — stamped
+    24 copies of filter(split(lower(text))) into the projection, i.e.
+    24 redundant tokenizations per document; measured 1.7x end-to-end on
+    500-token docs, growing with doc length. Identity pinned in
+    tests/test_hof_binding.py)."""
+    langs = sorted(STOPWORDS)
+
+    def _hits(words: tuple[str, ...]):
+        # closure factory, NOT a default arg: pyspark's HOF wrapper maps
+        # one lambda parameter to one lambda variable, so `lambda w, ws=…`
+        # would be treated as a two-argument (element, index) lambda
+        return lambda w: w.isin(*words)
+
+    def _scores(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        return F.array(
+            *[F.size(F.filter(toks, _hits(STOPWORDS[lang]))) / n for lang in langs]
+        )
+
+    def _pred(s: Column) -> Column:
+        # element_at references are cheap; only the score vector build is
+        # expensive, and it is bound exactly once above.
+        best = F.greatest(*[F.element_at(s, i + 1) for i in range(len(langs))])
+        pred = F.lit("und")
+        for i, lang in reversed(list(enumerate(langs))):
+            sc = F.element_at(s, i + 1)
+            pred = F.when((sc >= min_ratio) & (sc == best), F.lit(lang)).otherwise(pred)
+        return pred
+
+    scores = F.element_at(F.transform(F.array(tokens(F.lower(text))), _scores), 1)
+    return F.element_at(F.transform(F.array(scores), _pred), 1)
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str, min_ratio: float = 0.01) -> DataFrame:
-    """Language-ID heuristic: argmax stopword-hit ratio, 'und' when no
-    language clears min_ratio. Deterministic tie-break by language code.
-    """
-    scores = lang_scores(F.col(text_col))
-    # build argmax as a chain of whens over languages sorted for determinism
-    langs = sorted(scores)
-    best_score = F.greatest(*[scores[lang] for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when(
-            (scores[lang] >= min_ratio) & (scores[lang] == best_score), F.lit(lang)
-        ).otherwise(pred)
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+    """lang_pred_expr projected to (id, lang_pred)."""
+    return df.select(
+        F.col(id_col), lang_pred_expr(F.col(text_col), min_ratio).alias("lang_pred")
+    )
 
 
 def quality_expr(t: Column) -> Column:
@@ -79,26 +101,38 @@ def quality_expr(t: Column) -> Column:
 
     score = 0.25*len_ok + 0.25*wordlen_ok + 0.25*(1-punct_ratio)
           + 0.25*min(1, 10*stopword_ratio)
+
+    The token array and the word-length fold are each bound ONCE as
+    lambda variables (the word_shingles pattern — no CSE through HOF
+    trees): the original formulation referenced `toks` from the fold,
+    the stopword filter, and both sides of the avg-word-length range
+    check, stamping three tokenizations and two O(tokens) folds per
+    document into the projection. Identity pinned in
+    tests/test_hof_binding.py.
     """
-    toks = tokens(t)
-    n_words = F.greatest(F.size(toks), F.lit(1))
     n_chars = F.greatest(F.length(t), F.lit(1))
-    avg_wlen = (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n_words
-    )
     punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
     punct_ratio = punct / n_chars
-    en_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin("the", "a", "of", "and")))
-    stop_ratio = en_hits / n_words
     len_ok = F.when((F.length(t) >= 50) & (F.length(t) <= 10000), 1.0).otherwise(0.0)
-    wordlen_ok = F.when((avg_wlen >= 2.0) & (avg_wlen <= 12.0), 1.0).otherwise(0.0)
-    score = (
-        0.25 * len_ok
-        + 0.25 * wordlen_ok
-        + 0.25 * (1.0 - punct_ratio)
-        + 0.25 * F.least(F.lit(1.0), 10.0 * stop_ratio)
-    )
-    return F.round(score, 6)
+
+    def _score(toks: Column) -> Column:
+        n_words = F.greatest(F.size(toks), F.lit(1))
+        sum_wlen = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        en_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin("the", "a", "of", "and")))
+        stop_ratio = en_hits / n_words
+
+        def _with_avg(avg_wlen: Column) -> Column:
+            wordlen_ok = F.when((avg_wlen >= 2.0) & (avg_wlen <= 12.0), 1.0).otherwise(0.0)
+            return (
+                0.25 * len_ok
+                + 0.25 * wordlen_ok
+                + 0.25 * (1.0 - punct_ratio)
+                + 0.25 * F.least(F.lit(1.0), 10.0 * stop_ratio)
+            )
+
+        return F.element_at(F.transform(F.array(sum_wlen / n_words), _with_avg), 1)
+
+    return F.round(F.element_at(F.transform(F.array(tokens(t)), _score), 1), 6)
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

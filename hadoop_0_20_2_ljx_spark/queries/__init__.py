@@ -52,14 +52,26 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_pipeline_funnel",  # r8: same
     "q_text_bigram_lm",  # r8: same
     "q_text_fingerprint",  # r8: doc_fingerprint bind-once
-    # (c) 35 of the 44 r4-latest names
+    # (b2) changed late-r8: the same no-CSE-through-HOF-trees bug in the
+    # lang-ID/quality score expressions — one `toks` Column object
+    # referenced from every per-language score and every score referenced
+    # three times by the argmax chain stamped 24 copies of
+    # filter(split(lower(text))) into q_text_langid's projection (52 into
+    # q_pipeline_training, which ALSO re-ran the dedup agg once per
+    # feature-join branch — now a single projection, zero joins). Bind-
+    # once rewrite is bitwise-identical (tests/test_hof_binding.py); four
+    # more r4-latest names demoted to the committed r9 block.
+    "q_text_langid",  # r8: lang scores + argmax bound once (24 -> 1 split)
+    "q_text_quality",  # r8: token array + length fold bound once
+    "q_pipeline_training",  # r8: one-projection compose, no feature joins
+    "q_sample_token_budget",  # r8: quality_expr consumer (ordering key)
+    # (c) 31 of the 44 r4-latest names
     "q_agg_copurchase",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_drift_js",
     "q_agg_gapfill",
     "q_agg_histogram",
-    "q_agg_minmax",
     "q_agg_multi",
     "q_agg_rollup",
     "q_agg_scd2",
@@ -73,12 +85,9 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_wordcount",
     "q_embed_kmeans",
     "q_embed_pq",
-    "q_filter_grep",
     "q_join_asof",
     "q_join_inner",
     "q_join_override",
-    "q_multimodal_decode",
-    "q_multimodal_features",
     "q_proj_unpivot",
     "q_sample_weighted",
     "q_sink_zorder",
@@ -93,6 +102,9 @@ _NEEDS_FRESH_EVIDENCE = [
     # gram-builder churn — q_gen_random_writer, q_gen_terasort,
     # q_proj_chain, q_proj_fieldsel, q_scan_bz2_text, q_scan_kv_split,
     # q_scan_multi_input, q_scan_sample_filter, q_scan_text_count —
+    # plus the 4 displaced by the late-r8 lang/quality binding fix
+    # (q_agg_minmax, q_filter_grep, q_multimodal_decode,
+    # q_multimodal_features; all four also pinned by unit tests) —
     # plus whatever r9 adds or changes.
 ]
 

@@ -387,10 +387,15 @@ WHERE list_inner_product(a.v, b.v) /
 
 # --- text: language id -------------------------------------------------------
 def _text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    # declared lang and predicted lang come from ONE projection — the
+    # previous lang_id(docs)-joined-back-to-docs form scanned the corpus
+    # twice and shuffled both sides on doc_id (Catalyst does not
+    # deduplicate common subplans)
     docs = T(spark, sf, "documents")
-    pred = textstats.lang_id(docs, "doc_id", "text", min_ratio=0.01)
-    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
-    return joined.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    pred = docs.select(
+        "lang", textstats.lang_pred_expr(F.col("text"), min_ratio=0.01).alias("lang_pred")
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
 
 
 def _langid_oracle() -> str:
@@ -539,18 +544,24 @@ FROM redacted
 def _pipeline_training(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data pipeline: exact dedup (deterministic
     survivor = min doc_id per text), language gate, quality gate, token
-    accounting — proving the §7.4 ops compose into one Catalyst plan."""
+    accounting — proving the §7.4 ops compose into one Catalyst plan.
+
+    All three per-doc features come from ONE projection over the deduped
+    corpus (lang_pred_expr / quality_expr are Column expressions). The
+    original form joined three lang_id/quality_score/token DataFrames
+    back on doc_id, and since Catalyst does not deduplicate common
+    subplans, each join branch re-ran the groupBy(text) dedup — four
+    corpus aggregations and three join shuffles where one scan suffices
+    (the r5 token_budget lesson, applied to this composite)."""
     docs = T(spark, sf, "documents")
     dd = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    lang = textstats.lang_id(dd, "doc_id", "text")
-    qual = textstats.quality_score(dd, "doc_id", "text")
-    tok = dd.select("doc_id", F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"))
-    kept = (
-        dd.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(tok, "doc_id")
-        .filter((F.col("lang_pred") != "und") & (F.col("quality") >= 0.5))
+    feats = dd.select(
+        "doc_id",
+        textstats.lang_pred_expr(F.col("text"), min_ratio=0.01).alias("lang_pred"),
+        textstats.quality_expr(F.col("text")).alias("quality"),
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    kept = feats.filter((F.col("lang_pred") != "und") & (F.col("quality") >= 0.5))
     return kept.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )

@@ -152,3 +152,60 @@ def test_kcore_peel_matches_serial_reference(spark):
         assert got == survivors, (k, rounds)
         if survivors:
             assert got_conv == {conv}, (k, rounds)
+
+
+def _uf_components(edges: list[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    """Serial union-find reference: node -> min member id of its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def test_connected_components_match_union_find_random_graphs(spark):
+    """Alternating large-star/small-star must label every node with its
+    component minimum, exactly as a serial union-find does — on seeded
+    random graphs with self-loops, duplicate and reversed edges, long
+    chains, and isolated components (adversarial for star rounds, whose
+    correctness argument rides edge re-linking, not label flooding)."""
+    from hadoop_0_20_2_ljx_spark.extensions.dedup import connected_components
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        # a long chain stresses O(log n) convergence; an offset clique
+        # and duplicate/reversed noise stress the distinct + orientation
+        chain = list(range(n, n + 15))
+        edges += list(zip(chain, chain[1:]))
+        edges += [(v, u) for u, v in edges[: len(edges) // 3]]
+        nodes = {x for e in edges for x in e}
+        ref = _uf_components([e for e in edges if e[0] != e[1]], nodes)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, "doc_a", "doc_b").collect()
+        }
+        # connected_components drops self-loop-only nodes unless passed a
+        # node frame; compare over the nodes it labels and check the
+        # remainder are self-loop singletons
+        for node, comp in got.items():
+            assert comp == ref[node], f"trial {trial} node {node}"
+        missing = nodes - set(got)
+        assert all(ref[m] == m for m in missing), f"trial {trial}: {missing}"

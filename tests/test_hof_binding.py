@@ -167,6 +167,105 @@ def test_shingles_match_on_fixture_corpus(spark):
         assert bad == 0
 
 
+# --- pre-r8.2 formulations: lang_id / quality_expr score duplication ---------
+def _old_quality_expr(t: Column) -> Column:
+    toks = textstats.tokens(t)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    avg_wlen = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n_words
+    )
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    punct_ratio = punct / n_chars
+    en_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin("the", "a", "of", "and")))
+    stop_ratio = en_hits / n_words
+    len_ok = F.when((F.length(t) >= 50) & (F.length(t) <= 10000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((avg_wlen >= 2.0) & (avg_wlen <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        0.25 * len_ok
+        + 0.25 * wordlen_ok
+        + 0.25 * (1.0 - punct_ratio)
+        + 0.25 * F.least(F.lit(1.0), 10.0 * stop_ratio)
+    )
+    return F.round(score, 6)
+
+
+def _old_lang_pred_expr(text: Column, min_ratio: float = 0.01) -> Column:
+    toks = textstats.tokens(F.lower(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+    def _hits(words):
+        return lambda w: w.isin(*words)
+
+    scores = {
+        lang: F.size(F.filter(toks, _hits(words))) / n
+        for lang, words in textstats.STOPWORDS.items()
+    }
+    langs = sorted(scores)
+    best_score = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (scores[lang] >= min_ratio) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def _en_texts(n_rows: int, seed: int) -> list[str]:
+    """Random texts salted with real stopwords so every language's score
+    and the argmax tie-break actually fire."""
+    rng = random.Random(seed)
+    stop = [w for ws in textstats.STOPWORDS.values() for w in ws]
+    out = []
+    for t in _random_texts(n_rows, seed):
+        words = t.split(" ")
+        for _ in range(rng.randrange(4)):
+            words.insert(rng.randrange(len(words) + 1), rng.choice(stop))
+        out.append(" ".join(words))
+    return out
+
+
+def test_quality_expr_binding_is_bitwise_identical(spark):
+    texts = _en_texts(400, seed=85)
+    _assert_bitwise_equal(
+        spark, texts, _old_quality_expr(F.col("text")),
+        textstats.quality_expr(F.col("text")),
+    )
+
+
+def test_lang_pred_binding_is_bitwise_identical(spark):
+    texts = _en_texts(400, seed=86)
+    for min_ratio in (0.01, 0.25):
+        _assert_bitwise_equal(
+            spark, texts, _old_lang_pred_expr(F.col("text"), min_ratio),
+            textstats.lang_pred_expr(F.col("text"), min_ratio),
+        )
+
+
+def test_lang_and_quality_match_on_fixture_corpus(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for old, new in (
+        (_old_quality_expr(F.col("text")), textstats.quality_expr(F.col("text"))),
+        (_old_lang_pred_expr(F.col("text")), textstats.lang_pred_expr(F.col("text"))),
+    ):
+        bad = docs.select(
+            F.when(old.eqNullSafe(new), 0).otherwise(1).alias("x")
+        ).agg(F.sum("x")).first()[0]
+        assert bad == 0
+
+
+def test_lang_and_quality_tokenize_once_in_plan(spark):
+    """Mechanical pin: the optimized plan of each rewritten projection
+    carries exactly ONE split( — the single bound tokenization. The old
+    formulations stamped 24 (lang argmax) / 3+ (quality) copies."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for col in (
+        textstats.lang_pred_expr(F.col("text")),
+        textstats.quality_expr(F.col("text")),
+    ):
+        plan = docs.select(col.alias("y"))._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
+
+
 def test_long_doc_shingle_build_is_not_quadratic(spark):
     """Growth guard, not a wall-clock benchmark: on 200 generated docs,
     growing the doc 8x (250 -> 2000 tokens) must not grow the shingle

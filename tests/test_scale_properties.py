@@ -740,3 +740,20 @@ def test_ivf_array_centroid_path_is_broadcast_no_shuffle(spark):
     # and the literal path keeps its no-join shape
     lit_plan = plan_of(similarity.ivf_assign(emb, cents, literal=True))
     assert "Join" not in lit_plan and "Exchange hashpartitioning" not in lit_plan
+
+
+def test_pipeline_training_single_scan_no_feature_joins(spark):
+    """The composed training pipeline (dedup -> lang gate -> quality gate
+    -> token accounting) must be ONE corpus scan with zero joins: each
+    feature is a Column expression in a single projection. The pre-r8
+    feature-join form re-ran the groupBy(text) dedup once per branch
+    (Catalyst does not deduplicate common subplans) — four corpus
+    aggregations and three join shuffles for a one-scan job."""
+    from hadoop_0_20_2_ljx_spark.queries import REGISTRY
+
+    df = REGISTRY["q_pipeline_training"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # dedup agg + final rollup, each partial+final
+    assert plan.count("HashAggregate") <= 4, plan
