@@ -687,10 +687,16 @@ def ngram_jaccard_pairs(
     """
     from hadoop_0_20_2_ljx_spark.operators.scans import spread
 
+    # Pin the exploded shingle table: it feeds both sides of the
+    # intersection self-join AND the size aggregate (referenced twice,
+    # doc_a and doc_b) — four consumers whose pruning defeats exchange
+    # reuse, so without the pin each one re-tokenized the corpus (the
+    # bm25 / source_sim lesson). The tiny O(docs) size table pins too so
+    # its two join entries share one aggregation pass.
     sh = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    ).transform(pin)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh")).transform(pin)
     if max_shingle_freq is not None:
         keep = (
             sh.groupBy("sh")
@@ -776,11 +782,16 @@ def duplicate_substring_spans(
 
     toks = _tokens(F.lower(F.col(text_col)))
     grams = word_ngrams(F.col(text_col), n)
+    # Pin the windowed position table (it feeds the dup-vocabulary agg
+    # AND the join-back) and the surviving dup windows (they feed the
+    # coverage explode AND the per-doc count): without the pins each
+    # consumer re-ran the posexplode tokenization — four corpus scans
+    # for a one-scan-per-stage job (the bm25 / source_sim lesson).
     windows = df.select(
         F.col(id_col).alias("doc"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.posexplode(grams).alias("pos", "gram"),
-    ).select("doc", "n_tokens", "pos", portable_hash64(F.col("gram")).alias("gh"))
+    ).select("doc", "n_tokens", "pos", portable_hash64(F.col("gram")).alias("gh")).transform(pin)
     dup_vocab = (
         windows.select("doc", "gh")
         .distinct()
@@ -789,7 +800,7 @@ def duplicate_substring_spans(
         .where(F.col("n_docs") >= 2)
         .select("gh")
     )
-    dup_wins = windows.join(dup_vocab, "gh")
+    dup_wins = windows.join(dup_vocab, "gh").transform(pin)
     cov = (
         dup_wins.select(
             "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("ti")
