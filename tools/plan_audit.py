@@ -82,24 +82,58 @@ EXPENSIVE = re.compile(
 )
 
 
+_SNAPSHOT = __file__.replace("plan_audit.py", "plan_shapes.json")
+
+# Logical-plan node/call counts that are deterministic at any fixture
+# size (AQE and broadcast thresholds act on the PHYSICAL plan, so these
+# survive re-generated fixtures and re-runs). A diff here is a plan-shape
+# change to explain, not necessarily a bug — the r8 wins (join removal,
+# bind-once) would each have shown up as exactly one expected diff line.
+_SHAPE_KEYS = ("Join", "Aggregate", "Window", "Generate", "Relation", "split(", "md5(")
+
+
+def _shape(plan: str) -> dict[str, int]:
+    return {k: plan.count(k) for k in _SHAPE_KEYS}
+
+
 def main() -> int:
+    import json
+
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    snapshot_mode = "--snapshot" in sys.argv
+    sf = args[0] if args else "/root/testdata/sf0.001"
     spark = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    try:
+        with open(_SNAPSHOT) as fh:
+            prior = json.load(fh)
+    except OSError:
+        prior = {}
     flagged = 0
+    shape_diffs = 0
+    shapes: dict[str, dict[str, int]] = {}
     for name, fn in sorted(entry_mod.queries().items()):
         try:
             plan = fn(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {str(e)[:100]}")
             continue
+        shapes[name] = _shape(plan)
+        if name in prior and prior[name] != shapes[name]:
+            shape_diffs += 1
+            delta = {
+                k: f"{prior[name].get(k, 0)}->{shapes[name][k]}"
+                for k in _SHAPE_KEYS
+                if prior[name].get(k, 0) != shapes[name][k]
+            }
+            print(f"SHAPE {name}: {delta}")
         dup_calls = {
             k: v
             for k, v in Counter(m.group(0) for m in EXPENSIVE.finditer(plan)).items()
@@ -120,6 +154,15 @@ def main() -> int:
         if rescans:
             print(f"   rescans: {dict(rescans)}")
     print(f"\nunaccepted flags: {flagged} (0 = every flag has a reviewed reason)")
+    if prior:
+        print(
+            f"plan-shape diffs vs snapshot: {shape_diffs} "
+            "(each needs an explanation or a refreshed snapshot)"
+        )
+    if snapshot_mode:
+        with open(_SNAPSHOT, "w") as fh:
+            json.dump(shapes, fh, indent=0, sort_keys=True)
+        print(f"snapshot written: {_SNAPSHOT} ({len(shapes)} queries)")
     spark.stop()
     return 0
 
