@@ -225,7 +225,7 @@ def _en_texts(n_rows: int, seed: int) -> list[str]:
 
 
 def test_quality_expr_binding_is_bitwise_identical(spark):
-    texts = _en_texts(400, seed=85)
+    texts = _en_texts(400, seed=85) + [None]  # NULL propagates identically
     _assert_bitwise_equal(
         spark, texts, _old_quality_expr(F.col("text")),
         textstats.quality_expr(F.col("text")),
@@ -233,7 +233,7 @@ def test_quality_expr_binding_is_bitwise_identical(spark):
 
 
 def test_lang_pred_binding_is_bitwise_identical(spark):
-    texts = _en_texts(400, seed=86)
+    texts = _en_texts(400, seed=86) + [None]
     for min_ratio in (0.01, 0.25):
         _assert_bitwise_equal(
             spark, texts, _old_lang_pred_expr(F.col("text"), min_ratio),
