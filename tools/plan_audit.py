@@ -66,7 +66,8 @@ _ACCEPTED = {
     "q_dedup_semantic": "kmeans-blocking centroid folds",
     "q_join_override": "n-ary override semantics scan part 3x by design",
     "q_sample_domain_reweight": "accepted dup-scan; pinned no-corpus-exchange",
-    "q_text_decontaminate": "two-scan detect+rewrite by design",
+    "q_text_decontaminate": "detect + rewrite corpus scans by design, plus "
+    "the 1/97 bench-slice gram build (third Relation, not corpus-sized work)",
     "q_pipeline_funnel": "four distinct funnel stages, not a rescan bug",
     "q_sink_zorder": "column-range bounds pass + data pass",
     "q_agg_approx_quantile": "exact-vs-approx contract compares two sides",
