@@ -252,6 +252,69 @@ def bench_minhash_10x(spark, timings, shuffle_b, input_b) -> None:
     assert n_pairs >= 10_000, f"planted duplicate pairs missed: {n_pairs}"
 
 
+def bench_pagerank_10x(spark, timings, shuffle_b, input_b) -> None:
+    """10x stress pair for the iterative-join family (the last family
+    without measured scaling evidence; same methodology as
+    minhash_dedup_10x / ivfpq_10x). Deterministic md5-derived random
+    graphs at 150k and 1.5M edges, average out-degree ~10 (node count =
+    edges/10), PageRank at the registry's 3 rounds. The scaling claims
+    for the delta note: per-round shuffle ∝ edges (each round is one
+    rank equi-join + one partial-agg over the pinned edge table — no
+    stage touches more than the edge count), setup ∝ edges (the
+    distinct + two pins), and round wall stays flat ACROSS rounds at
+    both sizes (the O(log n)-free fixed-round workload; plan trees are
+    lineage-truncated by the per-round pin, so round 2 costs what round
+    0 costs). Edge generation is outside the timed window.
+
+    Auto-broadcast is DISABLED for this pair: at 150k edges the 15k-row
+    rank table broadcasts and the round join ships ~0 edge bytes, at
+    1.5M it flips to a shuffle join — measured 96x round bytes across
+    the boundary, a regime change, not a scaling law. At 100 TB the
+    rank table is itself corpus-scale and never broadcasts, so the
+    shuffle-join regime at BOTH sizes is the curve that extrapolates
+    (small-graph broadcasting stays the default engine behavior and is
+    separately exercised by the registry pagerank row)."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import pagerank_int
+
+    def gen(n_edges: int):
+        nodes = n_edges // 10
+
+        def node(salt: str):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(nodes)
+            )
+
+        return spark.range(n_edges).select(
+            node("s").alias("src"), node("d").alias("dst")
+        )
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, n in (("pagerank_gen_1x", 150_000), ("pagerank_10x", 1_500_000)):
+            edges = gen(n).localCheckpoint()
+            sw0, ib0 = _stage_bytes(spark)
+            t = time.time()
+            n_nodes = pagerank_int(edges, iterations=3).count()
+            timings[label] = time.time() - t
+            sw1, ib1 = _stage_bytes(spark)
+            shuffle_b[label] = sw1 - sw0
+            input_b[label] = ib1 - ib0
+            # every node id in [0, n/10) appears w.h.p. at ~10 draws per id
+            assert n_nodes >= (n // 10) * 99 // 100, f"{label}: {n_nodes} nodes"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
 def bench_ivfpq_10x(spark, timings, shuffle_b, input_b) -> None:
     """10x stress row for the IVF probe's candidate growth (r7 verdict
     task 3 — minhash_dedup_10x proved LSH pair scaling; this is the same
@@ -622,6 +685,7 @@ def main() -> int:
     bench_skew_join(spark, timings, shuffle_b, input_b)
     bench_skew_groupby(spark, timings, shuffle_b, input_b)
     bench_minhash_10x(spark, timings, shuffle_b, input_b)
+    bench_pagerank_10x(spark, timings, shuffle_b, input_b)
     bench_ivfpq_10x(spark, timings, shuffle_b, input_b)
     bench_source_sim_cap(spark, timings, shuffle_b, input_b)
     pagerank_phases = bench_pagerank_phases(spark)
