@@ -253,9 +253,14 @@ def global_running_total(
     for r in sorted(parts, key=lambda r: r["_pid"]):
         offsets.extend([F.lit(int(r["_pid"])), F.lit(acc)])
         acc += int(r["_s"] or 0)
-    omap = F.create_map(*offsets) if offsets else F.create_map()
+    # Empty input => no offsets; a zero-arg create_map() is VOID-keyed
+    # and fails analysis when indexed (see sorts.with_global_row_number)
+    if offsets:
+        off = F.coalesce(F.create_map(*offsets)[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    cum = F.sum(value_col).over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0))
+    cum = F.sum(value_col).over(w) + off
     if exclusive:
         cum = cum - F.col(value_col)
     return ranged.withColumn(out_col, cum.cast("long")).drop("_pid")

@@ -255,6 +255,13 @@ def ivf_assign(
 
     Output: corpus columns + list_id.
     """
+    if not centroids:
+        # An empty codebook happens exactly when the corpus the centroids
+        # were drawn from is empty (designated-id IVF on a filter-to-zero
+        # slice): route zero vectors to zero lists rather than building
+        # an argmax over nothing. Trainers stay strict (kmeans_lloyd
+        # raises on an empty init) — this is the ROUTING half.
+        return corpus.limit(0).withColumn("list_id", F.lit(None).cast("int"))
     if _use_literal(centroids, literal):
         scored = [
             # struct max compares fields left-to-right; negate cid so cosine
@@ -298,6 +305,11 @@ def ivf_probe_lists(
     carrier as ivf_assign (identical ranking arithmetic, O(1) expression
     size). Output: input columns + list_id, nprobe rows per input row.
     """
+    if not centroids:
+        # empty-corpus routing, same contract as ivf_assign: zero query
+        # rows probe zero lists (nprobe is meaningless with no codebook,
+        # and validating it against len([])=0 would reject every value)
+        return df.limit(0).withColumn("list_id", F.lit(None).cast("int"))
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
 

@@ -37,7 +37,12 @@ def pipe_records(
     lines = df.rdd.map(
         lambda row: sep.join("" if v is None else str(v) for v in row)
     ).pipe(command)
-    lines_df = lines.map(lambda line: (line,)).toDF(["line"])
+    # explicit schema: toDF's sampling inference throws on an empty RDD
+    # (a filter-to-zero input must yield zero rows, not a crash), and
+    # skipping inference avoids a driver-side sampling job besides
+    lines_df = df.sparkSession.createDataFrame(
+        lines.map(lambda line: (line,)), "line string"
+    )
     return (
         lines_df.select(
             F.from_csv(F.col("line"), output_schema_ddl, {"sep": sep}).alias("r")

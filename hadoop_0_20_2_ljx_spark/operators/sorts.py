@@ -178,12 +178,18 @@ def with_global_row_number(df: DataFrame, order: list[Column], rn_col: str = "rn
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.extend([F.lit(int(r["_pid"])), F.lit(acc)])
         acc += r["count"]
-    omap = F.create_map(*offsets) if offsets else F.create_map()
+    # Empty input => no offsets; a zero-arg create_map() is VOID-keyed
+    # and fails analysis when indexed (a filter-to-zero slice at scale
+    # must flow through as zero rows, not crash the job).
+    if offsets:
+        off = F.coalesce(F.create_map(*offsets)[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_pid").orderBy(*order)
     return ranged.withColumn(
-        rn_col, (F.row_number().over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast("long")
+        rn_col, (F.row_number().over(w) + off).cast("long")
     ).drop("_pid")
 
 
