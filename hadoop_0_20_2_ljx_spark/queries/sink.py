@@ -57,7 +57,10 @@ def _sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     src = T(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
     path = _tmp("q_sink_partitioned")
     sinks.write_partitioned(src, path, "l_returnflag")
-    back = spark.read.parquet(path)
+    # explicit schema: reading back a possibly-empty partitioned write
+    # must not depend on inferring the schema from data files (an empty
+    # slice writes zero partition dirs)
+    back = spark.read.schema(src.schema).parquet(path)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
     )
@@ -75,7 +78,9 @@ def _sink_named_outputs(spark: SparkSession, sf: str) -> DataFrame:
     outs = []
     for name, p in sorted(paths.items()):
         outs.append(
-            spark.read.parquet(p).agg(
+            # explicit schema: an output whose predicate matched nothing
+            # has no data files to infer from
+            spark.read.schema(src.schema).parquet(p).agg(
                 F.lit(name).alias("output_name"),
                 F.count("*").alias("n"),
                 F.sum(F.col("o_orderkey") % 1000003).alias("key_sum"),

@@ -53,9 +53,9 @@ STRICT = {
     "table by design (completeness of nothing is undefined, not 100%)",
     "q_audit_table_diff": "synthesizes its second snapshot from fixture rows",
     "q_audit_diff_incremental": "same",
-    "q_sink_partitioned": "write-then-readback of an empty partitioned "
-    "dataset cannot infer a schema from zero files",
-    "q_sink_named_outputs": "same readback shape",
+    "q_sink_named_outputs": "write_named_outputs returns per-name "
+    "partition dir paths that do not exist when the predicate matched "
+    "zero rows (PATH_NOT_FOUND, a named error)",
     "q_sink_tar_shards": "zero shards -> named FileNotFoundError",
     "q_sink_har_roundtrip": "archive of nothing diverges from literal oracle",
     "q_sink_compaction": "fragment/compact counters are file-count-driven",
