@@ -65,7 +65,13 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_quality",  # r8: token array + length fold bound once
     "q_pipeline_training",  # r8: one-projection compose, no feature joins
     "q_sample_token_budget",  # r8: quality_expr consumer (ordering key)
-    # (c) 31 of the 44 r4-latest names
+    # (b3) changed late-r8: the UDTF tokenizer used Python str.split()
+    # (UNICODE whitespace — splits NBSP/ideographic space), silently
+    # diverging from the engine-wide \s+ contract on non-ASCII text;
+    # now the explicit [ \t\n\x0b\f\r]+ class (fixture output identical;
+    # tests/test_unicode_boundary.py pins the path agreement)
+    "q_udf_tokenize_udtf",  # r8: UDTF tokenizer aligned to \s+ contract
+    # (c) 30 of the 44 r4-latest names
     "q_agg_copurchase",
     "q_agg_cube",
     "q_agg_distinct",
@@ -88,7 +94,6 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_join_asof",
     "q_join_inner",
     "q_join_override",
-    "q_proj_unpivot",
     "q_sample_weighted",
     "q_sink_zorder",
     "q_sort_keyfield",
@@ -104,7 +109,9 @@ _NEEDS_FRESH_EVIDENCE = [
     # q_scan_multi_input, q_scan_sample_filter, q_scan_text_count —
     # plus the 4 displaced by the late-r8 lang/quality binding fix
     # (q_agg_minmax, q_filter_grep, q_multimodal_decode,
-    # q_multimodal_features; all four also pinned by unit tests) —
+    # q_multimodal_features; all four also pinned by unit tests), plus
+    # q_proj_unpivot displaced by the UDTF tokenizer alignment (its
+    # Expand-node plan is pinned in the sim + queries/ext tests) —
     # plus whatever r9 adds or changes.
 ]
 

@@ -22,6 +22,23 @@ Cross-engine ground rules used throughout:
     representation built with it lets NULL<->value flips between
     adjacent columns collide. coalesce each column to a sentinel when
     the rendered string feeds change detection.
+  - Unicode whitespace: Java regex \\s (Spark) includes vertical tab
+    \\x0B; RE2's \\s (DuckDB) does not — the ONE tokenizer divergence
+    on a unicode-salted differential replay (r8; every other salt —
+    NBSP, CJK, combining marks, RTL, emoji, ZWJ, ideographic space —
+    tokenizes identically, pinned token-by-token in
+    tests/test_unicode_boundary.py). The fixture text contract is
+    ASCII-with-single-spaces, so oracles are faithful twins there; the
+    engine's Java-\\s behavior is the declared product contract. Any
+    Python-side tokenizer (UDTF/UDF) must use the explicit class
+    [ \\t\\n\\x0b\\f\\r]+ — str.split() is UNICODE whitespace and
+    silently diverges on NBSP et al. The r8 unicode replay reduced to
+    exactly four causes: (1) \\x0B above; (2) str.split() above, fixed;
+    (3) DuckDB trim() strips UNICODE whitespace where Spark trim()
+    strips ASCII space only (pinned; never trim text that can be
+    unicode-whitespace-only); (4) oracle byte approximations like
+    ascii(char) are codepoints, faithful to real UTF-8 bytes only on
+    ASCII (multimodal features' stand-in oracle).
   - NULL ordering defaults DIFFER: Spark ASC = NULLS FIRST, DuckDB
     ASC = NULLS LAST. Registry queries rely on the FIXTURE's non-null
     column contract (keys, text, timestamps are never null there); any

@@ -180,7 +180,16 @@ def _udf_tokenize_udtf(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):  # noqa: ANN001
-            for i, w in enumerate((text or "").split()):
+            # the ONE corpus tokenizer contract (textstats.tokens =
+            # Java-regex \s+, i.e. [ \t\n\x0b\f\r]+): Python str.split()
+            # splits on UNICODE whitespace (NBSP, ideographic space, ...),
+            # which silently diverged from every relational text op on
+            # non-ASCII text — found r8 by a unicode-salted differential
+            # replay, pinned in tests/test_unicode_boundary.py
+            import re
+
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            for i, w in enumerate(t for t in ws.split(text or "") if t):
                 yield i, w
 
     spark.udtf.register("lateral_tokenize", Tokenize)
