@@ -252,8 +252,9 @@ def js_from_counts(counts: DataFrame, group_col: str) -> DataFrame:
     # empty-slice guard: a group wholly inside one slice has t=0; treat
     # the missing slice as the zero distribution (JS degenerates to
     # ln2/2) instead of letting 0/0 NaN poison m and crash the ANSI
-    # double->long cast at runtime. Fixture groups always span both
-    # slices, so the oracle needs no twin guard.
+    # double->long cast at runtime. The oracle carries the twin guard
+    # since r8 (the pre-1970 timestamp replay put every row in one
+    # slice and the unguarded oracle went 0/0-NaN).
     p = F.when(F.col("_t1") > 0, F.col("_c1") / F.col("_t1")).otherwise(F.lit(0.0))
     q = F.when(F.col("_t2") > 0, F.col("_c2") / F.col("_t2")).otherwise(F.lit(0.0))
     m = (p + q) / 2

@@ -75,7 +75,7 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_copurchase",
     "q_agg_cube",
     "q_agg_distinct",
-    "q_agg_drift_js",
+    "q_agg_drift_js",  # r8: oracle twin empty-slice guard (engine unchanged)
     "q_agg_gapfill",
     "q_agg_histogram",
     "q_agg_multi",

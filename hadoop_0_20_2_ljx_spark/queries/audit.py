@@ -188,12 +188,22 @@ WITH b AS (
 SELECT g AS event_type,
        CAST(sum(CAST(floor(1000000000.0 * (
          CASE WHEN c1 > 0
-              THEN (c1 / t1) * ln((c1 / t1) / (((c1 / t1) + (c2 / t2)) / 2)) / 2
+              THEN p * ln(p / ((p + q) / 2)) / 2
               ELSE 0.0 END
          + CASE WHEN c2 > 0
-                THEN (c2 / t2) * ln((c2 / t2) / (((c1 / t1) + (c2 / t2)) / 2)) / 2
+                THEN q * ln(q / ((p + q) / 2)) / 2
                 ELSE 0.0 END)) AS BIGINT)) AS BIGINT) AS js_nano
-FROM c JOIN t USING (g)
+FROM (
+  -- empty-slice guard, twin of js_from_counts: a group wholly inside
+  -- one slice treats the missing slice as the zero distribution (JS
+  -- degenerates to ln2/2 per occupied bin) instead of 0/0 NaN — found
+  -- by the r8 pre-1970 timestamp replay, where the date split left
+  -- every row in one slice
+  SELECT g, c1, c2,
+         CASE WHEN t1 > 0 THEN c1 / t1 ELSE 0.0 END AS p,
+         CASE WHEN t2 > 0 THEN c2 / t2 ELSE 0.0 END AS q
+  FROM c JOIN t USING (g)
+)
 GROUP BY 1
 """
 
