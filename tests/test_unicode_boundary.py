@@ -107,3 +107,29 @@ def test_udtf_tokenizer_matches_relational_contract(spark):
     assert python_side == spark_side
     # and the old behavior really was different (NBSP et al. split):
     assert text.split() != python_side
+
+
+def test_pii_patterns_are_dialect_portable(spark):
+    """The PII redaction patterns are chosen to parse identically under
+    Java regex (Spark) and RE2 (DuckDB) — no backreferences, no
+    lookaround (textstats.PII_PATTERNS). Verify the claim on adversarial
+    boundary cases: \\b against unicode neighbors, overlapping/nested
+    candidates, trailing dots, double-@, fullwidth digits."""
+    from hadoop_0_20_2_ljx_spark.extensions.textstats import PII_PATTERNS, redact_pii
+
+    cases = [
+        "a@b.cd", "x1.2.3.4y", "ab1.2.3.4", "１.2.3.4", "mail:ü@ö.de",
+        "+49 170 1234567x", "999.999.999.999", "1.2.3.4.5", "a@b.c",
+        "a.b@c.d.ee", "phone+12 34 56 78 90", "ip:10.0.0.1.",
+        "..1.2.3.4..", "user@@host.com", "café@münchen.de",
+        "123-456-7890", " +1 234 567 8901 ", "a@b.cd@e.fg",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r[0] for r in df.select(redact_pii(F.col("text"))).collect()]
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    with duckdb.connect() as con:
+        for c, s in zip(cases, got):
+            d = con.execute(f"SELECT {expr} FROM (SELECT ? AS text)", [c]).fetchone()[0]
+            assert s == d, f"{c!r}: spark {s!r} != duckdb {d!r}"
