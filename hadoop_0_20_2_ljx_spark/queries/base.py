@@ -39,6 +39,12 @@ Cross-engine ground rules used throughout:
     unicode-whitespace-only); (4) oracle byte approximations like
     ascii(char) are codepoints, faithful to real UTF-8 bytes only on
     ASCII (multimodal features' stand-in oracle).
+  - JSON extraction: keep oracle JSON well-formed with non-exponent
+    numbers (the fixture props contract). Measured r8: Spark's
+    get_json_object parses STRICTLY (a trailing comma returns NULL)
+    where DuckDB's JSON cast is lenient (accepts it), and a float
+    extracted as string renders its exponent 'E' in Spark vs 'e' in
+    DuckDB.
   - NULL ordering defaults DIFFER: Spark ASC = NULLS FIRST, DuckDB
     ASC = NULLS LAST. Registry queries rely on the FIXTURE's non-null
     column contract (keys, text, timestamps are never null there); any
