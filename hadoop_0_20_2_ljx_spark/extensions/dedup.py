@@ -36,6 +36,24 @@ def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.dropDuplicates(key_cols)
 
 
+def _pad_empty(arr: Column) -> Column:
+    """Replace an empty array with the one-element sentinel [''], with
+    `arr` bound ONCE as a lambda variable. The naive
+    ``F.when(F.size(arr) > 0, arr).otherwise(...)`` references `arr`
+    twice inside one expression; Catalyst performs no CSE through
+    higher-order-function trees and the gram builders feeding this are
+    HOF-rooted (CodegenFallback — no codegen subexpression rescue), so
+    the whole gram build evaluated twice per document (r8 ADVICE).
+    Same bind-once idiom as word_shingles."""
+    return F.element_at(
+        F.transform(
+            F.array(arr),
+            lambda a: F.when(F.size(a) > 0, a).otherwise(F.array(F.lit(""))),
+        ),
+        1,
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-grams of a text column (the shingle set).
     Tokenization is the ONE shared corpus tokenizer (textstats.tokens) —
@@ -104,8 +122,14 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
 
     # bind the shingle set once (see word_shingles: no CSE inside HOF
     # lambdas — referencing `sh` from the per-seed lambda re-built the
-    # whole shingle array num_hashes times per document)
-    def _sig(sh: Column) -> Column:
+    # whole shingle array num_hashes times per document). The empty-doc
+    # padding also happens INSIDE the binding: `sh0` is already a bound
+    # lambda variable, so the when/otherwise's two references cost two
+    # array-variable reads, not two gram builds (r9: was
+    # F.when(F.size(raw) > 0, raw) over the raw gram expression — a 2x
+    # per-document gram build, the r8-ADVICE double-eval).
+    def _sig(sh0: Column) -> Column:
+        sh = F.when(F.size(sh0) > 0, sh0).otherwise(F.array(F.lit("")))
         return F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda s: F.array_min(
@@ -120,8 +144,7 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
             ),
         )
 
-    padded = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
-    return F.element_at(F.transform(F.array(padded), _sig), 1)
+    return F.element_at(F.transform(F.array(raw), _sig), 1)
 
 
 def minhash_signatures_relational(
@@ -157,7 +180,7 @@ def minhash_signatures_relational(
     # sentinel signature and pair with each other, exactly as the all--1
     # signature did.
     sh = word_shingles(F.col("_text"), shingle_k)
-    padded = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    padded = _pad_empty(sh)
     # One md5 per (doc, shingle) row (double-hash family), materialized
     # BEFORE the seed fan-out so the num_hashes partial-agg expressions
     # share it.
@@ -332,7 +355,7 @@ def group_similarity_matrix(
     — property-pinned in tests/test_dedup_cap.py). None = exact.
     """
     sh = word_shingles(F.col(text_col), shingle_k)
-    padded = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    padded = _pad_empty(sh)
     gs = (
         df.select(F.col(group_col).alias("grp"), F.explode(padded).alias("g"))
         .distinct()
@@ -405,25 +428,31 @@ def simhash64(text: Column, bits: int = 60) -> Column:
     simhash_signatures).
     """
     raw = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    words = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    hashed = F.transform(
+        _pad_empty(raw),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
     )
 
-    def bit_contrib(j: int) -> Column:
-        mask = F.lit(1 << j).cast("long")
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+    # Bind the token-hash array ONCE: the pre-r9 form referenced the
+    # `hashes` expression from every bit's F.aggregate — no CSE through
+    # HOF trees, so tokenize+md5 re-ran once per bit (60x per document).
+    def _vote(hs: Column) -> Column:
+        def bit_contrib(j: int) -> Column:
+            mask = F.lit(1 << j).cast("long")
+            votes = F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + bit_contrib(j)
-    return out.cast("long")
+        out = F.lit(0).cast("long")
+        for j in range(bits):
+            out = out + bit_contrib(j)
+        return out.cast("long")
+
+    return F.element_at(F.transform(F.array(hashed), _vote), 1)
 
 
 def simhash_signatures(
@@ -457,6 +486,14 @@ def simhash_signatures(
     # build side was the whole signature table — a full extra shuffle at
     # scale). A one-token doc's signature is its token's hash, so the
     # sentinel doc signature is md5('')'s 60-bit value.
+    # KNOWN r9-deferred: this padding is the same double-eval as the
+    # r8-ADVICE minhash sites (words = filter(split(text)) referenced
+    # twice -> tokenization runs 2x per document). The _pad_empty fix is
+    # one line, but it changes the plans of q_dedup_simhash and
+    # q_dedup_simhash_pairs — the r9 evidence window's changed-budget
+    # (<=6) is fully spent on the 5 minhash-family consumers, so this
+    # lands in r10's window instead of overriding the cap for a
+    # constant-factor fix.
     padded = F.when(F.size(words) > 0, words).otherwise(F.array(F.lit("")))
     tok = (
         ids.repartition(sc.defaultParallelism, id_col)

@@ -253,6 +253,15 @@ def ivf_assign(
     100 TB the assignment writes `partitionBy(list_id)` so probes prune
     partitions.
 
+    An empty ``centroids`` list returns an EMPTY DataFrame (zero rows,
+    corpus columns + null-typed list_id). That contract exists because an
+    empty codebook arises exactly from an empty training corpus
+    (designated-id IVF on a filter-to-zero slice); passing an empty
+    codebook WITH a non-empty corpus is caller error and is silently
+    emptied — the invariant is not enforced here because checking corpus
+    non-emptiness would cost a full action on the scan (r8 ADVICE:
+    documented instead).
+
     Output: corpus columns + list_id.
     """
     if not centroids:
@@ -304,6 +313,10 @@ def ivf_probe_lists(
     explode. Large nlist switches to the same broadcast array-column
     carrier as ivf_assign (identical ranking arithmetic, O(1) expression
     size). Output: input columns + list_id, nprobe rows per input row.
+
+    Empty ``centroids`` => EMPTY result, same documented caller contract
+    as ivf_assign (an empty codebook is only valid against an empty
+    corpus; a non-empty input is silently emptied).
     """
     if not centroids:
         # empty-corpus routing, same contract as ivf_assign: zero query

@@ -299,3 +299,81 @@ def test_long_doc_shingle_build_is_not_quadratic(spark):
         f"shingle build grew {large / max(small, 1e-9):.1f}x for 8x tokens "
         f"({small:.2f}s -> {large:.2f}s): quadratic regression?"
     )
+
+
+# --- r9: the r8-ADVICE padding double-eval (dedup._pad_empty) -----------------
+def _old_pad_empty(arr: Column) -> Column:
+    """Pre-r9 sentinel padding, kept verbatim: references `arr` twice in
+    one expression — with an HOF-rooted (CodegenFallback) gram build
+    underneath, the build evaluated twice per document."""
+    return F.when(F.size(arr) > 0, arr).otherwise(F.array(F.lit("")))
+
+
+def _old_simhash64(text: Column, bits: int = 60) -> Column:
+    """Pre-r9 simhash64, kept verbatim: padding double-eval PLUS the
+    `hashes` expression referenced once per bit (tokenize+md5 x bits)."""
+    raw = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    words = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+
+    def bit_contrib(j: int) -> Column:
+        mask = F.lit(1 << j).cast("long")
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + bit_contrib(j)
+    return out.cast("long")
+
+
+def test_pad_empty_binding_is_bitwise_identical(spark):
+    texts = _random_texts(400, seed=87)
+    for k in (1, 3):
+        sh_old = _old_word_shingles(F.col("text"), k)
+        _assert_bitwise_equal(
+            spark, texts,
+            _old_pad_empty(sh_old),
+            dedup._pad_empty(dedup.word_shingles(F.col("text"), k)),
+        )
+
+
+def test_simhash64_binding_is_bitwise_identical(spark):
+    texts = _random_texts(200, seed=88) + [None]
+    for bits in (8, 60):
+        _assert_bitwise_equal(
+            spark, texts,
+            _old_simhash64(F.col("text"), bits),
+            dedup.simhash64(F.col("text"), bits),
+        )
+
+
+def test_padded_builders_tokenize_once_in_plan(spark):
+    """Mechanical pin: one split( per rewritten projection. The naive
+    padding stamped 2 gram builds (pad condition + pad branch); the old
+    simhash64 stamped bits+1 tokenizations (one per bit's aggregate)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cases = [
+        F.explode(dedup._pad_empty(dedup.word_shingles(F.col("text"), 3))).alias("g"),
+        dedup.minhash_signature(F.col("text"), 8, 3).alias("sig"),
+        dedup.simhash64(F.col("text"), 8).alias("sh"),
+    ]
+    for col in cases:
+        plan = docs.select(col)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
+    # and the old forms really did stamp copies (guards the guard)
+    old_pad = docs.select(
+        F.explode(_old_pad_empty(dedup.word_shingles(F.col("text"), 3))).alias("g")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert old_pad.count("split(") == 2, old_pad
+    old_sh = docs.select(
+        _old_simhash64(F.col("text"), 8).alias("sh")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert old_sh.count("split(") > 2, old_sh

@@ -117,6 +117,11 @@ def main() -> int:
             prior = json.load(fh)
     except OSError:
         prior = {}
+    except ValueError as e:
+        # corrupt/truncated snapshot: audit against an empty baseline
+        # (every shape reported as new) instead of aborting (r8 ADVICE)
+        print(f"WARN snapshot unreadable ({e}); auditing against empty baseline")
+        prior = {}
     flagged = 0
     shape_diffs = 0
     shapes: dict[str, dict[str, int]] = {}
