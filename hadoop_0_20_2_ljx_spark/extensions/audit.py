@@ -536,7 +536,12 @@ def winsorized_stats(
     depends only on the sorted cents multiset (the id tie-break only
     permutes equal values), so bounds, clip counts, and the winsorized
     sum are bit-exact across engines — no percentile interpolation,
-    which differs engine-to-engine, is ever evaluated.
+    which differs engine-to-engine, is ever evaluated. NULL measurements
+    are EXCLUDED before ranking (r9): that is percentile_cont's
+    semantics, and the alternative — ranking nulls — silently rides the
+    engines' opposite null-ordering defaults (base.py NULL-ordering
+    boundary). n_rows therefore counts non-null measurements. NULL group
+    keys keep their own group, as in any GROUP BY.
 
     Shape: ONE scan and ONE hash partitioning by group, period — the
     rank window, the whole-partition bound windows, and the final
@@ -555,7 +560,7 @@ def winsorized_stats(
         F.col(group_col).alias("_g"),
         cents_col.cast("long").alias("_c"),
         id_col.alias("_id"),
-    )
+    ).where(F.col("_c").isNotNull())
     w = Window.partitionBy("_g").orderBy("_c", "_id")
     wg = Window.partitionBy("_g")
     r = (
@@ -618,7 +623,10 @@ def order_stat_summary(
     multiple bands when a small group maps several bands to one
     rank). Exactly n_bands-1 rows per group come out. Determinism:
     integer ceil-rank arithmetic, tie-broken ordering, values at
-    ranks depend only on the sorted multiset.
+    ranks depend only on the sorted multiset. NULL measurements are
+    EXCLUDED before ranking (r9, winsorized_stats' contract —
+    percentile_cont semantics; ranking nulls rides the engines'
+    opposite null-ordering defaults).
     """
     from pyspark.sql.window import Window
 
@@ -631,7 +639,7 @@ def order_stat_summary(
         F.col(group_col).alias("_g"),
         cents_col.cast("long").alias("_c"),
         id_col.alias("_id"),
-    )
+    ).where(F.col("_c").isNotNull())
     w = Window.partitionBy("_g").orderBy("_c", "_id")
     wg = Window.partitionBy("_g")
     r = (

@@ -52,6 +52,12 @@ def asof_join(
     result — pre-aggregate duplicates first (ties would otherwise make
     "the latest row" ambiguous in every engine).
 
+    NULL timestamps follow SQL inequality semantics (r9): a null
+    ``right_ts`` row never matches anything (dropped before the sweep)
+    and a null ``left_ts`` row matches nothing (kept, NULL value
+    columns) — identical to a native ASOF join's behavior, pinned by an
+    explicit nulls-first sweep order in both directions.
+
     Implementation: union the tagged inputs and run one window sweep —
     ``last(value, ignorenulls=True)`` over (key) ordered by
     (ts, right-first). One shuffle total; no range predicate, no
@@ -67,7 +73,15 @@ def asof_join(
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
 
-    r = right.select(
+    # NULL-timestamp contract (r9, the base.py NULL-ordering boundary):
+    # SQL inequality semantics say a NULL right_ts can never satisfy
+    # right_ts <= left_ts (or >=), so null-ts right rows are dropped
+    # BEFORE the sweep — unfiltered, the window's last() would carry one
+    # as a live match (its struct is non-null), silently matching rows a
+    # native ASOF join leaves unmatched. NULL left_ts rows stay (left-
+    # join shape) and get NULL value columns via the explicit nulls-FIRST
+    # sweep order below.
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_src"),
@@ -83,9 +97,15 @@ def asof_join(
     u = lt.unionByName(r, allowMissingColumns=True)
 
     # right rows (_asof_src=0) sort before left rows at equal ts -> inclusive
-    # in BOTH directions; forward just sweeps time in reverse order
+    # in BOTH directions; forward just sweeps time in reverse order.
+    # Null ordering is PINNED nulls-first in both directions (desc's
+    # default is nulls-LAST) so a null-ts left row sorts before every
+    # right row and sees a NULL marker — "no match", exactly what the
+    # inequality semantics give a native ASOF join.
     ts_order = (
-        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+        F.col("_asof_ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_asof_ts").desc_nulls_first()
     )
     w = (
         Window.partitionBy(*on)
@@ -282,9 +302,15 @@ def merge_intervals(
     cross-engine and under any partitioning. Shape: ONE hash
     partitioning by key shared by the window pair and the final
     partial aggregate; no join, no second scan.
+
+    Intervals with a NULL endpoint are EXCLUDED (r9): an interval needs
+    both endpoints to cover anything, and ranking null starts instead
+    rides the engines' opposite null-ordering defaults (base.py
+    NULL-ordering boundary).
     """
     from pyspark.sql.window import Window
 
+    df = df.where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     w = Window.partitionBy(*keys).orderBy(start_col, end_col, id_col)
     prev_max_end = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -435,10 +435,16 @@ def _window_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user event-stream analytics: seconds since the previous event
     (lag), next event type (lead), activity quartile (ntile). Ordering
     includes event_id so ties at equal timestamps are deterministic in
-    both engines. One shuffle on user_id shared by all three functions."""
+    both engines, and null ordering is PINNED explicitly on both sides
+    (r9: Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST —
+    t_us is null whenever ts is, so an unpinned ordering diverges on
+    nullable data; base.py NULL-ordering boundary). One shuffle on
+    user_id shared by all three functions."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     base = T(spark, sf, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
@@ -459,7 +465,7 @@ SELECT event_id, user_id,
   lead(event_type) OVER w AS next_type,
   CAST(ntile(4) OVER w AS BIGINT) AS quartile
 FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events)
-WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us NULLS FIRST, event_id NULLS FIRST)
 """
 
 
@@ -467,11 +473,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
 def _window_rank(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 orders by price per priority via dense_rank — the window is
     partitioned by the group key, so it parallelizes on the shuffle (never
-    the global-window single-partition trap)."""
+    the global-window single-partition trap). Null ordering pinned
+    explicitly on both sides (r9, base.py NULL-ordering boundary): a
+    null o_totalprice must rank LAST in both engines or the top-3 cut
+    diverges on nullable data."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_first()
     )
     return (
         T(spark, sf, "orders")
@@ -660,7 +669,8 @@ QUERIES: dict[str, QueryDef] = {
         "SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice FROM ("
         "SELECT o_orderpriority, o_orderkey, o_totalprice, "
         "dense_rank() OVER (PARTITION BY o_orderpriority "
-        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders) WHERE rnk <= 3",
+        "ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rnk "
+        "FROM orders) WHERE rnk <= 3",
         "Q-agg-9 (engine extra) window ranking — absent in the reference",
     ),
 }
@@ -747,7 +757,10 @@ def _agg_scd2(spark: SparkSession, sf: str) -> DataFrame:
     close via lead over the surviving change rows).
 
     Determinism: epoch micros are integers; the band is an integer div
-    of cents; ties on ts broken by event_id (base.py window rule).
+    of cents; ties on ts broken by event_id (base.py window rule); null
+    ordering pinned NULLS FIRST on both sides (r9, base.py NULL-ordering
+    boundary — t_us inherits ts's nulls, and the history sweep's change
+    detection depends on row order).
     """
     from pyspark.sql.window import Window
 
@@ -761,11 +774,15 @@ def _agg_scd2(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.round(F.col("value") * 100, 0) / 10000).cast("long").alias("band"),
         )
     )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     changes = ev.withColumn("_prev", F.lag("band").over(w)).where(
         F.col("_prev").isNull() | (F.col("_prev") != F.col("band"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     return changes.select(
         "user_id",
         "band",
@@ -783,14 +800,14 @@ WITH ev AS (
 ), changes AS (
   SELECT * FROM (
     SELECT user_id, event_id, t_us, band,
-           lag(band) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+           lag(band) OVER (PARTITION BY user_id ORDER BY t_us NULLS FIRST, event_id NULLS FIRST) AS prev
     FROM ev
   ) WHERE prev IS NULL OR prev <> band
 )
 SELECT user_id, band, t_us AS valid_from_us,
-       CAST(coalesce(lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id), -1) AS BIGINT)
+       CAST(coalesce(lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us NULLS FIRST, event_id NULLS FIRST), -1) AS BIGINT)
          AS valid_to_us,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS BIGINT)
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t_us NULLS FIRST, event_id NULLS FIRST) AS BIGINT)
          AS version
 FROM changes
 """

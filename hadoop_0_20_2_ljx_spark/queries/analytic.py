@@ -54,13 +54,23 @@ WITH clicks AS (
   SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'
 ), p AS (
   SELECT user_id, epoch_us(ts) AS t_us, max(value) AS pval
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2
 )
+-- NULL event times take the standard-SQL inequality semantics (r9,
+-- temporal.asof_join's pinned contract): a null right_ts never matches
+-- (filtered in p above) and a null left_ts matches nothing. DuckDB's
+-- native ASOF instead PAIRS a null probe with a null build row (its
+-- sort-merge treats NULL as a sortable value), so null-ts clicks are
+-- routed around the ASOF operator and re-attached unmatched.
 SELECT c.event_id, c.user_id, c.t_us AS click_us,
        round(p.pval, 2) AS last_purchase,
        CAST(floor((c.t_us - p.t_us) / 1000000) AS BIGINT) AS secs_since
-FROM clicks c ASOF LEFT JOIN p
+FROM (SELECT * FROM clicks WHERE t_us IS NOT NULL) c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.t_us >= p.t_us
+UNION ALL
+SELECT event_id, user_id, t_us AS click_us,
+       CAST(NULL AS DOUBLE) AS last_purchase, CAST(NULL AS BIGINT) AS secs_since
+FROM clicks WHERE t_us IS NULL
 """
 
 
@@ -99,13 +109,18 @@ WITH clicks AS (
   SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'
 ), p AS (
   SELECT user_id, epoch_us(ts) AS t_us, max(value) AS pval
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2
 )
+-- null-ts routing: same standard-SQL null contract as _ASOF_SQL
 SELECT c.event_id, c.user_id, c.t_us AS click_us,
        round(p.pval, 2) AS next_purchase,
        CAST(floor((p.t_us - c.t_us) / 1000000) AS BIGINT) AS secs_until
-FROM clicks c ASOF LEFT JOIN p
+FROM (SELECT * FROM clicks WHERE t_us IS NOT NULL) c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.t_us <= p.t_us
+UNION ALL
+SELECT event_id, user_id, t_us AS click_us,
+       CAST(NULL AS DOUBLE) AS next_purchase, CAST(NULL AS BIGINT) AS secs_until
+FROM clicks WHERE t_us IS NULL
 """
 
 
@@ -344,6 +359,7 @@ WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e,
          event_id AS id
   FROM events
+  WHERE ts IS NOT NULL
 ), r AS (
   SELECT user_id, s, e, id,
          max(e) OVER (PARTITION BY user_id ORDER BY s, e, id

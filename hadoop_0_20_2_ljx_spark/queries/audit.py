@@ -463,6 +463,7 @@ WITH base AS (
   SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c,
          event_id AS id
   FROM events
+  WHERE value IS NOT NULL
 ), r AS (
   SELECT g, c,
          row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
@@ -481,7 +482,7 @@ SELECT r.g AS event_type,
        CAST(sum(CASE WHEN r.c < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
        CAST(sum(CASE WHEN r.c > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
        CAST(sum(least(greatest(r.c, b.lo), b.hi)) AS BIGINT) AS wsum_cents
-FROM r JOIN b ON r.g = b.g
+FROM r JOIN b ON r.g IS NOT DISTINCT FROM b.g
 GROUP BY 1
 """
 
@@ -533,6 +534,7 @@ WITH base AS (
   SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c,
          event_id AS id
   FROM events
+  WHERE value IS NOT NULL
 ), r AS (
   SELECT g, c,
          row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,

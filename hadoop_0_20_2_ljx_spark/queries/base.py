@@ -50,10 +50,28 @@ Cross-engine ground rules used throughout:
     column contract (keys, text, timestamps are never null there); any
     query sorting or windowing over a genuinely nullable key must pin
     NULLS FIRST/LAST explicitly ON BOTH SIDES. Measured r8 by replaying
-    the registry against a 30%-nulled fixture copy: 139/186 still
-    hash-match; the 47 divergent ones all ride this ordering default or
-    feed nulls to trainers — a data-contract boundary, not a bug class,
-    documented here so new nullable-key queries don't trip it.
+    the registry against a 30%-nulled fixture copy: 139/186 hash-matched.
+    r9 pinned the riders the r8 verdict named plus the whole r5 cohort's
+    (scd2/window_funcs/window_rank NULLS FIRST both sides; asof family
+    standard-SQL null-ts contract — note DuckDB's native ASOF pairs a
+    null probe with a null build row, so its oracle routes null probes
+    around the operator; winsorize/deciles exclude null measurements,
+    percentile_cont's semantics; interval-merge excludes null endpoints;
+    tumbling/session exclude null event time — a watermark could never
+    admit one; keyfield-offsets' oracle now slices the same rendered
+    line the engine sorts, because concat_ws skips NULLs and SHIFTS -k
+    offsets; udf_histogram's pandas groupby needed dropna=False).
+    Post-r9 replay: 149/186. The remaining 37 are three classes, none an
+    ordering-default ride on a pinned query: (1) trainers/embedding math
+    fed null vectors (q_embed_* x13, q_dedup_embed/_semantic — trainers
+    stay strict by contract); (2) text/format roundtrips whose wire form
+    cannot represent NULL (scan/sink/recordio/fieldsel/skipbad/
+    multimodal — line-rendered fields shift, concat_ws boundary); (3)
+    order-sensitive queries whose pins are QUEUED for their r10 evidence
+    window (q_sort_keyfield/_secondary, q_udf_cogroup, q_dedup_canonical
+    /_simhash, q_sample_weighted, q_text_entropy/_classifier,
+    q_agg_median_mode/_approx_quantile/_drift_js/_drift_ks) — same pin
+    recipe as r9, deferred only by the <=6 changed-budget.
 """
 
 from __future__ import annotations

@@ -197,11 +197,89 @@ def _sort_keyfield_offsets(spark: SparkSession, sf: str) -> DataFrame:
     )
     specs = ["1.3,1.3", "3.2,3.0nr", "4,4n", "3,3n"]
     order = sorts.key_field_order_columns(F.col("line"), specs, "\t")
+    # base.py window rule: the checksum proves ONE total order, so the
+    # key specs get a unique tiebreak (r9 — on nullable inputs shifted
+    # lines can tie on all four keys, leaving rn engine-ambiguous; the
+    # fixture order is unchanged because its keys embed o_orderkey)
+    order = [*order, F.col("o_orderkey").asc()]
     rn = sorts.with_global_row_number(lined, order)
     return rn.agg(
         F.count("*").alias("n"),
         F.sum(F.col("rn") * (F.col("o_orderkey") % 97)).alias("ordered_checksum"),
     )
+
+
+def _kf_slice_sql(spec: str) -> str:
+    """DuckDB rendering of operators.sorts.key_field_slice over a `line`
+    column — the SAME absolute char-offset arithmetic (a key whose char
+    range exceeds its field SPILLS across separators, the reference
+    KeyFieldHelper byte model). The oracle must derive keys from the
+    rendered line, not the source columns (r9): concat_ws skips NULLs in
+    both engines, so a null field SHIFTS every later -k offset — a
+    column-based oracle is equivalent only under the non-null fixture
+    contract (base.py boundary). Extracted keys are never NULL ('' on
+    absent fields, numeric misses parse as 0 — sort(1) semantics), so no
+    ORDER BY null-default exposure remains either."""
+    from hadoop_0_20_2_ljx_spark.operators.sorts import parse_key_spec
+
+    k = parse_key_spec(spec)
+    flds = "string_split(line, chr(9))"
+
+    def start_of(f: int) -> str:
+        if f == 1:
+            return "1"
+        return f"(length(array_to_string({flds}[1:{f - 1}], chr(9))) + 2)"
+
+    begin = f"({start_of(k['f1'])} + {k['c1'] - 1})"
+    if k["f2"] is None:
+        end = "length(line)"
+    elif k["c2"] == 0:
+        end = (
+            f"(CASE WHEN len({flds}) >= {k['f2']} "
+            f"THEN {start_of(k['f2'])} + length({flds}[{k['f2']}]) - 1 "
+            f"ELSE length(line) END)"
+        )
+    else:
+        end = (
+            f"(CASE WHEN len({flds}) >= {k['f2']} "
+            f"THEN {start_of(k['f2'])} + {k['c2'] - 1} "
+            f"ELSE length(line) END)"
+        )
+    sliced = (
+        f"(CASE WHEN len({flds}) >= {k['f1']} "
+        f"THEN substring(line, {begin}, greatest({end} - {begin} + 1, 0)) "
+        f"ELSE '' END)"
+    )
+    if k["numeric"]:
+        num = f"regexp_extract({sliced}, '^\\s*(-?\\d+(?:\\.\\d+)?)', 1)"
+        sliced = f"(CASE WHEN {num} <> '' THEN CAST({num} AS DOUBLE) ELSE 0 END)"
+    return sliced
+
+
+def _keyfield_offsets_sql() -> str:
+    ks = {
+        f"k{i}": _kf_slice_sql(spec)
+        for i, spec in enumerate(["1.3,1.3", "3.2,3.0nr", "4,4n", "3,3n"], start=1)
+    }
+    keyed = ",\n    ".join(f"{sql} AS {name}" for name, sql in ks.items())
+    return f"""
+WITH lined AS (
+  SELECT o_orderkey,
+         concat_ws(chr(9), o_orderpriority, o_orderstatus,
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)) AS line
+  FROM orders
+), keyed AS (
+  SELECT o_orderkey,
+    {keyed}
+  FROM lined
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rn * (o_orderkey % 97)) AS BIGINT) AS ordered_checksum
+FROM (SELECT o_orderkey,
+             row_number() OVER (ORDER BY k1 ASC, k2 DESC, k3 ASC, k4 ASC,
+                                o_orderkey ASC) AS rn
+      FROM keyed)
+"""
 
 
 # --- Q-sort-2: TotalOrderPartitioner global sort fingerprint -----------------
@@ -311,11 +389,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "q_sort_keyfield_offsets": QueryDef(
         _sort_keyfield_offsets,
-        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rn * (o_orderkey % 97)) AS BIGINT) "
-        "AS ordered_checksum FROM (SELECT o_orderkey, row_number() OVER (ORDER BY "
-        "substring(o_orderpriority, 3, 1) ASC, "
-        "coalesce(TRY_CAST(substring(CAST(o_orderkey AS VARCHAR), 2) AS DOUBLE), 0) DESC, "
-        "CAST(o_custkey AS DOUBLE) ASC, CAST(o_orderkey AS DOUBLE) ASC) AS rn FROM orders)",
+        _keyfield_offsets_sql(),
         "Q-sort-1b KeyFieldBasedComparator -k f.c,f.c[n][r] char-offset specs "
         "(mapred/lib/KeyFieldHelper.java:31-39, KeyFieldBasedComparator.java:33-120)",
     ),

@@ -5,6 +5,8 @@ Q-stream-1/2 — SURVEY.md §2.3/2.8/2.9/2.10).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,7 +42,16 @@ def _udf_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ev = T(spark, sf, "events").withColumn("bucket", F.col("user_id") % 100)
 
     def hist(pdf: pd.DataFrame) -> pd.DataFrame:
-        freqs = pdf.groupby("event_type").size().sort_values(kind="stable").values
+        # dropna=False (r9): pandas' groupby default silently DROPS null
+        # values, so a null event_type vanished from the histogram where
+        # the built-in twin (q_agg_histogram) and the SQL oracle count it
+        # as its own group — found by the 30%-nulled differential replay
+        freqs = (
+            pdf.groupby("event_type", dropna=False)
+            .size()
+            .sort_values(kind="stable")
+            .values
+        )
         n = len(freqs)
         import math
 
@@ -179,17 +190,17 @@ def _udf_tokenize_udtf(spark: SparkSession, sf: str) -> DataFrame:
 
     @udtf(returnType="pos int, token string")
     class Tokenize:
-        def eval(self, text: str):  # noqa: ANN001
-            # the ONE corpus tokenizer contract (textstats.tokens =
-            # Java-regex \s+, i.e. [ \t\n\x0b\f\r]+): Python str.split()
-            # splits on UNICODE whitespace (NBSP, ideographic space, ...),
-            # which silently diverged from every relational text op on
-            # non-ASCII text — found r8 by a unicode-salted differential
-            # replay, pinned in tests/test_unicode_boundary.py
-            import re
+        # the ONE corpus tokenizer contract (textstats.tokens =
+        # Java-regex \s+, i.e. [ \t\n\x0b\f\r]+): Python str.split()
+        # splits on UNICODE whitespace (NBSP, ideographic space, ...),
+        # which silently diverged from every relational text op on
+        # non-ASCII text — found r8 by a unicode-salted differential
+        # replay, pinned in tests/test_unicode_boundary.py. Compiled once
+        # at class level, not in eval() (per-row path; r8 ADVICE).
+        _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
-            ws = re.compile(r"[ \t\n\x0b\f\r]+")
-            for i, w in enumerate(t for t in ws.split(text or "") if t):
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate(t for t in self._WS.split(text or "") if t):
                 yield i, w
 
     spark.udtf.register("lateral_tokenize", Tokenize)
@@ -329,6 +340,7 @@ WITH gaps AS (
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
     THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
 ), sids AS (
   SELECT user_id, ts,
     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -410,7 +422,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_tumbling": QueryDef(
         _stream_tumbling,
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
-        "event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2",
+        "event_type, CAST(count(*) AS BIGINT) AS cnt FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1, 2",
         "Q-stream-1 (engine extra) tumbling event-time window — reference is batch-only "
         "(SURVEY.md §2.10)",
     ),

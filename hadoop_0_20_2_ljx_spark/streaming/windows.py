@@ -23,7 +23,13 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
 
     Output: (window_start string, event_type, cnt) — the window start is
     formatted so the result is engine-portable (DuckDB date_trunc oracle).
+
+    Rows with NULL event time are EXCLUDED (r9): a null ts belongs to no
+    event-time window — the streaming form's watermark would never admit
+    it — and keeping it instead produced an engine-specific null-window
+    group (base.py NULL-ordering/null-group boundary).
     """
+    events = events.where(F.col("ts").isNotNull())
     w = F.window("ts", width)
     return (
         events.groupBy(w.alias("w"), "event_type")
@@ -54,7 +60,13 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 
     lag + conditional cumsum over (user_id, ts) — one shuffle on user_id.
     Output: (user_id, session_id, n_events, session_start string).
+
+    Rows with NULL event time are EXCLUDED (r9, tumbling_counts'
+    contract): sessionization is ordered by event time, and a null ts
+    has no position in that order — unfiltered it rides the engines'
+    opposite null-ordering defaults (base.py boundary).
     """
+    events = events.where(F.col("ts").isNotNull())
     by_user = Window.partitionBy("user_id").orderBy("ts")
     with_gap = events.withColumn(
         "new_session",

@@ -74,7 +74,13 @@ def fingerprint(cols: list[str], rows: list) -> tuple[int, tuple, str]:
     return len(rows), tuple(sorted(cols)), h
 
 
+# failed-query names from the most recent main() call, for callers that
+# embed the sim (tools/null_sweep.py diffs them against an expected set)
+LAST_FAILED: set[str] = set()
+
+
 def main() -> int:
+    LAST_FAILED.clear()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # optional argv[2]: comma-separated query names — iterate on a few
     # queries fast. The COMMIT GATE is the full run (no second arg).
@@ -136,10 +142,12 @@ def main() -> int:
                     f"FAIL {name}: rows {s_cnt}/{o_cnt} "
                     f"cols {s_cols}/{o_cols_s} hash {s_hash}/{o_hash}"
                 )
+                LAST_FAILED.add(name)
                 n_fail += 1
         except Exception:
             print(f"FAIL {name}: EXCEPTION")
             traceback.print_exc()
+            LAST_FAILED.add(name)
             n_fail += 1
         sys.stdout.flush()
     total = n_pass + n_fail

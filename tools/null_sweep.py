@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Registry-wide 30%-null differential replay (the base.py NULL-ordering
+boundary, mechanized). Builds a deterministically nulled copy of the
+sf0.001 fixtures (30% of every non-key column, md5-mask per (table,
+column, row) — key columns stay non-null so joins/groups keep their
+shape), replays every registry query against it with tools/driver_sim.py
+semantics, and compares the divergence set against the EXPECTED list
+below.
+
+    python tools/null_sweep.py            # exit 1 on any unexpected change
+
+A query NOT in EXPECTED_DIVERGENT that fails the nulled replay is a
+regression in a pinned null contract (r9 pinned 10 queries; the pins are
+unit-tested in tests/test_null_contracts.py, this sweep re-proves them
+end-to-end). A query IN the list that starts passing is progress — move
+it out and shrink the list (r10's queue is named in queries/base.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_SF = "/root/testdata/sf0.001"
+
+# columns that keep their non-null fixture contract (keys: nulling them
+# changes join/group shapes, which is a different boundary than ordering)
+KEEP = {
+    "doc_id", "vec_id", "user_id", "event_id", "o_orderkey", "l_orderkey",
+    "l_linenumber", "c_custkey", "s_suppkey", "p_partkey", "n_nationkey",
+    "r_regionkey", "ps_partkey", "o_custkey", "l_partkey", "l_suppkey",
+    "c_nationkey", "s_nationkey", "n_regionkey",
+}
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# the post-r9 divergence set, every name classified in queries/base.py's
+# NULL-ordering boundary note: (1) trainers / embedding math fed null
+# vectors, (2) text/format roundtrips whose wire form cannot carry NULL,
+# (3) order-sensitive queries whose pins are queued for their r10 window
+EXPECTED_DIVERGENT = {
+    # (1) trainers / null-fed embedding math
+    "q_dedup_embed", "q_dedup_semantic", "q_embed_ann", "q_embed_ivf",
+    "q_embed_ivf_bcast", "q_embed_ivf_nprobe", "q_embed_ivfpq",
+    "q_embed_ivfpq_nprobe", "q_embed_ivfpq_rerank", "q_embed_kmeans",
+    "q_embed_kmeans_ivf", "q_embed_kmeans_ivf_bcast", "q_embed_knn",
+    "q_embed_pq",
+    # (2) wire/rendering roundtrips
+    "q_filter_skipbad", "q_fn_recordio", "q_multimodal_features",
+    "q_proj_fieldsel", "q_scan_bz2_text", "q_scan_gzip_text",
+    "q_scan_kv_split", "q_sink_har_roundtrip", "q_sink_schema_evolution",
+    "q_sink_tar_shards", "q_sink_tfile_roundtrip",
+    # (3) r10 pin queue (same recipe as the r9 pins)
+    "q_sort_keyfield", "q_sort_secondary", "q_udf_cogroup",
+    "q_dedup_canonical", "q_dedup_simhash", "q_sample_weighted",
+    "q_text_entropy", "q_text_classifier", "q_agg_median_mode",
+    "q_agg_approx_quantile", "q_agg_drift_js", "q_agg_drift_ks",
+}
+
+
+def build_nulled_fixture(dst: str) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        tab = pq.read_table(f"{SRC_SF}/{t}.parquet")
+        n = tab.num_rows
+        cols = []
+        for name in tab.column_names:
+            col = tab[name]
+            if name in KEEP or n == 0:
+                cols.append(col)
+                continue
+            mask = pa.array([
+                int(hashlib.md5(f"{t}:{name}:{i}".encode()).hexdigest()[:4], 16)
+                % 10 < 3
+                for i in range(n)
+            ])
+            cols.append(pc.if_else(mask, pa.nulls(n, col.type), col.combine_chunks()))
+        pq.write_table(
+            pa.table(dict(zip(tab.column_names, cols))), f"{dst}/{t}.parquet"
+        )
+
+
+def main() -> int:
+    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_null")
+    build_nulled_fixture(dst)
+    # reuse driver_sim's compare loop by importing it as a module
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim", os.path.join(here, "driver_sim.py")
+    )
+    sim = importlib.util.module_from_spec(spec)
+    sys.argv = ["driver_sim.py", dst]
+    spec.loader.exec_module(sim)
+    try:
+        rc = sim.main()
+    except SystemExit as e:  # driver_sim may exit() from main
+        rc = int(e.code or 0)
+    failed = set(getattr(sim, "LAST_FAILED", set()))
+    unexpected = sorted(failed - EXPECTED_DIVERGENT)
+    fixed = sorted(EXPECTED_DIVERGENT - failed)
+    if unexpected:
+        print(f"UNEXPECTED null-replay divergence (regression): {unexpected}")
+        return 1
+    if fixed:
+        print(
+            f"null-replay NOW PASSING (move out of EXPECTED_DIVERGENT, "
+            f"shrink base.py's class-3 list): {fixed}"
+        )
+        return 1
+    print(f"null sweep OK: {len(failed)} expected divergences, 0 unexpected")
+    return 0 if rc in (0, 1) else rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
