@@ -381,6 +381,161 @@ def bench_ivfpq_10x(spark, timings, shuffle_b, input_b) -> None:
         assert n_rows == 5_000, f"{label}: expected 1000 queries x top-5, got {n_rows}"
 
 
+def bench_text_longdoc(spark, timings, shuffle_b, input_b) -> None:
+    """Doc-LENGTH stress pair for the text family (r8 verdict task 3):
+    the O(tokens^2)->O(tokens) gram-build fix is pinned by a unit growth
+    guard (tests/test_hof_binding.py), this row makes it a permanent
+    bench tripwire at web-page document lengths. 2,000 generated docs of
+    ~200 tokens (1x — the parquet fixture documents' shape) and ~2,000
+    tokens (10x — real web-page length), each corpus through (a) the
+    relational MinHash(16) signature build and (b) the lang-ID +
+    quality-score projection aggregated to a per-language summary.
+    Expected curve for the delta note: wall ~linear in doc length for
+    both stages (the pre-r8 quadratic gram form measured 57x at 2000
+    tokens; the pre-r8.2 lang/quality form stamped 24 tokenizations);
+    minhash shuffle ~linear in doc length (its one exchange carries doc
+    TEXT), lang/quality shuffle FLAT (per-doc scores partial-agg to a
+    constant-width per-language summary). Generation is outside the
+    timed window (localCheckpoint), the terasort_10m methodology."""
+    from hadoop_0_20_2_ljx_spark.extensions import dedup, textstats
+
+    def corpus(n_tokens: int):
+        words = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                lambda i: F.concat(
+                    F.lit("w"), ((F.col("id") * 31 + i) % 9973).cast("string")
+                ),
+            ),
+            " ",
+        )
+        return spark.range(2_000).select(
+            F.col("id").alias("doc_id"), words.alias("text")
+        )
+
+    # warm codegen/JIT on a tiny corpus so the 1x row doesn't carry the
+    # first-compile cost (the 1x/10x RATIO is this pair's whole point)
+    warm = corpus(50).localCheckpoint()
+    dedup.minhash_signatures_relational(warm, "doc_id", "text", 16, 3).count()
+    warm.select(
+        textstats.lang_pred_expr(F.col("text")).alias("lang"),
+        textstats.quality_expr(F.col("text")).alias("q"),
+    ).groupBy("lang").count().count()
+
+    for label, n_tokens in (("text_longdoc_1x", 200), ("text_longdoc_10x", 2_000)):
+        docs = corpus(n_tokens).localCheckpoint()
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        n_sigs = dedup.minhash_signatures_relational(
+            docs, "doc_id", "text", 16, 3
+        ).count()
+        n_langs = (
+            docs.select(
+                textstats.lang_pred_expr(F.col("text")).alias("lang"),
+                textstats.quality_expr(F.col("text")).alias("q"),
+            )
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("q").alias("avg_q"))
+            .count()
+        )
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label] = sw1 - sw0
+        input_b[label] = ib1 - ib0
+        assert n_sigs == 2_000, f"{label}: {n_sigs} signatures"
+        assert n_langs >= 1, label
+    # regression tripwire: 10x tokens must stay ~linear (10x work, well
+    # under job overhead + 3x headroom); the quadratic form is 100x work
+    assert timings["text_longdoc_10x"] < 30 * max(
+        timings["text_longdoc_1x"], 0.2
+    ), (
+        f"long-doc text stage grew "
+        f"{timings['text_longdoc_10x'] / max(timings['text_longdoc_1x'], 1e-9):.0f}x "
+        f"for 10x tokens: quadratic regression?"
+    )
+
+
+def bench_graph_10x(spark, timings, shuffle_b, input_b) -> None:
+    """1x/10x stress pairs for the non-iterative graph family (r8
+    verdict task 4: pagerank has its scaling pair; triangles claims
+    O(m^1.5) via degree orientation and k-core claims bounded peeling —
+    neither had a measured curve). Deterministic md5-derived graphs at
+    100k and 1M edges with a HUB-HEAVY endpoint mix: 1/16 of endpoint
+    draws collapse onto one of 10 hub nodes (hub degree ~ m/80 — the
+    exact case degree orientation exists for: id-ordering would emit
+    O(deg^2) ≈ 1.6e8 wedges across the hubs at 10x, the (degree, id)
+    orientation bounds every node's out-degree at O(sqrt m)); the
+    remaining draws are uniform over m/10 nodes (avg degree ~20).
+    k-core peels the same graphs at k=12 (the ~19-mean Poisson tail:
+    ~4% of nodes start below k, enough to drive a real cascade each
+    round without collapsing the graph — k=15 measured a full collapse
+    to 0 survivors at 100k edges), 6 rounds.
+
+    Auto-broadcast is DISABLED, as in bench_pagerank_10x: at these sizes
+    the node-sized degree/alive tables broadcast locally, but at 100 TB
+    they are corpus-sized and never broadcast — the shuffle-join regime
+    at BOTH sizes is the curve that extrapolates (the registry rows keep
+    default broadcasting). Expected curves for the delta note: triangle
+    wall/shuffle ~ wedge count (~m * avg oriented out-degree here, the
+    O(m^1.5) bound far from tight on this mix); k-core per-round shuffle
+    ∝ surviving edges, so ~linear in m at fixed peel depth."""
+    from hadoop_0_20_2_ljx_spark.extensions.graph import kcore_peel, triangle_counts
+
+    def gen(n_edges: int):
+        nodes = n_edges // 10
+
+        def node(salt: str):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            # selection bit (h % 16) and value bits (h >> 4) are disjoint
+            return F.when(
+                h % 16 == 0, F.shiftright(h, 4) % 10
+            ).otherwise(F.shiftright(h, 4) % F.lit(nodes))
+
+        return spark.range(n_edges).select(
+            node("s").alias("src"), node("d").alias("dst")
+        )
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, n in (("triangles_gen_1x", 100_000), ("triangles_10x", 1_000_000)):
+            edges = gen(n).localCheckpoint()
+            sw0, ib0 = _stage_bytes(spark)
+            t = time.time()
+            n_tri_nodes = triangle_counts(edges).count()
+            timings[label] = time.time() - t
+            sw1, ib1 = _stage_bytes(spark)
+            shuffle_b[label] = sw1 - sw0
+            input_b[label] = ib1 - ib0
+            # the hub mix guarantees a dense hub core: hubs close
+            # triangles through shared neighbors at both sizes
+            assert n_tri_nodes > 100, f"{label}: {n_tri_nodes} triangle nodes"
+        for label, n in (("kcore_gen_1x", 100_000), ("kcore_10x", 1_000_000)):
+            edges = gen(n).localCheckpoint()
+            sw0, ib0 = _stage_bytes(spark)
+            t = time.time()
+            survivors = kcore_peel(edges, k=12, rounds=6)
+            n_core = survivors.count()
+            timings[label] = time.time() - t
+            sw1, ib1 = _stage_bytes(spark)
+            shuffle_b[label] = sw1 - sw0
+            input_b[label] = ib1 - ib0
+            # k=12 sits ~2 sigma under the ~19 mean: a core must survive
+            assert n_core > 100, f"{label}: {n_core} core nodes"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
 def bench_source_sim_cap(spark, timings, shuffle_b, input_b) -> None:
     """max_shingle_freq measured in its WIN regime (r7 verdict task 5 —
     the r7 non-result stands on fixture text, which shares no boilerplate
@@ -687,6 +842,8 @@ def main() -> int:
     bench_minhash_10x(spark, timings, shuffle_b, input_b)
     bench_pagerank_10x(spark, timings, shuffle_b, input_b)
     bench_ivfpq_10x(spark, timings, shuffle_b, input_b)
+    bench_text_longdoc(spark, timings, shuffle_b, input_b)
+    bench_graph_10x(spark, timings, shuffle_b, input_b)
     bench_source_sim_cap(spark, timings, shuffle_b, input_b)
     pagerank_phases = bench_pagerank_phases(spark)
 
