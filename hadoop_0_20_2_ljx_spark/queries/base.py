@@ -72,6 +72,25 @@ Cross-engine ground rules used throughout:
     /_simhash, q_sample_weighted, q_text_entropy/_classifier,
     q_agg_median_mode/_approx_quantile/_drift_js/_drift_ks) — same pin
     recipe as r9, deferred only by the <=6 changed-budget.
+  - NON-FINITE floats (measured r9 by replaying the registry against a
+    fixture with ~10% NaN/+-Inf salted into every double column):
+    111/186 hash-match unchanged. 73 of the 75 divergent fail LOUDLY
+    and identically on both engines — the integer-cents determinism
+    contract (round(x*100) -> BIGINT) raises CAST_OVERFLOW /
+    CAST_INVALID_INPUT under ANSI on Inf/NaN rather than silently
+    folding them; a pipeline ingesting non-finite measurements must
+    gate them explicitly (the outliers/winsorize family's job), and a
+    loud error is the correct posture for a determinism-first engine.
+    The remaining TWO are genuine cross-engine semantics, mechanisms
+    named: q_agg_profile renders non-finite floats as strings (Spark
+    "NaN"/"-Infinity" vs DuckDB "nan"/"-inf" — any float->string
+    rendering is engine-specific beyond digits); q_sort_secondary's
+    desc-via-negated-ascending struct encoding puts NaN at the
+    OPPOSITE end from a native DESC (NaN is invariant under negation
+    while finite values flip).
+    Fix recipe when a non-finite deployment contract is ever needed:
+    gate with isnan/isinf explicitly on both sides — queued behind the
+    r10 NULL-pin window, not slotted.
 """
 
 from __future__ import annotations
