@@ -1,0 +1,101 @@
+"""Decade-ladder scale probe: run the two headline generated-data
+workloads one decade PAST their per-round bench sizes and print the
+wall/shuffle ladder as one JSON line. One-off evidence (too slow for the
+per-round bench); results are recorded in SCALE.md with this command:
+
+    python tools/scale_probe.py            # ~5 min on local[32]
+
+Ladders:
+  - terasort 1M -> 10M -> 100M 100-byte rows (10 MB -> 1 GB -> 10 GB
+    through TeraGen -> total-order sort -> TeraValidate) — the
+    range-partition + spill path.
+  - minhash LSH dedup 5k -> 50k -> 500k generated docs (20% planted
+    exact-duplicate rate, the bench_minhash_10x generator) — signature
+    build linear in corpus tokens, pair stage bounded by bucket
+    collisions; the planted-pair recall assert runs at every rung.
+
+The claim under test: one decade of growth costs ~one decade of wall
+and ~one decade of shuffle (no superlinear knee hiding just past the
+bench sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import bench
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.retainedStages", "100000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict[str, float]] = {}
+
+    bench.bench_terasort(spark, n=100_000)  # warm codegen off the ladder
+    for n in (1_000_000, 10_000_000, 100_000_000):
+        sw0, ib0 = bench._stage_bytes(spark)
+        t = time.time()
+        bench.bench_terasort(spark, n=n)
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        out[f"terasort_{n//1_000_000}m"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+        }
+
+    def docs(n_docs: int):
+        words = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(32)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.pmod(F.col("id"), F.lit(n_docs * 4 // 5)).cast("string"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+            ),
+            " ",
+        )
+        return spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), words.alias("text")
+        )
+
+    for n in (5_000, 50_000, 500_000):
+        d = docs(n).localCheckpoint()
+        sw0, _ = bench._stage_bytes(spark)
+        t = time.time()
+        n_pairs = dedup.minhash_lsh_candidates(d, "doc_id", "text").count()
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        assert n_pairs >= n // 5, f"minhash_{n}: planted pairs missed ({n_pairs})"
+        out[f"minhash_{n // 1000}k"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+        }
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
