@@ -536,6 +536,117 @@ def bench_graph_10x(spark, timings, shuffle_b, input_b) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
+def bench_temporal_10x(spark, timings, shuffle_b, input_b) -> None:
+    """1x/10x stress pair for the temporal-join family — the last
+    operator family without measured scaling evidence (asof/range claim
+    one-shuffle-sweep / bin-equi-join shapes in SCALE.md). Generated
+    event streams at 100k and 1M rows with FIXED density: users and the
+    covered time span both scale 10x (the "more days, more users" model
+    — fixed-span growth would grow range-join OUTPUT quadratically,
+    which is a property of the question, not the plan). Workloads:
+    (a) backward as-of join of the click half against the deduped
+    purchase half — one union exchange on user_id, output = clicks, so
+    wall and shuffle should scale ~linearly; (b) binned range join of
+    purchases into 1-hour windows opened by every ~50th event —
+    bin_width = window length, so each interval explodes to <= 2 bins
+    and shuffle stays ~linear at fixed density (the no-cross-product
+    claim under load)."""
+    from hadoop_0_20_2_ljx_spark.extensions import temporal
+
+    def gen(n_rows: int):
+        users = max(n_rows // 20, 1)
+        span_us = n_rows * 1_000_000  # fixed density: 1 event/sec overall
+
+        def h(salt: str):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+
+        return spark.range(n_rows).select(
+            F.col("id").alias("event_id"),
+            (h("u") % users).alias("user_id"),
+            (h("t") % span_us).alias("t_us"),
+            (F.col("id") % 2 == 0).alias("is_click"),
+        )
+
+    # warm codegen on a tiny stream (the 1x/10x RATIO is the point)
+    warm = gen(2_000).localCheckpoint()
+    temporal.asof_join(
+        warm.where("is_click").select("event_id", "user_id", "t_us"),
+        warm.where(~F.col("is_click"))
+        .groupBy("user_id", "t_us")
+        .agg(F.count(F.lit(1)).cast("double").alias("pval")),
+        on=["user_id"], left_ts="t_us", right_ts="t_us", value_cols=["pval"],
+    ).agg(F.count("pval")).first()
+
+    # the asof aggregate must CONSUME the matched values: a bare count()
+    # lets Catalyst prune the whole window sweep (the markers feed no
+    # output column) and the "asof" row would time a filter
+    for label, n in (("asof_gen_1x", 100_000), ("asof_10x", 1_000_000)):
+        ev = gen(n).localCheckpoint()
+        clicks = ev.where("is_click").select("event_id", "user_id", "t_us")
+        purchases = (
+            ev.where(~F.col("is_click"))
+            .groupBy("user_id", "t_us")
+            .agg(F.count(F.lit(1)).cast("double").alias("pval"))
+        )
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        row = (
+            temporal.asof_join(
+                clicks, purchases, on=["user_id"], left_ts="t_us",
+                right_ts="t_us", value_cols=["pval"],
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.count("pval").alias("n_matched"),
+            )
+            .first()
+        )
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label] = sw1 - sw0
+        input_b[label] = ib1 - ib0
+        assert row["n_out"] == n // 2, f"{label}: asof must keep every click"
+        # ~20 purchases/user: all but the earliest-click sliver match
+        assert row["n_matched"] > n // 4, f"{label}: {row['n_matched']} matched"
+
+    # shuffle-join regime for the range pair, as in bench_pagerank_10x /
+    # bench_graph_10x: the interval side broadcasts at these sizes but is
+    # corpus-sized at 100 TB
+    HOUR_US = 3_600_000_000
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, n in (("range_gen_1x", 100_000), ("range_10x", 1_000_000)):
+            ev = gen(n).localCheckpoint()
+            points = ev.where(~F.col("is_click")).select("event_id", "t_us")
+            intervals = ev.where(F.col("event_id") % 50 == 0).select(
+                F.col("event_id").alias("win_id"),
+                F.col("t_us").alias("w_s"),
+                (F.col("t_us") + HOUR_US).alias("w_e"),
+            )
+            sw0, ib0 = _stage_bytes(spark)
+            t = time.time()
+            n_pairs = temporal.range_join_binned(
+                points, intervals, "t_us", "w_s", "w_e", bin_width=HOUR_US
+            ).count()
+            timings[label] = time.time() - t
+            sw1, ib1 = _stage_bytes(spark)
+            shuffle_b[label] = sw1 - sw0
+            input_b[label] = ib1 - ib0
+            # fixed density: ~n/100 windows x ~1800 in-window points
+            assert n_pairs > n * 10, f"{label}: suspiciously few pairs ({n_pairs})"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
 def bench_source_sim_cap(spark, timings, shuffle_b, input_b) -> None:
     """max_shingle_freq measured in its WIN regime (r7 verdict task 5 —
     the r7 non-result stands on fixture text, which shares no boilerplate
@@ -844,6 +955,7 @@ def main() -> int:
     bench_ivfpq_10x(spark, timings, shuffle_b, input_b)
     bench_text_longdoc(spark, timings, shuffle_b, input_b)
     bench_graph_10x(spark, timings, shuffle_b, input_b)
+    bench_temporal_10x(spark, timings, shuffle_b, input_b)
     bench_source_sim_cap(spark, timings, shuffle_b, input_b)
     pagerank_phases = bench_pagerank_phases(spark)
 

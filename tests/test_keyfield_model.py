@@ -106,3 +106,52 @@ def _spark_cols(spec: str):
     from hadoop_0_20_2_ljx_spark.operators.sorts import key_field_order_columns
 
     return key_field_order_columns(F.col("line"), [spec], SEP)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    ["1.3,1.3", "3.2,3.0nr", "4,4n", "3,3n", "2,3", "1.2,1n", "2.2,2.4n"],
+)
+def test_kf_slice_sql_matches_engine_slice(spark, spec):
+    """Differential pin for the r9 oracle generator (queries/core.py
+    _kf_slice_sql): the DuckDB rendering of a -k spec must produce the
+    SAME key value as the engine's key_field_slice on every line —
+    including lines with missing/short/empty fields, where the
+    pre-r9 column-based oracle silently disagreed (concat_ws null-skip
+    shifts offsets; base.py boundary)."""
+    import duckdb
+
+    from hadoop_0_20_2_ljx_spark.operators.sorts import (
+        key_field_slice,
+        parse_key_spec,
+    )
+    from hadoop_0_20_2_ljx_spark.queries.core import _kf_slice_sql
+
+    lines = _rand_lines(250, seed=hash(spec) % 10_000)
+    # short/degenerate lines: fewer fields than the spec references,
+    # fields shorter than the char offsets, empty fields
+    lines += ["", "a", "ab\tc", "\t\t", "7", "x\t", "\tx", "1-URGENT\tF\t12\t34"]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+
+    k = parse_key_spec(spec)
+    c = key_field_slice(F.col("line"), spec, SEP)
+    if k["numeric"]:
+        num = F.regexp_extract(c, r"^\s*(-?\d+(?:\.\d+)?)", 1)
+        c = F.when(num != "", num.cast("double")).otherwise(F.lit(0.0))
+    eng = {r["line"]: r["k"] for r in df.select("line", c.alias("k")).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"(?)" for _ in lines)
+        + ") v(line)",
+        lines,
+    )
+    ora = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT line, {_kf_slice_sql(spec)} FROM (SELECT line FROM t) _"
+        ).fetchall()
+    }
+    for l in lines:
+        assert eng[l] == ora[l], f"{spec!r} on {l!r}: engine {eng[l]!r} vs oracle {ora[l]!r}"
