@@ -51,27 +51,11 @@ def build_pre1970_fixture(dst: str) -> None:
 
 
 def main() -> int:
-    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_pre1970")
-    build_pre1970_fixture(dst)
-    import importlib.util
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from boundary import replay_and_diff
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        "driver_sim", os.path.join(here, "driver_sim.py")
-    )
-    sim = importlib.util.module_from_spec(spec)
-    sys.argv = ["driver_sim.py", dst]
-    spec.loader.exec_module(sim)
-    try:
-        rc = sim.main()
-    except SystemExit as e:
-        rc = int(e.code or 0)
-    failed = sorted(getattr(sim, "LAST_FAILED", set()))
-    if failed:
-        print(f"PRE-1970 divergence (the negative-epoch contract broke): {failed}")
-        return 1
-    print("pre-1970 sweep OK: 0 divergences")
-    return rc
+    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_pre1970")
+    return replay_and_diff(build_pre1970_fixture, dst, set(), "pre-1970")
 
 
 if __name__ == "__main__":

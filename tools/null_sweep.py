@@ -90,36 +90,11 @@ def build_nulled_fixture(dst: str) -> None:
 
 
 def main() -> int:
-    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_null")
-    build_nulled_fixture(dst)
-    # reuse driver_sim's compare loop by importing it as a module
-    import importlib.util
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from boundary import replay_and_diff
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        "driver_sim", os.path.join(here, "driver_sim.py")
-    )
-    sim = importlib.util.module_from_spec(spec)
-    sys.argv = ["driver_sim.py", dst]
-    spec.loader.exec_module(sim)
-    try:
-        rc = sim.main()
-    except SystemExit as e:  # driver_sim may exit() from main
-        rc = int(e.code or 0)
-    failed = set(getattr(sim, "LAST_FAILED", set()))
-    unexpected = sorted(failed - EXPECTED_DIVERGENT)
-    fixed = sorted(EXPECTED_DIVERGENT - failed)
-    if unexpected:
-        print(f"UNEXPECTED null-replay divergence (regression): {unexpected}")
-        return 1
-    if fixed:
-        print(
-            f"null-replay NOW PASSING (move out of EXPECTED_DIVERGENT, "
-            f"shrink base.py's class-3 list): {fixed}"
-        )
-        return 1
-    print(f"null sweep OK: {len(failed)} expected divergences, 0 unexpected")
-    return 0 if rc in (0, 1) else rc
+    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_null")
+    return replay_and_diff(build_nulled_fixture, dst, EXPECTED_DIVERGENT, "null")
 
 
 if __name__ == "__main__":

@@ -114,34 +114,13 @@ def build_unicode_fixture(dst: str) -> None:
 
 
 def main() -> int:
-    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_unicode")
-    build_unicode_fixture(dst)
-    import importlib.util
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from boundary import replay_and_diff
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        "driver_sim", os.path.join(here, "driver_sim.py")
+    dst = os.path.join(tempfile.gettempdir(), "ljx_sf_unicode")
+    return replay_and_diff(
+        build_unicode_fixture, dst, EXPECTED_DIVERGENT, "unicode"
     )
-    sim = importlib.util.module_from_spec(spec)
-    sys.argv = ["driver_sim.py", dst]
-    spec.loader.exec_module(sim)
-    try:
-        rc = sim.main()
-    except SystemExit as e:
-        rc = int(e.code or 0)
-    failed = set(getattr(sim, "LAST_FAILED", set()))
-    unexpected = sorted(failed - EXPECTED_DIVERGENT)
-    fixed = sorted(EXPECTED_DIVERGENT - failed)
-    if unexpected:
-        print(f"UNEXPECTED unicode divergence (regression): {unexpected}")
-        return 1
-    if fixed:
-        print(
-            f"unicode replay NOW PASSING (shrink EXPECTED_DIVERGENT): {fixed}"
-        )
-        return 1
-    print(f"unicode sweep OK: {len(failed)} expected divergences, 0 unexpected")
-    return 0 if rc in (0, 1) else rc
 
 
 if __name__ == "__main__":
