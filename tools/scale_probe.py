@@ -80,6 +80,9 @@ def main() -> int:
             F.col("id").alias("doc_id"), words.alias("text")
         )
 
+    # warm the dedup codepath off the ladder (the r9 run's 5k wall
+    # carried first-compile cost; bytes were unaffected)
+    dedup.minhash_lsh_candidates(docs(1_000).localCheckpoint(), "doc_id", "text").count()
     for n in (5_000, 50_000, 500_000):
         d = docs(n).localCheckpoint()
         sw0, _ = bench._stage_bytes(spark)
