@@ -455,6 +455,58 @@ def bench_text_longdoc(spark, timings, shuffle_b, input_b) -> None:
     )
 
 
+def bench_simhash_longdoc(spark, timings, shuffle_b, input_b) -> None:
+    """Doc-LENGTH stress pair for the simhash family (r9 verdict task 2:
+    the family's r8->r9 wall moves had only the ambient label and no
+    length-stress row of its own). Same corpus/methodology as
+    bench_text_longdoc: 2,000 generated docs at ~200 tokens (1x) and
+    ~2,000 tokens (10x) through the relational explode->vote
+    simhash_signatures(60). Expected curve: wall ~linear in doc length
+    (tokenize once per doc after the r10 _pad_empty fix — the naive
+    padding was a 2x constant, the quadratic HOF class would be 100x);
+    shuffle ~linear in text bytes (the one exchange carries doc TEXT,
+    explode+vote run partition-local). Generation outside the timed
+    window (localCheckpoint)."""
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    def corpus(n_tokens: int):
+        words = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                lambda i: F.concat(
+                    F.lit("w"), ((F.col("id") * 31 + i) % 9973).cast("string")
+                ),
+            ),
+            " ",
+        )
+        return spark.range(2_000).select(
+            F.col("id").alias("doc_id"), words.alias("text")
+        )
+
+    warm = corpus(50).localCheckpoint()
+    dedup.simhash_signatures(warm, "doc_id", "text").count()
+
+    for label, n_tokens in (("simhash_longdoc_1x", 200), ("simhash_longdoc_10x", 2_000)):
+        docs = corpus(n_tokens).localCheckpoint()
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        n_sigs = dedup.simhash_signatures(docs, "doc_id", "text").count()
+        timings[label] = time.time() - t
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label] = sw1 - sw0
+        input_b[label] = ib1 - ib0
+        assert n_sigs == 2_000, f"{label}: {n_sigs} signatures"
+    # regression tripwire: 10x tokens must stay ~linear (10x work + 3x
+    # headroom over job overhead); a quadratic form would be ~100x work
+    assert timings["simhash_longdoc_10x"] < 30 * max(
+        timings["simhash_longdoc_1x"], 0.2
+    ), (
+        f"long-doc simhash stage grew "
+        f"{timings['simhash_longdoc_10x'] / max(timings['simhash_longdoc_1x'], 1e-9):.0f}x "
+        f"for 10x tokens: quadratic regression?"
+    )
+
+
 def bench_graph_10x(spark, timings, shuffle_b, input_b) -> None:
     """1x/10x stress pairs for the non-iterative graph family (r8
     verdict task 4: pagerank has its scaling pair; triangles claims
@@ -954,6 +1006,7 @@ def main() -> int:
     bench_pagerank_10x(spark, timings, shuffle_b, input_b)
     bench_ivfpq_10x(spark, timings, shuffle_b, input_b)
     bench_text_longdoc(spark, timings, shuffle_b, input_b)
+    bench_simhash_longdoc(spark, timings, shuffle_b, input_b)
     bench_graph_10x(spark, timings, shuffle_b, input_b)
     bench_temporal_10x(spark, timings, shuffle_b, input_b)
     bench_source_sim_cap(spark, timings, shuffle_b, input_b)

@@ -486,15 +486,12 @@ def simhash_signatures(
     # build side was the whole signature table — a full extra shuffle at
     # scale). A one-token doc's signature is its token's hash, so the
     # sentinel doc signature is md5('')'s 60-bit value.
-    # KNOWN r9-deferred: this padding is the same double-eval as the
-    # r8-ADVICE minhash sites (words = filter(split(text)) referenced
-    # twice -> tokenization runs 2x per document). The _pad_empty fix is
-    # one line, but it changes the plans of q_dedup_simhash and
-    # q_dedup_simhash_pairs — the r9 evidence window's changed-budget
-    # (<=6) is fully spent on the 5 minhash-family consumers, so this
-    # lands in r10's window instead of overriding the cap for a
-    # constant-factor fix.
-    padded = F.when(F.size(words) > 0, words).otherwise(F.array(F.lit("")))
+    # The padding binds `words` ONCE (_pad_empty): the naive
+    # F.when(F.size(words) > 0, ...) form referenced the filter(split(
+    # text)) tree twice, re-tokenizing every document (no CSE through
+    # HOF trees; fixed r10, bitwise-pinned in tests/test_hof_binding.py,
+    # doc-length stress pair simhash_longdoc_1x/10x in bench.py).
+    padded = _pad_empty(words)
     tok = (
         ids.repartition(sc.defaultParallelism, id_col)
         .select(id_col, F.explode(padded).alias("w"))
@@ -876,21 +873,30 @@ def keep_best_dedup(
     One hash shuffle on the md5 of the normalized text (the shuffle key
     is 32 bytes regardless of document size — never the text itself) with
     a max(struct) agg — partial aggregation applies map-side, no window
-    sort, no distinct. `score_col` must be non-null (fixture n_chars is);
-    ids must be numeric (the tie-break negates them).
+    sort, no distinct. ids must be numeric (the tie-break negates them).
     Returns (id, score, n_dups) for each kept (canonical) doc.
+
+    NULL contract (r10 pin): a NULL score ranks BELOW every real score —
+    a doc with no score is never the canonical pick unless its whole
+    group is scoreless (then smallest id wins, score comes back NULL).
+    Explicit not-null flag leads the max(struct) because engines disagree
+    on null struct-field ordering; null TEXT normalizes to a NULL key and
+    forms its own group on both engines (SQL GROUP BY keeps null groups).
     """
     norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
-    # max over (score, -id): best score wins, then the SMALLEST id.
+    # max over (has_score, score, -id): best non-null score wins, then
+    # the SMALLEST id.
     pick = F.struct(
-        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+        F.col(score_col).isNotNull().cast("int").alias("ok"),
+        F.coalesce(F.col(score_col), F.lit(0)).alias("s"),
+        (-F.col(id_col)).alias("negid"),
     )
     out = df.select(norm.alias("_k"), pick.alias("_p")).groupBy("_k").agg(
         F.max("_p").alias("best"), F.count(F.lit(1)).cast("long").alias("n_dups")
     )
     return out.select(
         (-F.col("best.negid")).cast("long").alias(id_col),
-        F.col("best.s").alias(score_col),
+        F.when(F.col("best.ok") == 1, F.col("best.s")).alias(score_col),
         "n_dups",
     )
 

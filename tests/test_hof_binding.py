@@ -377,3 +377,88 @@ def test_padded_builders_tokenize_once_in_plan(spark):
         _old_simhash64(F.col("text"), 8).alias("sh")
     )._jdf.queryExecution().optimizedPlan().toString()
     assert old_sh.count("split(") > 2, old_sh
+
+
+# --- r10: the deferred simhash_signatures padding double-eval ----------------
+def _old_simhash_signatures(df, id_col: str, text_col: str, bits: int = 60):
+    """Pre-r10 simhash_signatures, kept verbatim: the sentinel padding
+    referenced `words` (filter(split(text))) twice, so tokenization ran
+    2x per document before the explode."""
+    import functools
+    import operator
+
+    ids = df.select(F.col(id_col).alias(id_col), F.col(text_col).alias("_text"))
+    words = F.filter(F.split(F.col("_text"), r"\s+"), lambda w: w != "")
+    sc = df.sparkSession.sparkContext
+    padded = F.when(F.size(words) > 0, words).otherwise(F.array(F.lit("")))
+    tok = (
+        ids.repartition(sc.defaultParallelism, id_col)
+        .select(id_col, F.explode(padded).alias("w"))
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+    )
+    votes = tok.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))).alias(f"s{j}")
+            for j in range(bits)
+        ],
+    )
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{j}") * 2 > F.col("n_tok"), F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bits)
+        ],
+    )
+    return votes.select(id_col, sig.alias("simhash"))
+
+
+def test_simhash_signatures_padding_is_bitwise_identical(spark):
+    texts = _random_texts(200, seed=89)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for bits in (8, 60):
+        old = _old_simhash_signatures(df, "doc_id", "text", bits)
+        new = dedup.simhash_signatures(df, "doc_id", "text", bits)
+        joined = old.alias("o").join(new.alias("n"), "doc_id", "full")
+        bad = joined.select(
+            F.when(F.col("o.simhash").eqNullSafe(F.col("n.simhash")), 0)
+            .otherwise(1)
+            .alias("x")
+        ).agg(F.sum("x")).first()[0]
+        assert bad == 0
+
+
+def test_simhash_signatures_on_fixture_matches_old(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = _old_simhash_signatures(docs, "doc_id", "text")
+    new = dedup.simhash_signatures(docs, "doc_id", "text")
+    joined = old.alias("o").join(new.alias("n"), "doc_id", "full")
+    bad = joined.select(
+        F.when(F.col("o.simhash").eqNullSafe(F.col("n.simhash")), 0)
+        .otherwise(1)
+        .alias("x")
+    ).agg(F.sum("x")).first()[0]
+    assert bad == 0
+
+
+def test_simhash_signatures_tokenize_once_in_plan(spark):
+    """The explode-feeding projection must carry ONE split( after the
+    _pad_empty rewrite; the old padding stamped two."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        dedup.simhash_signatures(docs, "doc_id", "text", 8)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
+    old_plan = (
+        _old_simhash_signatures(docs, "doc_id", "text", 8)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert old_plan.count("split(") == 2, old_plan
