@@ -212,12 +212,18 @@ def drift_counts(
     what makes the monitor streamable via foreachBatch: keep a running
     counts table (groups*bins rows, corpus-size-independent), add each
     batch's counts, and re-finalize with js_from_counts. Never re-scan
-    history."""
+    history.
+
+    NULL contract (r10 pin): a row whose BIN is null (null measurement)
+    or whose slice predicate is NULL (e.g. a null event time against a
+    time split) is in NO histogram — excluded before counting, the
+    ks_counts twin. A bare otherwise(0) silently filed unknown-slice
+    rows under slice B. Null GROUP keys keep their own group."""
     binned = df.select(
         F.col(group_col).alias("_g"),
         bin_col.cast("long").alias("_b"),
-        F.when(split_cond, 1).otherwise(0).alias("_h"),
-    )
+        split_cond.cast("int").alias("_h"),
+    ).where(F.col("_b").isNotNull() & F.col("_h").isNotNull())
     return binned.groupBy("_g", "_b").agg(
         F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).cast("long").alias("_c1"),
         F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).cast("long").alias("_c2"),
@@ -711,14 +717,17 @@ def ks_counts(
     point on the CDF, and letting it through would also diverge
     cross-engine (Spark windows order NULLS FIRST, DuckDB NULLS LAST —
     the cumulative sums would skew in opposite directions; the fixtures
-    are NULL-free, so only this filter keeps the contract explicit)."""
+    are NULL-free, so only this filter keeps the contract explicit).
+    Likewise (r10 pin) a NULL slice predicate — a row that cannot be
+    assigned to either sample (null event time vs a time split) — drops
+    the row from BOTH samples rather than silently tagging it slice B."""
     return (
         df.select(
             F.col(group_col).alias("_g"),
             value_expr.cast("double").alias("_v"),
             in_a.cast("int").alias("_a"),
         )
-        .where(F.col("_v").isNotNull())
+        .where(F.col("_v").isNotNull() & F.col("_a").isNotNull())
         .groupBy("_g", "_v")
         .agg(
             F.sum("_a").cast("long").alias("_da"),

@@ -238,8 +238,17 @@ def hashed_linear_classifier(
     100 TB scoring pass wants. Score stays an exact integer (weights in
     [-weight_scale, weight_scale]); the normalized score is integer
     parts-per-million (truncating integer division, bit-exact in DuckDB).
+
+    NULL contract (r10 pin): a NULL text scores as an EMPTY document —
+    n_tokens=0, score_int=0, score_ppm=0, keep=false — never NULL-
+    propagated. A quality gate must make a definite ship/no-ship call
+    for every row; the null-text row fails it like any empty doc. The
+    oracle's coalesce(list_sum(...), 0) already said 0; the Spark side
+    coalesces the token array so both engines agree bit-for-bit.
     """
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = F.coalesce(
+        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
 
     def _weight(tok: Column) -> Column:
         # bucket = hash(token) % dim; weight = hash("w:" + bucket) mapped

@@ -33,11 +33,18 @@ def key_field_sort(df: DataFrame, keys: list[tuple[str, bool, bool]]) -> DataFra
     keys: [(column, numeric, reverse)]. 'numeric' reproduces -n (numeric
     compare of a string field, KeyFieldBasedComparator.numericalCompare
     :112) via a double cast; 'reverse' is -r.
+
+    NULL contract (r10 pin): ASC = NULLS FIRST, DESC = NULLS LAST —
+    explicit, because the engines' defaults are OPPOSITE (Spark ASC is
+    nulls-first, DuckDB ASC is nulls-last; queries/base.py). A null key
+    sorts as the smallest value in both directions, the same contract
+    the asof sweep pinned in r9; oracles must say NULLS FIRST/LAST
+    explicitly in their ORDER BY.
     """
     order: list[Column] = []
     for col, numeric, reverse in keys:
         c = F.col(col).cast("double") if numeric else F.col(col)
-        order.append(c.desc() if reverse else c.asc())
+        order.append(c.desc_nulls_last() if reverse else c.asc_nulls_first())
     return df.orderBy(*order)
 
 

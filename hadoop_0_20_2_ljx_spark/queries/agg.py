@@ -289,7 +289,24 @@ def _profile(spark: SparkSession, sf: str) -> DataFrame:
     data-quality pass. ONE scan: a single aggregate computes every
     per-column stat, then an explode unpivots to one row per column
     (numeric min/max printf'd at fixed precision so both engines render
-    identically)."""
+    identically).
+
+    Non-finite contract (r10 pin): a NaN/Infinity min or max renders as
+    the explicit tokens 'NaN' / 'Infinity' / '-Infinity' on BOTH sides —
+    float-to-string rendering beyond digits is engine-specific (Java
+    printf says "NaN"/"Infinity", DuckDB printf says "nan"/"inf"), so a
+    profile over a non-finite-salted column must not ride printf. Both
+    engines already agree NaN ranks GREATEST (above +Infinity), so
+    min/max themselves match; only the rendering needed the pin."""
+
+    def _render(x: F.Column) -> F.Column:
+        return (
+            F.when(F.isnan(x), F.lit("NaN"))
+            .when(x == F.lit(float("inf")), F.lit("Infinity"))
+            .when(x == F.lit(float("-inf")), F.lit("-Infinity"))
+            .otherwise(F.format_string("%.2f", x))
+        )
+
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_NUM + _PROFILE_STR:
         aggs += [
@@ -298,8 +315,8 @@ def _profile(spark: SparkSession, sf: str) -> DataFrame:
         ]
     for c in _PROFILE_NUM:
         aggs += [
-            F.format_string("%.2f", F.min(c)).alias(f"{c}__mn"),
-            F.format_string("%.2f", F.max(c)).alias(f"{c}__mx"),
+            _render(F.min(c)).alias(f"{c}__mn"),
+            _render(F.max(c)).alias(f"{c}__mx"),
         ]
     for c in _PROFILE_STR:
         aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
@@ -321,13 +338,23 @@ def _profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _profile_oracle() -> str:
+    # non-finite rendering pinned to 'NaN'/'Infinity'/'-Infinity' — the
+    # _profile docstring contract (DuckDB printf would say nan/inf)
+    def _r(e: str) -> str:
+        return (
+            f"CASE WHEN isnan({e}) THEN 'NaN' "
+            f"WHEN {e} = 'infinity'::DOUBLE THEN 'Infinity' "
+            f"WHEN {e} = '-infinity'::DOUBLE THEN '-Infinity' "
+            f"ELSE printf('%.2f', {e}) END"
+        )
+
     branches = []
     for c in _PROFILE_NUM:
         branches.append(
             f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
             f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-            f"printf('%.2f', min({c})) AS min_s, printf('%.2f', max({c})) AS max_s "
+            f"{_r(f'min({c})')} AS min_s, {_r(f'max({c})')} AS max_s "
             f"FROM lineitem"
         )
     for c in _PROFILE_STR:
@@ -346,7 +373,13 @@ def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
     engines) and mode with a deterministic tie-break (highest count,
     then lowest value). Both sides compute the identical definition.
     The per-group sort is the unavoidable exact-median cost; groups
-    partition the shuffle, so parallelism is by group at scale."""
+    partition the shuffle, so parallelism is by group at scale.
+
+    NULL contract (r10 pin): median and mode are order statistics over
+    the OBSERVED values — null prices and null statuses are excluded
+    before ranking (percentile_cont semantics, queries/base.py); a NULL
+    group key keeps its own group, so the med-x-mode recombining join is
+    NULL-SAFE on both sides (a bare equi-join silently dropped it)."""
     from pyspark.sql.window import Window
 
     o = T(spark, sf, "orders").select(
@@ -359,8 +392,10 @@ def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
     # repo rule is every rank window orders totally (both engines do)
     wr = Window.partitionBy("pri").orderBy("p", "ok")
     wn = Window.partitionBy("pri")
-    ranked = o.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    ranked = (
+        o.where(F.col("p").isNotNull())
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
     )
     med = (
         ranked.where(
@@ -370,16 +405,20 @@ def _median_mode(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("pri")
         .agg(F.round(F.avg("p"), 2).alias("median_price"))
     )
-    cnt = o.groupBy("pri", "st").agg(F.count(F.lit(1)).alias("c"))
+    cnt = (
+        o.where(F.col("st").isNotNull())
+        .groupBy("pri", "st")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     wm = Window.partitionBy("pri").orderBy(F.desc("c"), F.asc("st"))
     mode = (
         cnt.withColumn("r", F.row_number().over(wm))
         .where(F.col("r") == 1)
-        .select("pri", F.col("st").alias("mode_status"))
+        .select(F.col("pri").alias("_mpri"), F.col("st").alias("mode_status"))
     )
-    return med.join(mode, "pri").select(
-        F.col("pri").alias("o_orderpriority"), "median_price", "mode_status"
-    )
+    return med.join(
+        mode, F.col("pri").eqNullSafe(F.col("_mpri"))
+    ).select(F.col("pri").alias("o_orderpriority"), "median_price", "mode_status")
 
 
 _MEDIAN_MODE_SQL = """
@@ -389,12 +428,12 @@ WITH o AS (
 ), ranked AS (
   SELECT pri, p, row_number() OVER (PARTITION BY pri ORDER BY p, ok) AS rn,
          count(*) OVER (PARTITION BY pri) AS n
-  FROM o
+  FROM o WHERE p IS NOT NULL
 ), med AS (
   SELECT pri, round(avg(p), 2) AS median_price FROM ranked
   WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2) GROUP BY 1
 ), cnt AS (
-  SELECT pri, st, count(*) AS c FROM o GROUP BY 1, 2
+  SELECT pri, st, count(*) AS c FROM o WHERE st IS NOT NULL GROUP BY 1, 2
 ), md AS (
   SELECT pri, st AS mode_status FROM (
     SELECT pri, st, row_number() OVER (PARTITION BY pri ORDER BY c DESC, st) AS r
@@ -402,7 +441,7 @@ WITH o AS (
   ) WHERE r = 1
 )
 SELECT med.pri AS o_orderpriority, med.median_price, md.mode_status
-FROM med JOIN md ON med.pri = md.pri
+FROM med JOIN md ON med.pri IS NOT DISTINCT FROM md.pri
 """
 
 

@@ -159,8 +159,15 @@ def _agg_drift_js(spark: SparkSession, sf: str) -> DataFrame:
     """JS divergence of each event_type's value distribution between the
     first and second half of the month — the slice-vs-slice drift
     monitor. Bin terms are floored to integer nano-units before the
-    per-group sum, so the score is order-independent."""
-    ev = T(spark, sf, "events")
+    per-group sum, so the score is order-independent.
+
+    NULL contract (r10 pin): null measurements and null timestamps are
+    excluded HERE, not just by drift_counts' null-bin filter — least()
+    IGNORES nulls in both engines, so least(floor(NULL/50), 9) is 9, and
+    an unfiltered null value would silently land in the overflow bin."""
+    ev = T(spark, sf, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     return audit.distribution_drift_js(
         ev,
         "event_type",
@@ -170,12 +177,15 @@ def _agg_drift_js(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# NULL contract (r10 pin, drift_counts docstring): null measurements and
+# null-slice-predicate rows are in NO histogram; a NULL group keeps its
+# own group, so the totals join is null-safe (USING(g) dropped it).
 _DRIFT_SQL = """
 WITH b AS (
   SELECT event_type AS g,
          least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h
-  FROM events
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), c AS (
   SELECT g, bin,
          CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -199,10 +209,10 @@ FROM (
   -- degenerates to ln2/2 per occupied bin) instead of 0/0 NaN — found
   -- by the r8 pre-1970 timestamp replay, where the date split left
   -- every row in one slice
-  SELECT g, c1, c2,
+  SELECT c.g AS g, c1, c2,
          CASE WHEN t1 > 0 THEN c1 / t1 ELSE 0.0 END AS p,
          CASE WHEN t2 > 0 THEN c2 / t2 ELSE 0.0 END AS q
-  FROM c JOIN t USING (g)
+  FROM c JOIN t ON c.g IS NOT DISTINCT FROM t.g
 )
 GROUP BY 1
 """
@@ -223,7 +233,7 @@ _DRIFT_KS_SQL = """
 WITH pts AS (
   SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), vals AS (
   SELECT g, v, CAST(sum(a) AS BIGINT) AS da, CAST(sum(1 - a) AS BIGINT) AS db
   FROM pts GROUP BY 1, 2
@@ -303,9 +313,15 @@ WITH tok AS (
 SELECT c.source, max(t.n) AS n_tokens, max(t.vocab) AS vocab,
        CAST(sum(CAST(floor(1000000000.0 * (-(c.c / t.n) * ln(c.c / t.n))) AS BIGINT)) AS BIGINT)
          AS entropy_nano
-FROM c JOIN t ON c.source = t.source
+FROM c JOIN t ON c.source IS NOT DISTINCT FROM t.source
 GROUP BY 1
 """
+# NULL contract (r10 pin): SQL GROUP BY keeps a NULL group and the Spark
+# side groups via window partitionBy (null-keeping), so the oracle's
+# per-source totals join must be NULL-SAFE — a bare equi-join silently
+# drops the null-source group (the one cross-engine divergence on the
+# 30%-nulled replay). Null TEXT contributes no tokens on both sides
+# (split(NULL) -> no rows in either engine).
 
 QUERIES["q_text_entropy"] = QueryDef(
     _text_entropy,

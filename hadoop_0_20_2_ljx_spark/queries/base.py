@@ -61,17 +61,26 @@ Cross-engine ground rules used throughout:
     admit one; keyfield-offsets' oracle now slices the same rendered
     line the engine sorts, because concat_ws skips NULLs and SHIFTS -k
     offsets; udf_histogram's pandas groupby needed dropna=False).
-    Post-r9 replay: 149/186. The remaining 37 are three classes, none an
+    Post-r10 replay: 161/186. The remaining 25 are two classes, none an
     ordering-default ride on a pinned query: (1) trainers/embedding math
     fed null vectors (q_embed_* x13, q_dedup_embed/_semantic — trainers
     stay strict by contract); (2) text/format roundtrips whose wire form
     cannot represent NULL (scan/sink/recordio/fieldsel/skipbad/
-    multimodal — line-rendered fields shift, concat_ws boundary); (3)
-    order-sensitive queries whose pins are QUEUED for their r10 evidence
-    window (q_sort_keyfield/_secondary, q_udf_cogroup, q_dedup_canonical
-    /_simhash, q_sample_weighted, q_text_entropy/_classifier,
-    q_agg_median_mode/_approx_quantile/_drift_js/_drift_ks) — same pin
-    recipe as r9, deferred only by the <=6 changed-budget.
+    multimodal — line-rendered fields shift, concat_ws boundary). The
+    r9-era class (3) was pinned in full in r10: explicit NULLS
+    FIRST/LAST (keyfield), an explicit null-flag struct field where
+    engines disagree on null struct-field ordering (secondary sort,
+    keep-best dedup), NULL-SAFE recombining joins wherever a nullable
+    GROUP key re-enters a join (entropy totals, median x mode,
+    approx-quantile gates, JS totals — a bare equi-join silently drops
+    the null group that GROUP BY keeps), order-stat exclusion of null
+    measurements (median/mode/quantile/weighted-sample priority), slice
+    monitors dropping rows whose bin or slice predicate is NULL (JS/KS —
+    note least() IGNORES nulls in both engines, so clamp AFTER the null
+    filter), null-text-scores-as-empty-doc (classifier, simhash
+    sentinel), and SQL aggregate semantics in pandas UDFs (cogroup:
+    null-skipping sums, NULL total_cents for a NULL price — int(NaN)
+    raised before).
   - NON-FINITE floats (measured r9 by replaying the registry against a
     fixture with ~10% NaN/+-Inf salted into every double column):
     111/186 hash-match unchanged. 73 of the 75 divergent fail LOUDLY
@@ -81,16 +90,15 @@ Cross-engine ground rules used throughout:
     folding them; a pipeline ingesting non-finite measurements must
     gate them explicitly (the outliers/winsorize family's job), and a
     loud error is the correct posture for a determinism-first engine.
-    The remaining TWO are genuine cross-engine semantics, mechanisms
-    named: q_agg_profile renders non-finite floats as strings (Spark
-    "NaN"/"-Infinity" vs DuckDB "nan"/"-inf" — any float->string
-    rendering is engine-specific beyond digits); q_sort_secondary's
-    desc-via-negated-ascending struct encoding puts NaN at the
-    OPPOSITE end from a native DESC (NaN is invariant under negation
-    while finite values flip).
-    Fix recipe when a non-finite deployment contract is ever needed:
-    gate with isnan/isinf explicitly on both sides — queued behind the
-    r10 NULL-pin window, not slotted.
+    The r9-era two "genuine semantics" divergences were PINNED in r10
+    with exactly the isnan/isinf recipe: q_agg_profile renders
+    non-finite min/max as explicit 'NaN'/'Infinity'/'-Infinity' tokens
+    on both sides (any printf float rendering is engine-specific beyond
+    digits), and q_sort_secondary's packed struct carries an
+    ordering-class field (0=NaN, 1=value, 2=null) so NaN ranks GREATEST
+    — above +Infinity, first under DESC — both engines' native
+    comparator semantics, which desc-via-negation broke (NaN is
+    invariant under negation while finite values flip).
 """
 
 from __future__ import annotations

@@ -168,9 +168,16 @@ def _sort_keyfield(spark: SparkSession, sf: str) -> DataFrame:
         T(spark, sf, "orders"),
         [("o_orderpriority", False, False), ("o_totalprice", False, True), ("o_orderkey", False, False)],
     )
+    # null ordering explicit (r10 pin): ASC NULLS FIRST / DESC NULLS LAST
+    # on both sides — the engines' defaults are opposite (key_field_sort
+    # docstring has the contract).
     rn = sorts.with_global_row_number(
         df,
-        [F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        [
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_first(),
+        ],
     )
     return rn.agg(
         F.count("*").alias("n"),
@@ -300,10 +307,31 @@ def _sort_total_order(spark: SparkSession, sf: str) -> DataFrame:
 def _sort_secondary(spark: SparkSession, sf: str) -> DataFrame:
     """Per l_orderkey, line numbers ordered by (l_quantity desc,
     l_linenumber asc) — the SecondarySort example's contract with a total
-    order via tiebreaker (SURVEY §7.3)."""
+    order via tiebreaker (SURVEY §7.3).
+
+    NULL contract (r10 pin): DESC NULLS LAST — a null quantity is "no
+    measurement" and sorts after every real one, still tie-broken by
+    l_linenumber. The bare negated-struct encoding put null FIRST
+    (Spark's struct comparator ranks a null field smallest in an
+    ascending sort, i.e. largest under negation), the opposite of
+    DuckDB's nulls-last default — so the ordering CLASS is an explicit
+    leading sort field and the negated value is null-coalesced.
+
+    Non-finite contract (r10 pin): NaN ranks GREATEST among values —
+    above +Infinity, first under DESC — the native semantics of BOTH
+    engines' comparators. Negation alone broke this (NaN is invariant
+    under negation while finite values flip, so -q asc put NaN LAST);
+    the class field restores it: 0 = NaN, 1 = real value (by -q), 2 =
+    null. +/-Infinity negate cleanly and need no class of their own."""
     li = T(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    cls = (
+        F.when(q.isNull(), F.lit(2)).when(F.isnan(q), F.lit(0)).otherwise(F.lit(1))
+    )
     packed = F.struct(
-        (-F.col("l_quantity")).alias("s1"), F.col("l_linenumber").alias("s2")
+        cls.alias("s0"),
+        (-F.when(cls == 1, q).otherwise(F.lit(0.0))).alias("s1"),
+        F.col("l_linenumber").alias("s2"),
     )
     return li.groupBy("l_orderkey").agg(
         F.array_join(
@@ -384,7 +412,8 @@ QUERIES: dict[str, QueryDef] = {
         _sort_keyfield,
         f"SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rn * ({h32_sql('o_orderkey')} % 97)) AS BIGINT) "
         "AS ordered_checksum FROM (SELECT o_orderkey, row_number() OVER "
-        "(ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)",
+        "(ORDER BY o_orderpriority ASC NULLS FIRST, o_totalprice DESC NULLS LAST, "
+        "o_orderkey ASC NULLS FIRST) AS rn FROM orders)",
         "Q-sort-1 KeyFieldBasedComparator (mapred/lib/KeyFieldBasedComparator.java:33)",
     ),
     "q_sort_keyfield_offsets": QueryDef(
@@ -403,7 +432,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_sort_secondary": QueryDef(
         _sort_secondary,
         "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' "
-        "ORDER BY l_quantity DESC, l_linenumber ASC) AS lines FROM lineitem GROUP BY l_orderkey",
+        "ORDER BY l_quantity DESC NULLS LAST, l_linenumber ASC) AS lines "
+        "FROM lineitem GROUP BY l_orderkey",
         "Q-sort-4 secondary sort (examples/.../SecondarySort.java:57, JobConf.java:708)",
     ),
     "q_top_tokens": QueryDef(

@@ -37,10 +37,15 @@ def _dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# NULL contract (r10 pin, keep_best_dedup docstring): a NULL score ranks
+# below every real score — explicit not-null flag leads the max(struct)
+# because engines disagree on null struct-field ordering; a NULL text
+# keys its own group (GROUP BY keeps null groups on both engines).
 _CANONICAL_SQL = """
 WITH g AS (
   SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS k,
-         max(struct_pack(s := n_chars, negid := -doc_id)) AS best,
+         max(struct_pack(ok := CAST(n_chars IS NOT NULL AS INT),
+                         s := coalesce(n_chars, 0), negid := -doc_id)) AS best,
          CAST(count(*) AS BIGINT) AS n_dups
   FROM documents GROUP BY 1
 )
@@ -205,11 +210,28 @@ FROM t GROUP BY 1
 # clustering, and no cross-engine float interpolation anywhere
 # (CLAUDE.md: never percentile oracles — exact side is element-at-rank).
 def _approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
-    ev = T(spark, sf, "events").select("event_type", "value", "event_id")
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # NULL contract (r10 pin): quantiles are order statistics over the
+    # OBSERVED values — null measurements are excluded before ranking
+    # and n counts non-null values (percentile_cont semantics,
+    # queries/base.py; percentile_approx already ignores nulls). A NULL
+    # event_type keeps its own group, so every recombining join is
+    # NULL-SAFE (the bare equi-joins silently dropped the null group
+    # that the oracle's single windowed CTE keeps).
+    ev = (
+        T(spark, sf, "events")
+        .select("event_type", "value", "event_id")
+        .where(F.col("value").isNotNull())
+    )
+    counts = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumnRenamed("event_type", "_et_n")
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).join(
-        F.broadcast(counts), "event_type"
+    ranked = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), F.col("event_type").eqNullSafe(F.col("_et_n")))
+        .drop("_et_n")
     )
     r50 = (F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1).cast("long")
     r95 = (F.floor(F.lit(0.95) * (F.col("n") - 1)) + 1).cast("long")
@@ -218,18 +240,23 @@ def _approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn") == r50, F.col("value"))), 6).alias("q50"),
         F.round(F.max(F.when(F.col("rn") == r95, F.col("value"))), 6).alias("q95"),
     )
-    approx = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("a")
+    approx = (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95], 10000).alias("a"))
+        .withColumnRenamed("event_type", "_et_a")
     )
     gate = (
-        ev.join(F.broadcast(approx), "event_type")
+        ev.join(F.broadcast(approx), F.col("event_type").eqNullSafe(F.col("_et_a")))
         .groupBy("event_type")
         .agg(
             F.sum((F.col("value") <= F.col("a")[0]).cast("long")).alias("rank_a50"),
             F.sum((F.col("value") <= F.col("a")[1]).cast("long")).alias("rank_a95"),
         )
+        .withColumnRenamed("event_type", "_et_g")
     )
-    out = exact.join(gate, "event_type")
+    out = exact.join(
+        gate, F.col("event_type").eqNullSafe(F.col("_et_g"))
+    ).drop("_et_g")
     tol = F.greatest((F.col("n") * 0.02).cast("long"), F.lit(2))
     ok = (
         (F.abs(F.col("rank_a50") - (F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1)) <= tol)
@@ -243,7 +270,7 @@ WITH ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(max(n) AS BIGINT) AS n,
        round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END), 6) AS q50,
@@ -969,10 +996,17 @@ def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     division of identical operands is bit-exact in both engines, unlike
     the pow/log transforms of A-ES reservoir keys (libm-dependent last
     ulp could flip a rank). Shape: one window shuffle on source; top-k
-    per group, never a global sort."""
+    per group, never a global sort.
+
+    NULL contract (r10 pin): a doc with NULL weight has an UNDEFINED
+    priority and is excluded before ranking (the order-stat exclusion
+    contract, queries/base.py) — otherwise the engines' opposite null
+    orderings would rank it first (Spark) vs last (DuckDB). A NULL
+    source keeps its own partition (GROUP BY/PARTITION BY keep null
+    groups on both engines)."""
     from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
 
-    docs = T(spark, sf, "documents")
+    docs = T(spark, sf, "documents").where(F.col("n_chars").isNotNull())
     pri = portable_hash64(
         F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
     ).cast("double") / F.col("n_chars")
@@ -989,7 +1023,7 @@ _WEIGHTED_SQL = f"""
 WITH p AS (
   SELECT source, doc_id, n_chars,
          CAST({h64_sql("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / n_chars AS pri
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 ), r AS (
   SELECT source, doc_id, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn

@@ -94,7 +94,12 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    words = _WORDS.format(col="text")
+    # NULL contract (r10 pin): null text is an EMPTY doc — it votes the
+    # sentinel empty token like any token-less doc (simhash_signatures
+    # docstring), never a 0 signature. coalesce before the len() test:
+    # len(NULL) is NULL in DuckDB, so the bare CASE fell through to the
+    # NULL token list and folded the whole signature to 0.
+    words = "coalesce(" + _WORDS.format(col="text") + ", [])"
     h = h64_sql("w")
     return f"""
 WITH hashed AS (
@@ -116,7 +121,8 @@ def _dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_pairs_oracle() -> str:
-    words = _WORDS.format(col="text")
+    # same null-text-is-empty-doc pin as _simhash_oracle
+    words = "coalesce(" + _WORDS.format(col="text") + ", [])"
     h = h64_sql("w")
     sig = f"""
 WITH hashed AS (
@@ -1534,7 +1540,10 @@ def _text_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _classifier_oracle() -> str:
-    w = _WORDS.format(col="lower(text)")
+    # NULL contract (r10 pin): null text scores as an EMPTY doc on both
+    # sides (textstats.hashed_linear_classifier docstring) — coalesce the
+    # token list so len()/list_sum() see [] rather than NULL.
+    w = "coalesce(" + _WORDS.format(col="lower(text)") + ", [])"
     tok_h = h32_sql("t")
     bucket = f"({tok_h} % 4096)"
     weight_h = h32_sql(f"'w:' || CAST({bucket} AS VARCHAR)")

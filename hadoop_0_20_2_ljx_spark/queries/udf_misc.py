@@ -479,9 +479,15 @@ def _udf_cogroup(spark: SparkSession, sf: str) -> DataFrame:
         # nonnegative prices), matching DuckDB round() and F.round —
         # Series.round/Python round are half-to-even and can diverge on
         # exact-.5 products (repo determinism rule: same rounding BOTH sides)
+        #
+        # NULL contract (r10 pin): SQL aggregate semantics — sum() skips
+        # NULL measurements (pandas skipna=True matches; an all-null sum
+        # is 0 via the oracle's coalesce), and a NULL o_totalprice yields
+        # a NULL total_cents (int(NaN) raised on the nulled replay).
         item_cents = (
             int(np.floor(ldf["l_extendedprice"] * 100 + 0.5).sum()) if len(ldf) else 0
         )
+        tp = odf["o_totalprice"].iloc[0]
         return pd.DataFrame(
             [
                 [
@@ -489,7 +495,7 @@ def _udf_cogroup(spark: SparkSession, sf: str) -> DataFrame:
                     len(ldf),
                     int(ldf["l_quantity"].sum()) if len(ldf) else 0,
                     item_cents,
-                    int(np.floor(odf["o_totalprice"].iloc[0] * 100 + 0.5)),
+                    int(np.floor(tp * 100 + 0.5)) if pd.notna(tp) else None,
                 ]
             ],
             columns=["o_orderkey", "n_items", "sum_qty", "item_cents", "total_cents"],

@@ -111,3 +111,82 @@ def test_event_time_ops_exclude_null_ts(spark):
     assert sum(r["cnt"] for r in tc) == 2  # the null-ts row is in no window
     s = sessionize(ev, gap_seconds=60).collect()
     assert sum(r["n_events"] for r in s) == 2
+
+
+# --- r10 pins (the class-3 queue from the r9 verdict, queries/base.py) -------
+def test_key_field_sort_null_contract(spark):
+    """ASC = NULLS FIRST, DESC = NULLS LAST, explicit on the operator
+    (engines' defaults are opposite)."""
+    from hadoop_0_20_2_ljx_spark.operators import sorts
+
+    df = spark.createDataFrame(
+        [(None, 1), (5.0, 2), (1.0, 3)], "v double, id long"
+    )
+    asc = [r["id"] for r in sorts.key_field_sort(df, [("v", False, False)]).collect()]
+    assert asc == [1, 3, 2]  # null first on ASC
+    desc = [r["id"] for r in sorts.key_field_sort(df, [("v", False, True)]).collect()]
+    assert desc == [2, 3, 1]  # null last on DESC
+
+
+def test_keep_best_dedup_null_score_never_wins(spark):
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text", None), (2, "same text", 5), (3, "other", None),
+         (4, "other", None)],
+        "doc_id long, text string, score int",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.keep_best_dedup(df, "doc_id", "text", "score").collect()}
+    # scored doc beats the null-scored duplicate
+    assert 2 in out and out[2]["score"] == 5 and out[2]["n_dups"] == 2
+    # all-null group: smallest id wins, score surfaces as NULL
+    assert 3 in out and out[3]["score"] is None and out[3]["n_dups"] == 2
+
+
+def test_drift_counts_null_bin_and_slice_excluded(spark):
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+
+    df = spark.createDataFrame(
+        [("g", 1.0, True), ("g", None, True), ("g", 2.0, None), ("g", 3.0, False),
+         (None, 4.0, True)],
+        "g string, v double, in_a boolean",
+    )
+    rows = audit.drift_counts(
+        df, "g", F.col("v").cast("long"), F.col("in_a")
+    ).collect()
+    got = {(r["_g"], r["_b"]): (r["_c1"], r["_c2"]) for r in rows}
+    # null bin (v NULL) and null slice predicate rows are in NO histogram
+    assert got == {("g", 1): (1, 0), ("g", 3): (0, 1), (None, 4): (1, 0)}
+
+
+def test_ks_counts_null_slice_predicate_excluded(spark):
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+
+    df = spark.createDataFrame(
+        [("g", 1.0, True), ("g", 1.0, None), ("g", 2.0, False)],
+        "g string, v double, in_a boolean",
+    )
+    rows = audit.ks_counts(df, "g", F.col("v"), F.col("in_a")).collect()
+    got = {(r["_g"], r["_v"]): (r["_da"], r["_db"]) for r in rows}
+    assert got == {("g", 1.0): (1, 0), ("g", 2.0): (0, 1)}
+
+
+def test_classifier_null_text_scores_as_empty_doc(spark):
+    from hadoop_0_20_2_ljx_spark.extensions import textstats
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.hashed_linear_classifier(
+        df, "doc_id", "text").collect()}
+    for i in (1, 2):  # NULL text == empty doc, bit for bit
+        assert out[i]["n_tokens"] == 0 and out[i]["score_int"] == 0
+        assert out[i]["score_ppm"] == 0 and out[i]["keep"] is False
+
+
+def test_simhash_null_text_votes_sentinel(spark):
+    from hadoop_0_20_2_ljx_spark.extensions import dedup
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # null text == empty doc == the sentinel

@@ -61,10 +61,15 @@ EXPECTED_DIVERGENT = {
     "q_sink_orc_roundtrip", "q_sink_parquet_roundtrip",
     "q_sink_partitioned", "q_sink_schema_evolution",
     "q_sink_sorted_lookup", "q_sink_zorder", "q_udf_cogroup",
-    # genuine cross-engine semantics, mechanisms in queries/base.py
-    "q_agg_profile", "q_sort_secondary",
     # two more loud-error rows observed in the r9 run
     "q_dedup_semantic", "q_join_bloom",
+    # The r9-era "genuine cross-engine semantics" pair was PINNED in r10
+    # and is gone: q_agg_profile renders non-finite min/max as explicit
+    # 'NaN'/'Infinity'/'-Infinity' tokens on both sides (printf is
+    # engine-specific beyond digits), and q_sort_secondary's packed
+    # struct carries an ordering-class field so NaN ranks greatest
+    # (above +Inf, first under DESC — both engines' native semantics,
+    # which bare negation broke).
 }
 
 

@@ -39,10 +39,12 @@ KEEP = {
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
-# the post-r9 divergence set, every name classified in queries/base.py's
+# the post-r10 divergence set, every name classified in queries/base.py's
 # NULL-ordering boundary note: (1) trainers / embedding math fed null
-# vectors, (2) text/format roundtrips whose wire form cannot carry NULL,
-# (3) order-sensitive queries whose pins are queued for their r10 window
+# vectors, (2) text/format roundtrips whose wire form cannot carry NULL.
+# The r9-era class (3) — order-sensitive queries with queued pins — was
+# pinned in full in r10 (null-safe group joins, order-stat exclusion,
+# explicit NULLS FIRST/LAST, null-text-is-empty-doc) and is gone.
 EXPECTED_DIVERGENT = {
     # (1) trainers / null-fed embedding math
     "q_dedup_embed", "q_dedup_semantic", "q_embed_ann", "q_embed_ivf",
@@ -55,11 +57,6 @@ EXPECTED_DIVERGENT = {
     "q_proj_fieldsel", "q_scan_bz2_text", "q_scan_gzip_text",
     "q_scan_kv_split", "q_sink_har_roundtrip", "q_sink_schema_evolution",
     "q_sink_tar_shards", "q_sink_tfile_roundtrip",
-    # (3) r10 pin queue (same recipe as the r9 pins)
-    "q_sort_keyfield", "q_sort_secondary", "q_udf_cogroup",
-    "q_dedup_canonical", "q_dedup_simhash", "q_sample_weighted",
-    "q_text_entropy", "q_text_classifier", "q_agg_median_mode",
-    "q_agg_approx_quantile", "q_agg_drift_js", "q_agg_drift_ks",
 }
 
 
