@@ -13,6 +13,13 @@ Ladders:
     exact-duplicate rate, the bench_minhash_10x generator) — signature
     build linear in corpus tokens, pair stage bounded by bucket
     collisions; the planted-pair recall assert runs at every rung.
+  - triangles 100k -> 1M -> 10M edges (r10, the r9 verdict's task 6:
+    the graph family had only a 1x/10x pair and the highest remaining
+    superlinear risk — hub wedges). Hub-heavy mix exactly as
+    bench_graph_10x (1/16 of endpoint draws on 10 hubs, the case
+    degree orientation exists for), auto-broadcast disabled so the
+    shuffle-join regime's curve is the one that extrapolates, the
+    triangle-node assert at every rung.
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -92,6 +99,45 @@ def main() -> int:
         sw1, _ = bench._stage_bytes(spark)
         assert n_pairs >= n // 5, f"minhash_{n}: planted pairs missed ({n_pairs})"
         out[f"minhash_{n // 1000}k"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+        }
+
+    from hadoop_0_20_2_ljx_spark.extensions.graph import triangle_counts
+
+    def edges(n_edges: int):
+        nodes = n_edges // 10
+
+        def node(salt: str):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return F.when(h % 16 == 0, F.shiftright(h, 4) % 10).otherwise(
+                F.shiftright(h, 4) % F.lit(nodes)
+            )
+
+        return spark.range(n_edges).select(node("s").alias("src"), node("d").alias("dst"))
+
+    # shuffle-join regime, as in bench_graph_10x: node-sized tables
+    # broadcast locally but are corpus-sized at 100 TB — the shuffle
+    # curve is the one that extrapolates
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    triangle_counts(edges(10_000).localCheckpoint()).count()  # warm off-ladder
+    for n in (100_000, 1_000_000, 10_000_000):
+        e = edges(n).localCheckpoint()
+        sw0, _ = bench._stage_bytes(spark)
+        t = time.time()
+        n_tri_nodes = triangle_counts(e).count()
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        assert n_tri_nodes > 100, f"triangles_{n}: {n_tri_nodes} triangle nodes"
+        out[f"triangles_{n // 1000}k"] = {
             "wall_s": round(wall, 2),
             "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
         }
