@@ -588,6 +588,33 @@ def bench_graph_10x(spark, timings, shuffle_b, input_b) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
+def temporal_event_stream(spark, n_rows: int):
+    """Fixed-density generated event stream (1 event/sec overall; users
+    and time span scale with the data) shared by bench_temporal_10x and
+    tools/scale_probe.py's as-of ladder — identical expressions to the
+    r9 in-function generator, hoisted so the ladder rides the same data."""
+    users = max(n_rows // 20, 1)
+    span_us = n_rows * 1_000_000
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        (h("u") % users).alias("user_id"),
+        (h("t") % span_us).alias("t_us"),
+        (F.col("id") % 2 == 0).alias("is_click"),
+    )
+
+
 def bench_temporal_10x(spark, timings, shuffle_b, input_b) -> None:
     """1x/10x stress pair for the temporal-join family — the last
     operator family without measured scaling evidence (asof/range claim
@@ -606,26 +633,7 @@ def bench_temporal_10x(spark, timings, shuffle_b, input_b) -> None:
     from hadoop_0_20_2_ljx_spark.extensions import temporal
 
     def gen(n_rows: int):
-        users = max(n_rows // 20, 1)
-        span_us = n_rows * 1_000_000  # fixed density: 1 event/sec overall
-
-        def h(salt: str):
-            return F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("long")
-
-        return spark.range(n_rows).select(
-            F.col("id").alias("event_id"),
-            (h("u") % users).alias("user_id"),
-            (h("t") % span_us).alias("t_us"),
-            (F.col("id") % 2 == 0).alias("is_click"),
-        )
+        return temporal_event_stream(spark, n_rows)
 
     # warm codegen on a tiny stream (the 1x/10x RATIO is the point)
     warm = gen(2_000).localCheckpoint()

@@ -1,9 +1,10 @@
-"""Decade-ladder scale probe: run the two headline generated-data
-workloads one decade PAST their per-round bench sizes and print the
-wall/shuffle ladder as one JSON line. One-off evidence (too slow for the
-per-round bench); results are recorded in SCALE.md with this command:
+"""Decade-ladder scale probe: run headline generated-data workloads one
+decade PAST their per-round bench sizes and print the wall/shuffle
+ladder as one JSON line. One-off evidence (too slow for the per-round
+bench); results are recorded in SCALE.md with this command:
 
-    python tools/scale_probe.py            # ~5 min on local[32]
+    python tools/scale_probe.py                  # all ladders, ~15 min
+    python tools/scale_probe.py asof triangles   # just the named ones
 
 Ladders:
   - terasort 1M -> 10M -> 100M 100-byte rows (10 MB -> 1 GB -> 10 GB
@@ -20,6 +21,11 @@ Ladders:
     degree orientation exists for), auto-broadcast disabled so the
     shuffle-join regime's curve is the one that extrapolates, the
     triangle-node assert at every rung.
+  - as-of join 100k -> 1M -> 10M fixed-density event rows (r10, the
+    task-6 alternative, added after triangles): bench_temporal_10x's
+    generator one decade further — the one-union-exchange claim at 5M
+    output rows, with the every-click-kept and matched-fraction
+    asserts at every rung.
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -52,9 +58,16 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, float]] = {}
+    # optional argv selector: name the ladders to run (default: all four)
+    pick = set(sys.argv[1:]) or {"terasort", "minhash", "triangles", "asof"}
+    unknown = pick - {"terasort", "minhash", "triangles", "asof"}
+    if unknown:
+        print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
 
-    bench.bench_terasort(spark, n=100_000)  # warm codegen off the ladder
-    for n in (1_000_000, 10_000_000, 100_000_000):
+    if "terasort" in pick:
+        bench.bench_terasort(spark, n=100_000)  # warm codegen off the ladder
+    for n in (1_000_000, 10_000_000, 100_000_000) if "terasort" in pick else ():
         sw0, ib0 = bench._stage_bytes(spark)
         t = time.time()
         bench.bench_terasort(spark, n=n)
@@ -89,8 +102,11 @@ def main() -> int:
 
     # warm the dedup codepath off the ladder (the r9 run's 5k wall
     # carried first-compile cost; bytes were unaffected)
-    dedup.minhash_lsh_candidates(docs(1_000).localCheckpoint(), "doc_id", "text").count()
-    for n in (5_000, 50_000, 500_000):
+    if "minhash" in pick:
+        dedup.minhash_lsh_candidates(
+            docs(1_000).localCheckpoint(), "doc_id", "text"
+        ).count()
+    for n in (5_000, 50_000, 500_000) if "minhash" in pick else ():
         d = docs(n).localCheckpoint()
         sw0, _ = bench._stage_bytes(spark)
         t = time.time()
@@ -128,8 +144,9 @@ def main() -> int:
     # broadcast locally but are corpus-sized at 100 TB — the shuffle
     # curve is the one that extrapolates
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    triangle_counts(edges(10_000).localCheckpoint()).count()  # warm off-ladder
-    for n in (100_000, 1_000_000, 10_000_000):
+    if "triangles" in pick:
+        triangle_counts(edges(10_000).localCheckpoint()).count()  # warm off-ladder
+    for n in (100_000, 1_000_000, 10_000_000) if "triangles" in pick else ():
         e = edges(n).localCheckpoint()
         sw0, _ = bench._stage_bytes(spark)
         t = time.time()
@@ -138,6 +155,50 @@ def main() -> int:
         sw1, _ = bench._stage_bytes(spark)
         assert n_tri_nodes > 100, f"triangles_{n}: {n_tri_nodes} triangle nodes"
         out[f"triangles_{n // 1000}k"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+        }
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )  # back to default for the asof ladder (bench's asof regime)
+
+    from hadoop_0_20_2_ljx_spark.extensions import temporal
+
+    if "asof" in pick:
+        warm = bench.temporal_event_stream(spark, 2_000).localCheckpoint()
+        temporal.asof_join(
+            warm.where("is_click").select("event_id", "user_id", "t_us"),
+            warm.where(~F.col("is_click"))
+            .groupBy("user_id", "t_us")
+            .agg(F.count(F.lit(1)).cast("double").alias("pval")),
+            on=["user_id"], left_ts="t_us", right_ts="t_us", value_cols=["pval"],
+        ).agg(F.count("pval")).first()
+    for n in (100_000, 1_000_000, 10_000_000) if "asof" in pick else ():
+        ev = bench.temporal_event_stream(spark, n).localCheckpoint()
+        clicks = ev.where("is_click").select("event_id", "user_id", "t_us")
+        purchases = (
+            ev.where(~F.col("is_click"))
+            .groupBy("user_id", "t_us")
+            .agg(F.count(F.lit(1)).cast("double").alias("pval"))
+        )
+        sw0, _ = bench._stage_bytes(spark)
+        t = time.time()
+        row = (
+            temporal.asof_join(
+                clicks, purchases, on=["user_id"], left_ts="t_us",
+                right_ts="t_us", value_cols=["pval"],
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.count("pval").alias("n_matched"),
+            )
+            .first()
+        )
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        assert row["n_out"] == n // 2, f"asof_{n}: every click must be kept"
+        assert row["n_matched"] > n // 4, f"asof_{n}: {row['n_matched']} matched"
+        out[f"asof_{n // 1000}k"] = {
             "wall_s": round(wall, 2),
             "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
         }
