@@ -26,6 +26,12 @@ Ladders:
     generator one decade further — the one-union-exchange claim at 5M
     output rows, with the every-click-kept and matched-fraction
     asserts at every rung.
+  - k-core 100k -> 1M -> 10M edges (r10, completing the graph family:
+    the iterative peel is the one remaining superlinear risk — a
+    cascade that deepens with graph size would multiply per-round
+    alive-join shuffle). Same hub-heavy generator and k=12/6-round
+    peel as bench_graph_10x, shuffle-join regime forced, the
+    surviving-core assert at every rung.
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -59,8 +65,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, float]] = {}
     # optional argv selector: name the ladders to run (default: all four)
-    pick = set(sys.argv[1:]) or {"terasort", "minhash", "triangles", "asof"}
-    unknown = pick - {"terasort", "minhash", "triangles", "asof"}
+    pick = set(sys.argv[1:]) or {"terasort", "minhash", "triangles", "asof", "kcore"}
+    unknown = pick - {"terasort", "minhash", "triangles", "asof", "kcore"}
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -155,6 +161,27 @@ def main() -> int:
         sw1, _ = bench._stage_bytes(spark)
         assert n_tri_nodes > 100, f"triangles_{n}: {n_tri_nodes} triangle nodes"
         out[f"triangles_{n // 1000}k"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+        }
+
+    from hadoop_0_20_2_ljx_spark.extensions.graph import kcore_peel
+
+    # same shuffle-join regime as triangles (the broadcast-off conf set
+    # above is still active here): alive/degree tables are node-sized
+    # locally but corpus-sized at 100 TB
+    if "kcore" in pick:
+        kcore_peel(edges(10_000).localCheckpoint(), k=12, rounds=6).count()
+    for n in (100_000, 1_000_000, 10_000_000) if "kcore" in pick else ():
+        e = edges(n).localCheckpoint()
+        sw0, _ = bench._stage_bytes(spark)
+        t = time.time()
+        n_core = kcore_peel(e, k=12, rounds=6).count()
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        # k=12 sits ~2 sigma under the ~19-mean degree: a core survives
+        assert n_core > 100, f"kcore_{n}: {n_core} core nodes"
+        out[f"kcore_{n // 1000}k"] = {
             "wall_s": round(wall, 2),
             "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
         }
