@@ -20,86 +20,78 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # only signal. Correctness itself is order-independent (each query is
 # self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # Round 10 window = exactly 50 names.
+    # Round 11 window = exactly 50 names: the 12 r6-latest + all 38
+    # r7-latest queries (recomputed from CORRECTNESS_r01..10 — the ages
+    # partition 12 r6 / 38 r7 / 36 r8 / 50 r9 / 50 r10, so this window
+    # IS the full r6+r7 tail; executing it raises the registry-wide
+    # external-evidence floor to r8).
     #
-    # Changed-budget accounting: FOURTEEN beyond-aging changes this
-    # round, every one mandated by the r9 verdict's own task list
-    # (task 2: the deferred simhash _pad_empty fix = 2 queries; task 4:
-    # the class-3 NULL-contract pins = 11 queries; task 5: the two
-    # non-finite pins = q_agg_profile + q_sort_secondary, the latter
-    # already in the null-pin list). Every change is output-identical
-    # on the non-null finite fixture (bitwise pins / oracle-only edits /
-    # vacuous isNotNull filters); the aging floor after r10 is r6, with
-    # the 12 remaining r6-latest names pre-committed to r11 below.
+    # Changed-budget accounting: ZERO beyond-aging changes this round so
+    # far — this is a pure age rotation, exactly the block pre-committed
+    # at the end of the r10 window. Any r11 query whose implementation
+    # or oracle changes must be inserted at the head of this list in the
+    # same commit as the change.
     #
-    # (a) changed (r9 verdict task 2): simhash_signatures padding bound
-    # once via _pad_empty (bitwise pin tests/test_hof_binding.py;
-    # doc-length stress pair simhash_longdoc_1x/10x in bench.py):
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    # (b) changed (r9 verdict task 4, the class-3 NULL pins; recipe and
-    # mechanisms in queries/base.py's NULL note; unit pins in
-    # tests/test_null_contracts.py; null_sweep EXPECTED shrank 37->25):
-    "q_sort_keyfield",  # r10: explicit NULLS FIRST/LAST both sides
-    "q_sort_secondary",  # r10: null/NaN ordering-class struct field
-    "q_udf_cogroup",  # r10: SQL agg null semantics in the pandas merge
-    "q_dedup_canonical",  # r10: null-score flag in max(struct), null-safe
-    "q_sample_weighted",  # r10: null-weight docs excluded before ranking
-    "q_text_entropy",  # r10: null-safe totals join (oracle-only)
-    "q_text_classifier",  # r10: null text scores as empty doc
-    "q_agg_median_mode",  # r10: order-stat exclusion + null-safe join
-    "q_agg_approx_quantile",  # r10: same + null-safe gate joins
-    "q_agg_drift_js",  # r10: null bin/slice rows in no histogram
-    "q_agg_drift_ks",  # r10: null slice-predicate rows dropped
-    # (c) changed (r9 verdict task 5, the non-finite pins):
-    "q_agg_profile",  # r10: explicit NaN/Infinity rendering both sides
-    # (d) the 21 r5-latest names (the committed r10 block, in full):
-    "q_agg_grouping_sets",
-    "q_agg_item_sim",
-    "q_audit_diff_incremental",
-    "q_audit_fingerprint",
-    "q_audit_table_diff",
-    "q_join_3way",
-    "q_join_broadcast",
-    "q_join_full_outer",
-    "q_join_salted",
-    "q_join_semi_anti",
-    "q_num_pi",
-    "q_sample_group_split",
-    "q_set_distinct",
-    "q_set_intersect_except",
-    "q_set_union",
-    "q_sink_parquet_roundtrip",
-    "q_sink_partitioned",
-    "q_sink_sorted_lookup",
-    "q_sink_text_roundtrip",
-    "q_udf_pipes",
-    "q_udf_scalar",
-    # (e) 15 of the 27 remaining r6-latest names (q_agg_median_mode,
-    # q_agg_profile, q_dedup_simhash, q_dedup_simhash_pairs are r6-latest
-    # too but already occupy changed slots above):
-    "q_agg_daily",
-    "q_agg_hot_keys",
-    "q_agg_numeric_hist",
-    "q_agg_outliers",
-    "q_agg_pivot",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_corpus_dataset_card",
-    "q_dedup_embed",
-    "q_dedup_fuzzy",
-    "q_dedup_keep_latest",
-    "q_embed_quantize",
-    "q_fn_pentomino",
-    "q_graph_kcore",
-    "q_graph_pagerank",
+    # (a) the 12 r6-latest names:
+    "q_join_overlap",
+    "q_join_range",
+    "q_pack_sequences",
+    "q_sample_domain_cap",
+    "q_sample_stratified",
+    "q_shuffle_global",
+    "q_sink_csv_json_roundtrip",
+    "q_sink_named_outputs",
+    "q_stream_interval_join",
+    "q_stream_late_data",
+    "q_text_redact",
+    "q_text_tokens",
+    # (b) the 38 r7-latest names (the entire r7 cohort):
+    "q_agg_approx_distinct",
+    "q_agg_cms",
+    "q_agg_conversion",
+    "q_agg_domain_mix",
+    "q_agg_retention",
+    "q_agg_rolling",
+    "q_audit_constraints",
+    "q_dedup_paragraph",
+    "q_dedup_semantic",
+    "q_embed_ann",
+    "q_embed_ivf",
+    "q_embed_ivf_bcast",
+    "q_embed_ivf_nprobe",
+    "q_embed_ivfpq",
+    "q_embed_ivfpq_nprobe",
+    "q_embed_ivfpq_rerank",
+    "q_embed_kmeans_ivf",
+    "q_embed_knn",
+    "q_filter_blocklist",
+    "q_filter_skipbad",
+    "q_fn_recordio",
+    "q_graph_triangles",
+    "q_join_bloom",
+    "q_sample_domain_reweight",
+    "q_sample_temperature",
+    "q_scan_gzip_text",
+    "q_sink_compaction",
+    "q_sink_har_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_schema_evolution",
+    "q_sink_tar_shards",
+    "q_sink_tfile_roundtrip",
+    "q_text_bm25",
+    "q_text_bpe",
+    "q_text_bpe_encode",
+    "q_text_chunk",
+    "q_text_inverted_index",
+    "q_text_logprob",
     # ---- 50-row cut line ----
-    # committed r11 block: the 12 remaining r6-latest names
-    # (q_join_overlap, q_join_range, q_pack_sequences,
-    # q_sample_domain_cap, q_sample_stratified, q_shuffle_global,
-    # q_sink_csv_json_roundtrip, q_sink_named_outputs,
-    # q_stream_interval_join, q_stream_late_data, q_text_redact,
-    # q_text_tokens), then the oldest r7 cohort, plus whatever r11 adds
+    # committed r12 block: after this window lands, the oldest cohort is
+    # the 36 r8-latest names (q_agg_wordcount, q_agg_tpch_q1, q_agg_multi,
+    # q_agg_histogram, q_agg_minmax era, q_join_inner, q_join_override,
+    # q_sort_total_order, q_top_tokens, q_udf_tokenize_udtf,
+    # q_embed_kmeans, q_embed_pq, q_text_* r8 cohort,
+    # q_pipeline_training, q_text_contamination, q_text_decontaminate,
+    # ...) + the 14 oldest r9 names to fill 50, plus whatever r12 adds
     # or changes.
 ]
 
