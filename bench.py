@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,6 +37,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _force(df):
     """Execute the full plan without driver-side materialization cost."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _steal_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
+    The r10 delta note diagnosed 186-280 s same-HEAD spread as host noise
+    partly via rising CPU-steal observed by hand; recording the counter
+    deltas in the artifact makes that diagnosis reproducible from the
+    artifact alone (r10 verdict task 3)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # fields: user nice system idle iowait irq softirq steal ...
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    d_total = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / d_total, 2) if d_total > 0 else 0.0
 
 
 def _stage_bytes(spark) -> tuple[int, int]:
@@ -252,6 +275,30 @@ def bench_minhash_10x(spark, timings, shuffle_b, input_b) -> None:
     assert n_pairs >= 10_000, f"planted duplicate pairs missed: {n_pairs}"
 
 
+def pagerank_edge_stream(spark, n_edges: int):
+    """Deterministic md5-derived random edge stream (average out-degree
+    ~10; node count = edges/10) shared by bench_pagerank_10x and
+    tools/scale_probe.py's pagerank ladder — hoisted so the ladder rides
+    the same data as the bench pair (the temporal_event_stream pattern)."""
+    nodes = n_edges // 10
+
+    def node(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(nodes)
+        )
+
+    return spark.range(n_edges).select(node("s").alias("src"), node("d").alias("dst"))
+
+
 def bench_pagerank_10x(spark, timings, shuffle_b, input_b) -> None:
     """10x stress pair for the iterative-join family (the last family
     without measured scaling evidence; same methodology as
@@ -277,25 +324,7 @@ def bench_pagerank_10x(spark, timings, shuffle_b, input_b) -> None:
     from hadoop_0_20_2_ljx_spark.extensions.graph import pagerank_int
 
     def gen(n_edges: int):
-        nodes = n_edges // 10
-
-        def node(salt: str):
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % F.lit(nodes)
-            )
-
-        return spark.range(n_edges).select(
-            node("s").alias("src"), node("d").alias("dst")
-        )
+        return pagerank_edge_stream(spark, n_edges)
 
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -962,13 +991,39 @@ def main() -> int:
     timings: dict[str, float] = {}
     shuffle_b: dict[str, int] = {}
     input_b: dict[str, int] = {}
+    wall_runs: dict[str, list[float]] = {}
+    steal_pct: dict[str, float] = {}
+    steal_bench0 = _steal_ticks()
     t0 = time.time()
-    sw0, ib0 = _stage_bytes(spark)
-    timings["terasort_1m"] = -time.time()
-    bench_terasort(spark)
-    timings["terasort_1m"] += time.time()
-    sw1, ib1 = _stage_bytes(spark)
-    shuffle_b["terasort_1m"], input_b["terasort_1m"] = sw1 - sw0, ib1 - ib0
+
+    def timed_runs(label: str, fn, n_runs: int = 3) -> None:
+        # median-of-3 graded walls (r10 verdict task 3): the r10 session
+        # measured 186-280 s same-HEAD spread across three full runs with
+        # bit-identical shuffle bytes and DISJOINT >±25% spike sets —
+        # single-shot (and best-of-2) walls on this shared host are
+        # noise-bound. Every committed wall is now the MEDIAN of three
+        # back-to-back runs, with the per-run walls (wall_runs) and the
+        # /proc/stat steal% over the three-run window (cpu_steal_pct)
+        # recorded beside it so the delta note's host-noise diagnosis is
+        # reproducible from the artifact alone. The >±25% delta watch
+        # rule keys to this median. Bytes come from the first run only
+        # (they are deterministic — bit-identical every run).
+        st0 = _steal_ticks()
+        sw0, ib0 = _stage_bytes(spark)
+        t = time.time()
+        fn()
+        runs = [time.time() - t]
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
+        for _ in range(n_runs - 1):
+            t = time.time()
+            fn()
+            runs.append(time.time() - t)
+        steal_pct[label] = _steal_pct(st0, _steal_ticks())
+        wall_runs[label] = [round(r, 3) for r in runs]
+        timings[label] = statistics.median(runs)
+
+    timed_runs("terasort_1m", lambda: bench_terasort(spark))
 
     # 10x generated-data stress row: the parquet fixtures stop at sf0.1
     # (~17 MB lineitem), so range-partitioning/spill behavior beyond that
@@ -976,48 +1031,31 @@ def main() -> int:
     # TeraGen -> total-order sort -> TeraValidate path; linear scaling
     # from the ~1.6 s 1m row predicts ~16 s, and the BASELINE envelope
     # scaled the same way budgets ~17 s.
-    sw0, ib0 = _stage_bytes(spark)
-    timings["terasort_10m"] = -time.time()
-    bench_terasort(spark, n=10_000_000)
-    timings["terasort_10m"] += time.time()
-    sw1, ib1 = _stage_bytes(spark)
-    shuffle_b["terasort_10m"], input_b["terasort_10m"] = sw1 - sw0, ib1 - ib0
+    timed_runs("terasort_10m", lambda: bench_terasort(spark, n=10_000_000))
 
     for label, qname in registry_workloads.items():
-        # best-of-2 (best-of-3 under 2 s): the host is shared, so
-        # single-shot timings carry 30-50% ambient-contention noise;
-        # min-of-N keeps the graded number close to the plan's true
-        # cost, and sub-2 s workloads — where one descheduled executor
-        # thread is a 30-50% swing — get a third run (r4 showed
-        # bit-identical shuffle bytes with +30-50% wall on exactly
-        # these). Bytes come from the first run only (they are
-        # deterministic — identical every run).
-        sw0, ib0 = _stage_bytes(spark)
-        t = time.time()
-        _force(REGISTRY[qname].spark(spark, SF_DIR))
-        best = time.time() - t
-        sw1, ib1 = _stage_bytes(spark)
-        shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
-        t = time.time()
-        _force(REGISTRY[qname].spark(spark, SF_DIR))
-        best = min(best, time.time() - t)
-        if best < 2.0:
-            t = time.time()
-            _force(REGISTRY[qname].spark(spark, SF_DIR))
-            best = min(best, time.time() - t)
-        timings[label] = best
+        timed_runs(label, lambda qn=qname: _force(REGISTRY[qn].spark(spark, SF_DIR)))
 
-    bench_diff_sparse(spark, timings, shuffle_b, input_b)
-    bench_skew_join(spark, timings, shuffle_b, input_b)
-    bench_skew_groupby(spark, timings, shuffle_b, input_b)
-    bench_minhash_10x(spark, timings, shuffle_b, input_b)
-    bench_pagerank_10x(spark, timings, shuffle_b, input_b)
-    bench_ivfpq_10x(spark, timings, shuffle_b, input_b)
-    bench_text_longdoc(spark, timings, shuffle_b, input_b)
-    bench_simhash_longdoc(spark, timings, shuffle_b, input_b)
-    bench_graph_10x(spark, timings, shuffle_b, input_b)
-    bench_temporal_10x(spark, timings, shuffle_b, input_b)
-    bench_source_sim_cap(spark, timings, shuffle_b, input_b)
+    # The 1x/10x stress pairs stay single-shot: their claims are RATIOS
+    # (both rungs ride the same ambient noise) anchored on deterministic
+    # shuffle bytes, not absolute walls. Each section records its own
+    # steal% window so a noisy section is identifiable in the artifact.
+    for stress_fn in (
+        bench_diff_sparse,
+        bench_skew_join,
+        bench_skew_groupby,
+        bench_minhash_10x,
+        bench_pagerank_10x,
+        bench_ivfpq_10x,
+        bench_text_longdoc,
+        bench_simhash_longdoc,
+        bench_graph_10x,
+        bench_temporal_10x,
+        bench_source_sim_cap,
+    ):
+        st0 = _steal_ticks()
+        stress_fn(spark, timings, shuffle_b, input_b)
+        steal_pct["section:" + stress_fn.__name__] = _steal_pct(st0, _steal_ticks())
     pagerank_phases = bench_pagerank_phases(spark)
 
     # Durable-pin posture cost: re-run bm25 (pin()-materialized df/avgdl
@@ -1029,24 +1067,17 @@ def main() -> int:
 
     spark.conf.set(PIN_MODE_CONF, "durable")
     try:
-        sw0, ib0 = _stage_bytes(spark)
-        t = time.time()
-        _force(REGISTRY["q_text_bm25"].spark(spark, SF_DIR))
-        best = time.time() - t
-        sw1, ib1 = _stage_bytes(spark)  # bytes: first run only, like all rows
-        shuffle_b["bm25_durable_pin"] = sw1 - sw0
-        input_b["bm25_durable_pin"] = ib1 - ib0
-        for _ in range(2):
-            t = time.time()
-            _force(REGISTRY["q_text_bm25"].spark(spark, SF_DIR))
-            best = min(best, time.time() - t)
-        timings["bm25_durable_pin"] = best
+        timed_runs(
+            "bm25_durable_pin",
+            lambda: _force(REGISTRY["q_text_bm25"].spark(spark, SF_DIR)),
+        )
     finally:
         spark.conf.unset(PIN_MODE_CONF)
 
-    # headline = sum of per-workload timings (best-of-2 each), so the
-    # graded number is the workloads' cost, not the double-run wall time;
-    # wall_total records the actual elapsed for transparency.
+    # headline = sum of per-workload timings (median-of-3 each for the
+    # registry/anchor rows; single-shot for the byte-anchored stress
+    # pairs), so the graded number is the workloads' cost, not the
+    # triple-run wall time; wall_total records the actual elapsed.
     total = sum(timings.values())
     full = {
         "metric": "headline_total",
@@ -1057,6 +1088,17 @@ def main() -> int:
         # (metric artifact), never negative bytes
         "shuffle_write_bytes": {k: max(0, v) for k, v in shuffle_b.items()},
         "input_bytes": {k: max(0, v) for k, v in input_b.items()},
+        # noise-diagnosis fields (r10 verdict task 3): per-run walls for
+        # every median-of-3 row, the (max-min)/median spread, and the
+        # /proc/stat steal% per three-run window / per stress section /
+        # whole bench — the delta note cites these instead of re-running.
+        "wall_runs": wall_runs,
+        "wall_spread_pct": {
+            k: round(100.0 * (max(v) - min(v)) / max(statistics.median(v), 1e-9), 1)
+            for k, v in wall_runs.items()
+        },
+        "cpu_steal_pct": steal_pct,
+        "cpu_steal_pct_overall": _steal_pct(steal_bench0, _steal_ticks()),
         "pagerank_phases": pagerank_phases,
         "wall_total": round(time.time() - t0, 2),
         "sf": sf,
