@@ -29,10 +29,20 @@ sys.path.insert(0, "/root/repo/tools")
 
 
 def run_sweep(
-    sf_dir: str, label: str, master: str, session_conf: dict[str, str]
+    sf_dir: str,
+    label: str,
+    master: str,
+    session_conf: dict[str, str],
+    verify=None,
 ) -> int:
     """Run every registry query under the given session perturbation and
-    oracle-compare each result. Returns the number of failures."""
+    oracle-compare each result. Returns the number of failures.
+
+    ``verify``, when given, is called with the live SparkSession after
+    the replay and may raise (counted as one failure) — used by
+    tools/spill_sweep.py to assert the perturbation actually exercised
+    the intended path (spill bytes > 0), so the sweep can't pass
+    vacuously."""
     from driver_sim import TABLES, fingerprint
 
     import duckdb
@@ -85,6 +95,12 @@ def run_sweep(
             n_fail += 1
             print(f"FAIL {name}: {ex!r}"[:300])
         sys.stdout.flush()
+    if verify is not None:
+        try:
+            verify(spark)
+        except Exception as ex:  # noqa: BLE001 — a failed check fails the sweep
+            n_fail += 1
+            print(f"FAIL <verify>: {ex!r}"[:300])
     print(f"wall {time.time() - t0:.0f}s")
     print(f"{label}: {n_pass} pass, {n_fail} fail of {n_pass + n_fail}")
     return n_fail
