@@ -32,6 +32,14 @@ Ladders:
     alive-join shuffle). Same hub-heavy generator and k=12/6-round
     peel as bench_graph_10x, shuffle-join regime forced, the
     surviving-core assert at every rung.
+  - pagerank 150k -> 1.5M -> 15M edges (r11, the r10 verdict's task 4:
+    the last expensive family without three-rung evidence — the
+    iterative-join + per-round pin interaction). bench_pagerank_10x's
+    generator (pagerank_edge_stream, avg out-degree ~10) one decade
+    further, 3 rounds, shuffle-join regime forced, with the per-phase
+    wall breakdown (setup / each round / drain) recorded at every rung
+    so a superlinear per-round checkpoint cost would be visible
+    directly; the all-nodes-present assert at every rung.
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -64,9 +72,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, float]] = {}
-    # optional argv selector: name the ladders to run (default: all four)
-    pick = set(sys.argv[1:]) or {"terasort", "minhash", "triangles", "asof", "kcore"}
-    unknown = pick - {"terasort", "minhash", "triangles", "asof", "kcore"}
+    # optional argv selector: name the ladders to run (default: all six)
+    ladders = {"terasort", "minhash", "triangles", "asof", "kcore", "pagerank"}
+    pick = set(sys.argv[1:]) or ladders
+    unknown = pick - ladders
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -185,6 +194,32 @@ def main() -> int:
             "wall_s": round(wall, 2),
             "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
         }
+    from hadoop_0_20_2_ljx_spark.extensions.graph import pagerank_int
+
+    # same forced shuffle-join regime (broadcast-off conf still active):
+    # the rank table broadcasts at ladder sizes but is corpus-sized at
+    # 100 TB — bench_pagerank_10x measured the 96x round-byte regime
+    # change across that boundary, so only the shuffle curve extrapolates
+    if "pagerank" in pick:
+        pagerank_int(
+            bench.pagerank_edge_stream(spark, 10_000).localCheckpoint(), iterations=3
+        ).count()  # warm off-ladder
+    for n in (150_000, 1_500_000, 15_000_000) if "pagerank" in pick else ():
+        e = bench.pagerank_edge_stream(spark, n).localCheckpoint()
+        phases: dict[str, float] = {}
+        sw0, _ = bench._stage_bytes(spark)
+        t = time.time()
+        n_nodes = pagerank_int(e, iterations=3, phase_seconds=phases).count()
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        # every node id in [0, n/10) appears w.h.p. at ~10 draws per id
+        assert n_nodes >= (n // 10) * 99 // 100, f"pagerank_{n}: {n_nodes} nodes"
+        out[f"pagerank_{n // 1000}k"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+            **{f"phase_{k}_s": round(v, 2) for k, v in phases.items()},
+        }
+
     spark.conf.set(
         "spark.sql.autoBroadcastJoinThreshold", "10485760"
     )  # back to default for the asof ladder (bench's asof regime)
