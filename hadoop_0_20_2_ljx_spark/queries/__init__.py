@@ -86,13 +86,19 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_text_logprob",
     # ---- 50-row cut line ----
     # committed r12 block: after this window lands, the oldest cohort is
-    # the 36 r8-latest names (q_agg_wordcount, q_agg_tpch_q1, q_agg_multi,
-    # q_agg_histogram, q_agg_minmax era, q_join_inner, q_join_override,
-    # q_sort_total_order, q_top_tokens, q_udf_tokenize_udtf,
-    # q_embed_kmeans, q_embed_pq, q_text_* r8 cohort,
-    # q_pipeline_training, q_text_contamination, q_text_decontaminate,
-    # ...) + the 14 oldest r9 names to fill 50, plus whatever r12 adds
-    # or changes.
+    # the 36 r8-latest names (q_agg_copurchase, q_agg_cube,
+    # q_agg_distinct, q_agg_gapfill, q_agg_histogram, q_agg_multi,
+    # q_agg_rollup, q_agg_tpch_q1, q_agg_tpch_q18, q_agg_tpch_q3,
+    # q_agg_tpch_q5, q_agg_tpch_q6, q_agg_wau, q_agg_wordcount,
+    # q_dedup_jaccard, q_dedup_substring, q_embed_kmeans,
+    # q_embed_kmeans_ivf_bcast, q_embed_pq, q_join_inner,
+    # q_join_override, q_pipeline_funnel, q_pipeline_training,
+    # q_sample_token_budget, q_sink_zorder, q_sort_total_order,
+    # q_text_bigram_lm, q_text_boilerplate, q_text_contamination,
+    # q_text_decontaminate, q_text_fingerprint, q_text_langid,
+    # q_text_quality, q_text_repetition, q_top_tokens,
+    # q_udf_tokenize_udtf) + 14 of the 50 r9-latest names to fill 50,
+    # plus whatever r12 adds or changes (changed queries take the head).
 ]
 
 
