@@ -41,3 +41,21 @@ def test_explicit_round_overwrites(tmp_path):
 def test_no_artifacts_infers_round_one(tmp_path):
     out = dump_local_artifact(FULL, str(tmp_path), explicit=None)
     assert out is not None and out.endswith("BENCH_LOCAL_r01.json")
+
+
+def test_steal_pct_math():
+    # 10 steal ticks over 1000 total ticks elapsed = 1.0%
+    from bench import _steal_pct
+
+    assert _steal_pct((100, 1000), (110, 2000)) == 1.0
+    # no elapsed ticks (same sample twice) must not divide by zero
+    assert _steal_pct((100, 1000), (100, 1000)) == 0.0
+
+
+def test_steal_ticks_reads_proc_stat():
+    # on this Linux host the aggregate cpu line exists: total >= steal >= 0
+    from bench import _steal_ticks
+
+    steal, total = _steal_ticks()
+    assert 0 <= steal <= total
+    assert total > 0
