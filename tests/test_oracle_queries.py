@@ -27,6 +27,17 @@ def test_registry_covers_survey_sections():
         assert family in prefixes, f"no queries for family {family}"
 
 
+def test_evidence_window_is_exactly_fifty_leading_names():
+    """The driver records EXACTLY the first 50 registry rows per round:
+    an over-filled window silently drops evidence candidates past the
+    cut, an under-filled one wastes recording slots on aged proofs."""
+    from hadoop_0_20_2_ljx_spark.queries import _NEEDS_FRESH_EVIDENCE
+
+    assert len(_NEEDS_FRESH_EVIDENCE) == 50
+    assert len(set(_NEEDS_FRESH_EVIDENCE)) == 50
+    assert list(REGISTRY)[:50] == _NEEDS_FRESH_EVIDENCE
+
+
 def test_entry_contract(spark):
     """__spark_entry__ contract: entry() returns rows; every queries() key
     with an oracle_sql() entry exists in the registry."""
