@@ -77,6 +77,19 @@ def main() -> int:
     from durable_sweep import run_sweep
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Optional second arg: the shuffle-sorter force-spill threshold.
+    # The merge phase opens one reader per spill FILE, each allocating
+    # 2x spark.unsafe.sorter.spill.reader.buffer.size — and that conf
+    # FLOORS at 1 MiB, so fan-in memory is ~2 MB per spill file per
+    # task and the only lever is the file count itself. 1024 rows is
+    # right for sf0.01 (~8.5k rows/task -> ~8 files); at sf0.1 a
+    # 600k-row single-task sort under 1024 made ~600 files and the
+    # merge OOMed an 8 GB heap on READER BUFFERS, not data (measured:
+    # heap OOM in ReadAheadInputStream via UnsafeSorterSpillReader).
+    # Scale the threshold ~10x per decade of rows — the spill PATH is
+    # exercised identically; only the forced file count changes:
+    #   python tools/spill_sweep.py /root/testdata/sf0.1 8192
+    threshold = sys.argv[2] if len(sys.argv) > 2 else "1024"
     return (
         0
         if run_sweep(
@@ -88,7 +101,10 @@ def main() -> int:
                 # read from SparkEnv at sorter construction, so it must
                 # land at builder time — run_sweep passes these to the
                 # builder before getOrCreate)
-                "spark.shuffle.spill.numElementsForceSpillThreshold": "1024",
+                "spark.shuffle.spill.numElementsForceSpillThreshold": threshold,
+                # headroom for the merge fan-in described above (the
+                # builder default in run_sweep is 8g)
+                "spark.driver.memory": "16g",
                 "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
                 "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "256",
                 "spark.sql.windowExec.buffer.in.memory.threshold": "256",
