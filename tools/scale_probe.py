@@ -32,6 +32,12 @@ Ladders:
     alive-join shuffle). Same hub-heavy generator and k=12/6-round
     peel as bench_graph_10x, shuffle-join regime forced, the
     surviving-core assert at every rung.
+  - minhash_xl: a FOURTH minhash rung at 5M docs (r11, opt-in by name —
+    not in the default set so the default probe stays ~15 min), same
+    generator and planted-pair recall assert as the 5k/50k/500k ladder.
+    The dedup candidate path is the flagship training-pipeline op; this
+    extends its no-knee evidence one more decade (~1.5 GB of raw text
+    through signature build + LSH banding).
   - pagerank 150k -> 1.5M -> 15M edges (r11, the r10 verdict's task 4:
     the last expensive family without three-rung evidence — the
     iterative-join + per-round pin interaction). bench_pagerank_10x's
@@ -72,10 +78,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, float]] = {}
-    # optional argv selector: name the ladders to run (default: all six)
+    # optional argv selector: name the ladders to run (default: all six;
+    # minhash_xl is opt-in only — a single ~10-min rung)
     ladders = {"terasort", "minhash", "triangles", "asof", "kcore", "pagerank"}
     pick = set(sys.argv[1:]) or ladders
-    unknown = pick - ladders
+    unknown = pick - ladders - {"minhash_xl"}
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -117,11 +124,14 @@ def main() -> int:
 
     # warm the dedup codepath off the ladder (the r9 run's 5k wall
     # carried first-compile cost; bytes were unaffected)
-    if "minhash" in pick:
+    if pick & {"minhash", "minhash_xl"}:
         dedup.minhash_lsh_candidates(
             docs(1_000).localCheckpoint(), "doc_id", "text"
         ).count()
-    for n in (5_000, 50_000, 500_000) if "minhash" in pick else ():
+    rungs = (5_000, 50_000, 500_000) if "minhash" in pick else ()
+    if "minhash_xl" in pick:
+        rungs = rungs + (5_000_000,)
+    for n in rungs:
         d = docs(n).localCheckpoint()
         sw0, _ = bench._stage_bytes(spark)
         t = time.time()
