@@ -38,6 +38,10 @@ Ladders:
     The dedup candidate path is the flagship training-pipeline op; this
     extends its no-knee evidence one more decade (~1.5 GB of raw text
     through signature build + LSH banding).
+  - asof_xl / triangles_xl: the same opt-in fourth-rung pattern for the
+    as-of join (100M fixed-density event rows — 50M output matches) and
+    the triangle count (100M hub-heavy edges), r11. Same generators and
+    asserts as their three-rung ladders.
   - pagerank 150k -> 1.5M -> 15M edges (r11, the r10 verdict's task 4:
     the last expensive family without three-rung evidence — the
     iterative-join + per-round pin interaction). bench_pagerank_10x's
@@ -82,7 +86,7 @@ def main() -> int:
     # minhash_xl is opt-in only — a single ~10-min rung)
     ladders = {"terasort", "minhash", "triangles", "asof", "kcore", "pagerank"}
     pick = set(sys.argv[1:]) or ladders
-    unknown = pick - ladders - {"minhash_xl"}
+    unknown = pick - ladders - {"minhash_xl", "asof_xl", "triangles_xl"}
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -169,9 +173,12 @@ def main() -> int:
     # broadcast locally but are corpus-sized at 100 TB — the shuffle
     # curve is the one that extrapolates
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    if "triangles" in pick:
+    if pick & {"triangles", "triangles_xl"}:
         triangle_counts(edges(10_000).localCheckpoint()).count()  # warm off-ladder
-    for n in (100_000, 1_000_000, 10_000_000) if "triangles" in pick else ():
+    tri_rungs = (100_000, 1_000_000, 10_000_000) if "triangles" in pick else ()
+    if "triangles_xl" in pick:
+        tri_rungs = tri_rungs + (100_000_000,)
+    for n in tri_rungs:
         e = edges(n).localCheckpoint()
         sw0, _ = bench._stage_bytes(spark)
         t = time.time()
@@ -236,7 +243,7 @@ def main() -> int:
 
     from hadoop_0_20_2_ljx_spark.extensions import temporal
 
-    if "asof" in pick:
+    if pick & {"asof", "asof_xl"}:
         warm = bench.temporal_event_stream(spark, 2_000).localCheckpoint()
         temporal.asof_join(
             warm.where("is_click").select("event_id", "user_id", "t_us"),
@@ -245,7 +252,10 @@ def main() -> int:
             .agg(F.count(F.lit(1)).cast("double").alias("pval")),
             on=["user_id"], left_ts="t_us", right_ts="t_us", value_cols=["pval"],
         ).agg(F.count("pval")).first()
-    for n in (100_000, 1_000_000, 10_000_000) if "asof" in pick else ():
+    asof_rungs = (100_000, 1_000_000, 10_000_000) if "asof" in pick else ()
+    if "asof_xl" in pick:
+        asof_rungs = asof_rungs + (100_000_000,)
+    for n in asof_rungs:
         ev = bench.temporal_event_stream(spark, n).localCheckpoint()
         clicks = ev.where("is_click").select("event_id", "user_id", "t_us")
         purchases = (
