@@ -38,10 +38,12 @@ Ladders:
     The dedup candidate path is the flagship training-pipeline op; this
     extends its no-knee evidence one more decade (~1.5 GB of raw text
     through signature build + LSH banding).
-  - asof_xl / triangles_xl: the same opt-in fourth-rung pattern for the
-    as-of join (100M fixed-density event rows — 50M output matches) and
-    the triangle count (100M hub-heavy edges), r11. Same generators and
-    asserts as their three-rung ladders.
+  - asof_xl / triangles_xl / kcore_xl / pagerank_xl: the same opt-in
+    fourth-rung pattern for the as-of join (100M fixed-density event
+    rows — 50M output matches), the triangle count (100M hub-heavy
+    edges), the k-core peel (100M edges, k=12 x 6 rounds), and pagerank
+    (150M edges, 3 rounds with the phase breakdown), r11. Same
+    generators and asserts as their three-rung ladders.
   - pagerank 150k -> 1.5M -> 15M edges (r11, the r10 verdict's task 4:
     the last expensive family without three-rung evidence — the
     iterative-join + per-round pin interaction). bench_pagerank_10x's
@@ -86,7 +88,9 @@ def main() -> int:
     # minhash_xl is opt-in only — a single ~10-min rung)
     ladders = {"terasort", "minhash", "triangles", "asof", "kcore", "pagerank"}
     pick = set(sys.argv[1:]) or ladders
-    unknown = pick - ladders - {"minhash_xl", "asof_xl", "triangles_xl"}
+    unknown = pick - ladders - {
+        "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
+    }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -196,9 +200,12 @@ def main() -> int:
     # same shuffle-join regime as triangles (the broadcast-off conf set
     # above is still active here): alive/degree tables are node-sized
     # locally but corpus-sized at 100 TB
-    if "kcore" in pick:
+    if pick & {"kcore", "kcore_xl"}:
         kcore_peel(edges(10_000).localCheckpoint(), k=12, rounds=6).count()
-    for n in (100_000, 1_000_000, 10_000_000) if "kcore" in pick else ():
+    kcore_rungs = (100_000, 1_000_000, 10_000_000) if "kcore" in pick else ()
+    if "kcore_xl" in pick:
+        kcore_rungs = kcore_rungs + (100_000_000,)
+    for n in kcore_rungs:
         e = edges(n).localCheckpoint()
         sw0, _ = bench._stage_bytes(spark)
         t = time.time()
@@ -217,11 +224,14 @@ def main() -> int:
     # the rank table broadcasts at ladder sizes but is corpus-sized at
     # 100 TB — bench_pagerank_10x measured the 96x round-byte regime
     # change across that boundary, so only the shuffle curve extrapolates
-    if "pagerank" in pick:
+    if pick & {"pagerank", "pagerank_xl"}:
         pagerank_int(
             bench.pagerank_edge_stream(spark, 10_000).localCheckpoint(), iterations=3
         ).count()  # warm off-ladder
-    for n in (150_000, 1_500_000, 15_000_000) if "pagerank" in pick else ():
+    pr_rungs = (150_000, 1_500_000, 15_000_000) if "pagerank" in pick else ()
+    if "pagerank_xl" in pick:
+        pr_rungs = pr_rungs + (150_000_000,)
+    for n in pr_rungs:
         e = bench.pagerank_edge_stream(spark, n).localCheckpoint()
         phases: dict[str, float] = {}
         sw0, _ = bench._stage_bytes(spark)
