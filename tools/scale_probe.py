@@ -44,6 +44,11 @@ Ladders:
     edges), the k-core peel (100M edges, k=12 x 6 rounds), and pagerank
     (150M edges, 3 rounds with the phase breakdown), r11. Same
     generators and asserts as their three-rung ladders.
+  - terasort_xl: 10^9 generated 100-byte rows (~100 GB of records —
+    the reference's record run at 1/10 scale on one node) through
+    TeraGen -> total-order sort -> TeraValidate, r11. The records
+    exceed execution memory ~3:1, so this rung is also a natural-spill
+    stress (the pressure_probe regime at ladder scale).
   - pagerank 150k -> 1.5M -> 15M edges (r11, the r10 verdict's task 4:
     the last expensive family without three-rung evidence — the
     iterative-join + per-round pin interaction). bench_pagerank_10x's
@@ -90,14 +95,18 @@ def main() -> int:
     pick = set(sys.argv[1:]) or ladders
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
+        "terasort_xl",
     }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
         return 2
 
-    if "terasort" in pick:
+    if pick & {"terasort", "terasort_xl"}:
         bench.bench_terasort(spark, n=100_000)  # warm codegen off the ladder
-    for n in (1_000_000, 10_000_000, 100_000_000) if "terasort" in pick else ():
+    tera_rungs = (1_000_000, 10_000_000, 100_000_000) if "terasort" in pick else ()
+    if "terasort_xl" in pick:
+        tera_rungs = tera_rungs + (1_000_000_000,)
+    for n in tera_rungs:
         sw0, ib0 = bench._stage_bytes(spark)
         t = time.time()
         bench.bench_terasort(spark, n=n)
