@@ -6,6 +6,15 @@ CORRECTNESS artifacts — the mechanical form of the judge's per-round
     python tools/refresh_survey.py           # rewrite the table in place
     python tools/refresh_survey.py --check   # exit 1 on any discrepancy
 
+--check has TWO green states. The driver writes CORRECTNESS_r{N}.json
+AFTER the round's last commit, so at every round's HEAD the committed
+table is legitimately one artifact behind; the check distinguishes that
+from real drift: if the committed table equals the derivation with the
+newest artifact EXCLUDED (i.e. the only difference at HEAD is exactly
+that artifact's recorded rows moving forward), it reports
+PENDING-REFRESH and exits 0. Any other discrepancy — a stale note, a
+wrong Ext cell, a window mismatch — still diffs and exits 1.
+
 Ext column = newest round whose CORRECTNESS_r0N.json row is fully green
 (rows+schema+hash); queries with no external row yet render "sim only".
 Changed-column notes are free text maintained IN the table — the tool
@@ -29,17 +38,28 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SURVEY = os.path.join(HERE, "SURVEY.md")
 
 
-def newest_evidence() -> dict[str, int]:
+def newest_evidence(exclude_round: int | None = None) -> dict[str, int]:
     newest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         if not m:
             continue
         rno = int(m.group(1))
+        if rno == exclude_round:
+            continue
         for name, row in json.load(open(path)).items():
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
                 newest[name] = max(rno, newest.get(name, 0))
     return newest
+
+
+def latest_artifact_round() -> int | None:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return max(rounds) if rounds else None
 
 
 def parse_existing(surv: str) -> tuple[str, dict[str, str], int, int]:
@@ -74,7 +94,7 @@ def parse_existing(surv: str) -> tuple[str, dict[str, str], int, int]:
     return tag, changed, start, end
 
 
-def render(tag: str, changed: dict[str, str]) -> str:
+def render(tag: str, changed: dict[str, str], exclude_round: int | None = None) -> str:
     from hadoop_0_20_2_ljx_spark.queries import REGISTRY, _NEEDS_FRESH_EVIDENCE
 
     orphans = sorted(set(changed) - set(REGISTRY))
@@ -85,7 +105,7 @@ def render(tag: str, changed: dict[str, str]) -> str:
             f"§8 Changed-column notes reference names absent from the "
             f"registry (renamed query?): {orphans}"
         )
-    newest = newest_evidence()
+    newest = newest_evidence(exclude_round)
     win = set(_NEEDS_FRESH_EVIDENCE)
     rows = [
         (
@@ -125,6 +145,22 @@ def main() -> int:
     if check:
         if current.rstrip("\n") + "\n" == table:
             print("SURVEY §8 table matches the artifacts")
+            return 0
+        # Second green state: the committed table equals the derivation
+        # with the newest artifact excluded — the artifact merely
+        # postdates the last commit (the driver writes it after the
+        # round's final commit), so the pending diff is exactly that
+        # artifact's recorded rows and nothing else. Not drift.
+        latest = latest_artifact_round()
+        if latest is not None and current.rstrip("\n") + "\n" == render(
+            tag, changed, exclude_round=latest
+        ):
+            print(
+                f"SURVEY §8 PENDING-REFRESH: table is green at the pre-"
+                f"CORRECTNESS_r{latest:02d} state; the only diff is that "
+                f"artifact's rows. Run `python tools/refresh_survey.py` "
+                f"to fold it in."
+            )
             return 0
         import difflib
 
