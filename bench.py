@@ -39,24 +39,38 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def _steal_ticks() -> tuple[int, int]:
-    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
-    The r10 delta note diagnosed 186-280 s same-HEAD spread as host noise
-    partly via rising CPU-steal observed by hand; recording the counter
-    deltas in the artifact makes that diagnosis reproducible from the
-    artifact alone (r10 verdict task 3)."""
+def _steal_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line,
+    or None when the counter cannot be read (a sentinel, NOT (0, 0) —
+    an instrumentation failure must stay distinguishable from a quiet
+    host in the artifact; r11 ADVICE). The r10 delta note diagnosed
+    186-280 s same-HEAD spread as host noise partly via rising CPU-steal
+    observed by hand; recording the counter deltas in the artifact makes
+    that diagnosis reproducible from the artifact alone."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
-        # fields: user nice system idle iowait irq softirq steal ...
+        # fields: user nice system idle iowait irq softirq steal guest
+        # guest_nice — the kernel already folds guest/guest_nice into
+        # user/nice, so the denominator sums only the first 8
+        # non-overlapping fields (user..steal); summing all ten would
+        # double-count guest time and underestimate steal% on VM hosts
+        # (r11 ADVICE).
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        return steal, sum(vals[:8])
     except Exception:
-        return 0, 0
+        return None
 
 
-def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+def _steal_pct(
+    before: tuple[int, int] | None, after: tuple[int, int] | None
+) -> float | None:
+    """Steal percentage over a tick window; None (JSON null) when either
+    sample was unreadable, so the artifact records 'unavailable' rather
+    than a fake 0.0% quiet-host reading."""
+    if before is None or after is None:
+        return None
     d_total = after[1] - before[1]
     return round(100.0 * (after[0] - before[0]) / d_total, 2) if d_total > 0 else 0.0
 

@@ -70,12 +70,19 @@ def salted_join(
     skew-join rewrite. Result is row-identical to the plain join. Only
     inner/left are expressible (an unmatched dim row would surface once
     per replica under right/full).
+
+    The replica column is explode(sequence(0, buckets-1)), ONE expression
+    node regardless of bucket count — an explode(array(lit 0..b)) form
+    would stamp `buckets` literal nodes into the plan and hit the
+    ~10^3-literal parse/codegen cliff (the r7 similarity lesson) exactly
+    when buckets is scaled to hold per-task work flat at cluster sizes
+    (tools/scale_probe.py skew ladder runs buckets up to 2560).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     salted = skewed.withColumn("_salt", _row_salt(skewed, buckets))
     replicated = dim.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     out = salted.join(replicated, on=[key, "_salt"], how=how)
     return out.drop("_salt")

@@ -50,6 +50,46 @@ def test_steal_pct_math():
     assert _steal_pct((100, 1000), (110, 2000)) == 1.0
     # no elapsed ticks (same sample twice) must not divide by zero
     assert _steal_pct((100, 1000), (100, 1000)) == 0.0
+    # an unreadable sample is a sentinel (JSON null), never a fake 0.0%
+    assert _steal_pct(None, (110, 2000)) is None
+    assert _steal_pct((100, 1000), None) is None
+
+
+def test_steal_ticks_sentinel_on_read_failure(monkeypatch):
+    """A /proc/stat read failure must surface as None, not (0, 0) —
+    otherwise an instrumentation failure is indistinguishable from a
+    perfectly quiet host in the recorded artifact (r11 ADVICE)."""
+    import builtins
+
+    from bench import _steal_ticks
+
+    real_open = builtins.open
+
+    def failing_open(path, *a, **kw):
+        if path == "/proc/stat":
+            raise OSError("simulated unreadable /proc/stat")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", failing_open)
+    assert _steal_ticks() is None
+
+
+def test_steal_denominator_excludes_guest_fields():
+    """total_ticks must sum only the 8 non-overlapping fields
+    (user..steal): the kernel folds guest/guest_nice into user/nice, so
+    including them double-counts guest time (r11 ADVICE)."""
+    import builtins
+    from unittest import mock
+
+    fake = "cpu  100 2 3 4 5 6 7 8 1000 2000\nrest ignored\n"
+    with mock.patch.object(
+        builtins, "open", mock.mock_open(read_data=fake)
+    ):
+        from bench import _steal_ticks
+
+        steal, total = _steal_ticks()
+    assert steal == 8
+    assert total == 100 + 2 + 3 + 4 + 5 + 6 + 7 + 8  # guest fields excluded
 
 
 def test_steal_ticks_reads_proc_stat():

@@ -57,6 +57,35 @@ Ladders:
     wall breakdown (setup / each round / drain) recorded at every rung
     so a superlinear per-round checkpoint cost would be visible
     directly; the all-nodes-present assert at every rung.
+  - clusters 100k -> 1M -> 10M edges (r12, the r11 verdict's task 4:
+    connected components is the one iterative family whose ROUND COUNT
+    grows with input — component diameter — unlike pagerank's fixed 3
+    or kcore's bounded peel, so the rounds x per-round-pin interaction
+    is the risk the ladder exists to test). Graph = half long chains
+    (10 chains whose length grows 10x per rung, so diameter grows a
+    decade per decade and rounds must grow ~log) + half hub-heavy
+    random edges (the minhash candidate-graph shape), node id spaces
+    disjoint. Per rung: exact chain membership asserted row-by-row
+    (every chain node's component must equal its chain minimum),
+    hub giant-component coverage >= 95%, full node coverage, the
+    convergence round count recorded and asserted under the cap, and
+    an order-independent membership checksum recorded.
+  - skew 100k -> 1M -> 10M fact rows (r12, the r11 verdict's task 6:
+    the salted-join stress pair is single-scale). Fixed 70% hot-key
+    share, dim fixed at 1001 keys; per rung BOTH plans run with
+    broadcast AND AQE off (AQE skew-split is the first defense in
+    production — session.py enables it — but it would split the plain
+    hot partition here and mask exactly the curve this ladder
+    measures) and shuffle partitions scaled ~rows/31k, the way a real
+    cluster sizes reducers. Salt buckets scale ~8x partitions so the
+    hot key can occupy every reducer. Metric: MAX-TASK shuffle-read
+    bytes (UI REST taskSummary at quantile 1.0) — the straggler that
+    decides wall-clock at 100 TB. Claim: the plain join's hot task
+    grows ~10x/decade no matter how many reducers exist (the hot key
+    is ONE shuffle partition), while the salted plan's max task stays
+    ~flat because salting lets per-task work track rows/partitions.
+    Row-count equality plain==salted asserted at every rung (value
+    parity is the externally-proven q_join_salted oracle).
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -248,7 +277,8 @@ def main() -> int:
         n_nodes = pagerank_int(e, iterations=3, phase_seconds=phases).count()
         wall = time.time() - t
         sw1, _ = bench._stage_bytes(spark)
-        # every node id in [0, n/10) appears w.h.p. at ~10 draws per id
+        # every node id in [0, n/10) appears w.h.p. at ~20 draws per id
+        # (n edges x 2 endpoints over n/10 ids; r11 ADVICE)
         assert n_nodes >= (n // 10) * 99 // 100, f"pagerank_{n}: {n_nodes} nodes"
         out[f"pagerank_{n // 1000}k"] = {
             "wall_s": round(wall, 2),
