@@ -1,21 +1,36 @@
-"""Natural-memory-pressure probe: the total-order sort at 300M generated
-100-byte rows (~30 GB of in-memory records) on a deliberately capped
-16 GB driver heap, so the Tungsten sorters spill because they are OUT OF
-MEMORY — not because a forced element-count threshold told them to.
+"""Natural-memory-pressure probe: the three operator classes every task
+on a 100 TB cluster exercises — total-order SORT, sort-merge JOIN, and
+hash AGGREGATION — each at a data:execution-memory ratio ~3:1 on a
+deliberately capped 16 GB driver heap, so the Tungsten operators spill
+because they are OUT OF MEMORY — not because a forced element-count
+threshold told them to.
 
-    python tools/pressure_probe.py          # one-off, ~5 min, prints JSON
+    python tools/pressure_probe.py              # all three, ~10 min
+    python tools/pressure_probe.py sort agg     # just the named ops
 
 Complements tools/spill_sweep.py from the other side: the sweep proves
 all 186 registry results survive the spill PATH (forced deterministically
-at small data), this proves the flagship sort survives real PRESSURE at
-a data:execution-memory ratio ~3:1 — the shape every task on a 100 TB
-cluster runs at. TeraValidate-style order+checksum asserts run inside
-(bench.bench_terasort), and the probe FAILS unless the run actually
-spilled to disk, so it cannot pass vacuously on a roomy heap.
+at small data), this proves each operator class survives real PRESSURE.
+Every op carries exact result asserts (order+checksum for the sort,
+integer count/sum identities for join and agg) and FAILS unless its own
+stages actually spilled to disk, so no op can pass vacuously on a roomy
+heap.
 
-Disk note: tera rows compress ~9:1 in shuffle/spill files (the filler is
-repetitive — the 10M bench rung writes 113 MB of shuffle for 1 GB of
-rows), so the on-disk footprint is a few GB, safe on this container.
+Ops (execution memory on the 16 GB heap is ~9.4 GB unified):
+  sort — TeraGen 300M 100-byte rows (~30 GB of records) through the
+         total-order sort + TeraValidate (bench.bench_terasort), r11.
+  join — sort-merge join of two 150M-row sides, each row carrying a
+         64-char incompressible digest payload (~2x 14 GB through the
+         two SMJ sort buffers). Keys pair 1:1 so the result is exactly
+         checkable: count == n and sum(k) == n(n-1)/2.
+  agg  — groupBy over 300M DISTINCT 32-char string keys (~20+ GB of
+         hash-map state): the regime where partial aggregation cannot
+         collapse anything and HashAggregate must fall back to
+         sort-based aggregation under pressure. count(groups) == n and
+         sum(v) == n are exact (md5 collisions in 2^128 don't happen).
+
+Disk note: tera rows compress ~9:1 in spill files; the join/agg digest
+payloads are high-entropy hex (~2:1), so expect a few GB on disk per op.
 """
 
 from __future__ import annotations
@@ -27,10 +42,34 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _stage_spill(spark) -> tuple[float, float, int]:
+    """(disk_spill_mb, mem_spill_mb, n_spilling_stages) over all
+    completed stages so far — callers take deltas per op."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        stages = json.load(resp)
+    return (
+        round(sum(s.get("diskBytesSpilled", 0) for s in stages) / 1e6, 1),
+        round(sum(s.get("memoryBytesSpilled", 0) for s in stages) / 1e6, 1),
+        sum(1 for s in stages if s.get("diskBytesSpilled", 0) > 0),
+    )
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     import bench
+
+    ops = ["sort", "join", "agg"]
+    pick = sys.argv[1:] or ops
+    unknown = set(pick) - set(ops)
+    if unknown:
+        print(f"unknown op(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -43,28 +82,71 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
 
-    n = 300_000_000
-    t = time.time()
-    bench.bench_terasort(spark, n=n)  # order+checksum asserts inside
-    wall = time.time() - t
+    def run(name: str, n_rows: int, fn) -> None:
+        d0, m0, s0 = _stage_spill(spark)
+        t = time.time()
+        fn()
+        wall = time.time() - t
+        d1, m1, s1 = _stage_spill(spark)
+        out[name] = {
+            "rows": n_rows,
+            "wall_s": round(wall, 1),
+            "disk_spill_mb": round(d1 - d0, 1),
+            "mem_spill_mb": round(m1 - m0, 1),
+            "n_spilling_stages": s1 - s0,
+        }
+        assert out[name]["disk_spill_mb"] > 0, f"{name}: no natural spill — vacuous"
 
-    import urllib.request
+    if "sort" in pick:
+        # order+checksum asserts inside bench_terasort
+        run("sort", 300_000_000, lambda: bench.bench_terasort(spark, n=300_000_000))
 
-    sc = spark.sparkContext
-    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as resp:
-        stages = json.load(resp)
-    out = {
-        "rows": n,
-        "wall_s": round(wall, 1),
-        "disk_spill_mb": round(sum(s.get("diskBytesSpilled", 0) for s in stages) / 1e6, 1),
-        "mem_spill_mb": round(sum(s.get("memoryBytesSpilled", 0) for s in stages) / 1e6, 1),
-        "shuffle_write_mb": round(sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1),
-        "n_spilling_stages": sum(1 for s in stages if s.get("diskBytesSpilled", 0) > 0),
-    }
+    if "join" in pick:
+        n = 150_000_000
+
+        def smj() -> None:
+            pay = F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5(F.concat(F.lit("r"), F.col("id").cast("string"))),
+            )
+            left = spark.range(n).select(F.col("id").alias("k"), pay.alias("pay_l"))
+            right = spark.range(n).select(F.col("id").alias("k"), pay.alias("pay_r"))
+            row = (
+                left.join(right, "k")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("k").alias("ksum"),
+                    # consume both payloads so neither side's exchange
+                    # is column-pruned down to the compressible key
+                    F.sum(F.length("pay_l") + F.length("pay_r")).alias("psum"),
+                )
+                .first()
+            )
+            assert row["cnt"] == n, f"join: {row['cnt']} != {n}"
+            assert row["ksum"] == n * (n - 1) // 2, f"join: key sum {row['ksum']}"
+            assert row["psum"] == n * 128, f"join: payload length sum {row['psum']}"
+
+        run("join", 2 * n, smj)
+
+    if "agg" in pick:
+        n = 300_000_000
+
+        def hashagg() -> None:
+            df = spark.range(n).select(
+                F.md5(F.col("id").cast("string")).alias("k"), F.lit(1).alias("v")
+            )
+            grouped = df.groupBy("k").agg(F.sum("v").alias("s"))
+            row = grouped.agg(
+                F.count(F.lit(1)).alias("groups"), F.sum("s").alias("total")
+            ).first()
+            assert row["groups"] == n, f"agg: {row['groups']} groups != {n}"
+            assert row["total"] == n, f"agg: total {row['total']} != {n}"
+
+        run("agg", n, hashagg)
+
     print(json.dumps(out))
-    assert out["disk_spill_mb"] > 0, "no natural spill — the probe is vacuous"
     return 0
 
 

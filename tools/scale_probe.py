@@ -120,7 +120,10 @@ def main() -> int:
     out: dict[str, dict[str, float]] = {}
     # optional argv selector: name the ladders to run (default: all six;
     # minhash_xl is opt-in only — a single ~10-min rung)
-    ladders = {"terasort", "minhash", "triangles", "asof", "kcore", "pagerank"}
+    ladders = {
+        "terasort", "minhash", "triangles", "asof", "kcore", "pagerank",
+        "clusters", "skew",
+    }
     pick = set(sys.argv[1:]) or ladders
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
@@ -333,6 +336,231 @@ def main() -> int:
             "wall_s": round(wall, 2),
             "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
         }
+
+    from hadoop_0_20_2_ljx_spark.extensions.dedup import connected_components
+
+    def cc_edges(n_edges: int):
+        """Half long chains + half hub-heavy random edges, disjoint id
+        spaces. Chains: 10 of them, length n/20 edges each — component
+        DIAMETER grows a full decade per rung, so the star rounds must
+        grow ~log (the property pagerank's fixed 3 rounds and kcore's
+        bounded peel never exercise). Hubs: the triangles/kcore
+        generator shape offset past the chain ids — a realistic
+        near-dup candidate graph with a giant component.
+        Returns (edges, chain_len_edges, chain_id_span)."""
+        n_chain = n_edges // 2
+        ch_len = n_chain // 10  # edges per chain; nodes per chain = ch_len+1
+        ch_nodes = ch_len + 1
+        u = (F.col("id") / ch_len).cast("long") * ch_nodes + F.pmod(
+            F.col("id"), F.lit(ch_len)
+        )
+        chains = spark.range(n_chain).select(
+            u.alias("u"), (u + 1).alias("v")
+        )
+        ch_span = 10 * ch_nodes
+        n_hub = n_edges - n_chain
+        hub_nodes = n_hub // 10
+
+        def hub_node(salt: str):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(salt), F.col("id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            picked = F.when(h % 16 == 0, F.shiftright(h, 4) % 10).otherwise(
+                F.shiftright(h, 4) % F.lit(hub_nodes)
+            )
+            return picked + F.lit(ch_span)
+
+        hubs = spark.range(n_hub).select(
+            hub_node("s").alias("u"), hub_node("d").alias("v")
+        )
+        return chains.union(hubs), ch_len, ch_span
+
+    if "clusters" in pick:
+        # warm the CC codepath off the ladder
+        we, _, _ = cc_edges(10_000)
+        connected_components(we.localCheckpoint(), "u", "v").count()
+    for n in (100_000, 1_000_000, 10_000_000) if "clusters" in pick else ():
+        e, ch_len, ch_span = cc_edges(n)
+        e = e.localCheckpoint()
+        # ground truth computable from the edge set: CC must cover
+        # exactly the distinct non-self-loop endpoints (self-loops are
+        # filtered by the operator's contract; O(1) rows to the driver)
+        real = e.filter(F.col("u") != F.col("v"))
+        n_nodes = (
+            real.select(F.col("u").alias("n"))
+            .union(real.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+        st: dict[str, int] = {}
+        sw0, _ = bench._stage_bytes(spark)
+        t = time.time()
+        cc = connected_components(e, "u", "v", max_iter=40, stats=st)
+        cc = cc.localCheckpoint()
+        n_assigned = cc.count()
+        wall = time.time() - t
+        sw1, _ = bench._stage_bytes(spark)
+        rounds = st["rounds"]
+        assert rounds < 40, f"clusters_{n}: hit the round cap ({rounds})"
+        assert n_assigned == n_nodes, f"clusters_{n}: {n_assigned} != {n_nodes} nodes"
+        # exact chain membership, row-by-row: chain node x (ids below
+        # ch_span) belongs to component min(chain) = x - x mod ch_nodes
+        ch_nodes = ch_len + 1
+        chain = cc.filter(F.col("node") < ch_span)
+        bad = chain.filter(
+            F.col("comp") != F.col("node") - F.pmod(F.col("node"), F.lit(ch_nodes))
+        ).count()
+        assert bad == 0, f"clusters_{n}: {bad} chain nodes mis-clustered"
+        assert chain.count() == 10 * ch_nodes, f"clusters_{n}: chain node count"
+        # hub half: one giant component w.h.p. (avg degree ~20)
+        hub_row = (
+            cc.filter(F.col("node") >= ch_span)
+            .groupBy("comp")
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_comp"),
+                F.max("count").alias("giant"),
+                F.sum("count").alias("total"),
+            )
+            .first()
+        )
+        assert hub_row["giant"] * 100 >= hub_row["total"] * 95, (
+            f"clusters_{n}: giant component {hub_row['giant']}/{hub_row['total']}"
+        )
+        # order-independent membership checksum (decimal — BIGINT sum of
+        # 64-bit hashes overflows under ANSI), recorded for rerun compare
+        chk = cc.agg(
+            F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)")).alias("c")
+        ).first()["c"]
+        out[f"clusters_{n // 1000}k"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+            "rounds": rounds,
+            "n_components": int(hub_row["n_comp"]) + 10,
+            "membership_checksum": str(chk),
+        }
+
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    def _max_task_shuffle_read_mb(prev_stage_ids: set[int]) -> float:
+        """Max per-task shuffle-read bytes over stages completed since
+        prev_stage_ids — UI REST taskSummary at quantile 1.0. The
+        straggler task is the number that decides wall-clock at 100 TB;
+        stage totals can look identical while one task carries 70%."""
+        import urllib.request
+
+        sc = spark.sparkContext
+        base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=10) as r:
+            stages = json.load(r)
+        mx = 0.0
+        for s in stages:
+            sid = s["stageId"]
+            if sid in prev_stage_ids or s.get("shuffleReadBytes", 0) == 0:
+                continue
+            url = f"{base}/stages/{sid}/0/taskSummary?quantiles=1.0"
+            try:
+                with urllib.request.urlopen(url, timeout=10) as r:
+                    summ = json.load(r)
+            except Exception:
+                continue  # stage evicted from the UI store between calls
+            mx = max(mx, summ["shuffleReadMetrics"]["readBytes"][0])
+        return round(mx / 1e6, 2)
+
+    def _completed_stage_ids() -> set[int]:
+        import urllib.request
+
+        sc = spark.sparkContext
+        url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return {s["stageId"] for s in json.load(r)}
+
+    if "skew" in pick:
+        # Fixed regime for the whole ladder: no broadcast (the dim is
+        # broadcast-ineligible in the 100 TB scenario this models) and no
+        # AQE (its skew-split would break the plain hot partition apart
+        # at the top rung and its coalescing would merge the salted
+        # plan's small partitions — both mask the curve under test; in
+        # production AQE is the FIRST defense, session.py enables it).
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        old_part = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("attr")
+        ).localCheckpoint()
+        salted_flat: list[float] = []
+        try:
+            for n in (100_000, 1_000_000, 10_000_000):
+                # reducers sized the way a cluster sizes them: ~31k rows
+                # per task; salt buckets 8x that so the hot key can land
+                # on every reducer
+                n_part = max(4, n // 31_250)
+                buckets = 8 * n_part
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+                fact = spark.range(n).select(
+                    F.when(F.pmod(F.col("id"), F.lit(10)) < 7, F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+                    .alias("k"),
+                    F.md5(F.col("id").cast("string")).alias("payload"),
+                ).localCheckpoint()
+                counts = {}
+                for label, df in (
+                    ("plain", fact.join(dim, "k")),
+                    ("salted", skew.salted_join(fact, dim, "k", buckets=buckets)),
+                ):
+                    ids0 = _completed_stage_ids()
+                    sw0, _ = bench._stage_bytes(spark)
+                    t = time.time()
+                    # the probe aggregate must CONSUME every column —
+                    # a bare count() lets Catalyst prune payload+attr
+                    # out of the exchanges, and 7M identical hot keys
+                    # alone lz4-compress to ~nothing, hiding the hot
+                    # task (measured: 0.8 MB vs the real ~150 MB). The
+                    # decimal hash-sum doubles as value-level parity
+                    # between the two plans, not just row-count parity.
+                    counts[label] = tuple(
+                        df.agg(
+                            F.count(F.lit(1)),
+                            F.sum(F.length("payload")),
+                            F.sum(
+                                F.xxhash64("k", "payload", "attr").cast(
+                                    "decimal(38,0)"
+                                )
+                            ),
+                        ).first()
+                    )
+                    wall = time.time() - t
+                    sw1, _ = bench._stage_bytes(spark)
+                    mx = _max_task_shuffle_read_mb(ids0)
+                    out[f"skew_{label}_{n // 1000}k"] = {
+                        "wall_s": round(wall, 2),
+                        "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+                        "max_task_shuffle_read_mb": mx,
+                        "n_reducers": n_part,
+                        **({"buckets": buckets} if label == "salted" else {}),
+                    }
+                    if label == "salted":
+                        salted_flat.append(mx)
+                assert counts["plain"] == counts["salted"], counts
+            # the ladder's claim, asserted from the recorded metric:
+            # plain's hot task ~10x/decade, salted's max task ~flat
+            p = [out[f"skew_plain_{n}k"]["max_task_shuffle_read_mb"]
+                 for n in (100, 1000, 10000)]
+            assert p[1] > 5 * p[0] and p[2] > 5 * p[1], f"plain hot task not growing: {p}"
+            assert max(salted_flat) <= 3 * max(salted_flat[0], 0.01), (
+                f"salted max task not flat: {salted_flat}"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", old_part)
 
     print(json.dumps(out))
     return 0
