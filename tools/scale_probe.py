@@ -86,6 +86,10 @@ Ladders:
     ~flat because salting lets per-task work track rows/partitions.
     Row-count equality plain==salted asserted at every rung (value
     parity is the externally-proven q_join_salted oracle).
+  - clusters_xl / skew_xl: the opt-in fourth-rung pattern for both new
+    ladders (100M edges / 100M fact rows; pass together with the base
+    name, e.g. `scale_probe skew skew_xl`, so the growth/flatness
+    asserts span all four rungs).
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -127,7 +131,7 @@ def main() -> int:
     pick = set(sys.argv[1:]) or ladders
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
-        "terasort_xl",
+        "terasort_xl", "clusters_xl", "skew_xl",
     }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
@@ -381,11 +385,14 @@ def main() -> int:
         )
         return chains.union(hubs), ch_len, ch_span
 
-    if "clusters" in pick:
+    if pick & {"clusters", "clusters_xl"}:
         # warm the CC codepath off the ladder
         we, _, _ = cc_edges(10_000)
         connected_components(we.localCheckpoint(), "u", "v").count()
-    for n in (100_000, 1_000_000, 10_000_000) if "clusters" in pick else ():
+    cl_rungs = (100_000, 1_000_000, 10_000_000) if "clusters" in pick else ()
+    if "clusters_xl" in pick:
+        cl_rungs = cl_rungs + (100_000_000,)
+    for n in cl_rungs:
         e, ch_len, ch_span = cc_edges(n)
         e = e.localCheckpoint()
         # ground truth computable from the edge set: CC must cover
@@ -481,7 +488,7 @@ def main() -> int:
         with urllib.request.urlopen(url, timeout=10) as r:
             return {s["stageId"] for s in json.load(r)}
 
-    if "skew" in pick:
+    if pick & {"skew", "skew_xl"}:
         # Fixed regime for the whole ladder: no broadcast (the dim is
         # broadcast-ineligible in the 100 TB scenario this models) and no
         # AQE (its skew-split would break the plain hot partition apart
@@ -496,8 +503,11 @@ def main() -> int:
             F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("attr")
         ).localCheckpoint()
         salted_flat: list[float] = []
+        sk_rungs = [100_000, 1_000_000, 10_000_000] if "skew" in pick else []
+        if "skew_xl" in pick:
+            sk_rungs = sk_rungs + [100_000_000]
         try:
-            for n in (100_000, 1_000_000, 10_000_000):
+            for n in sk_rungs:
                 # reducers sized the way a cluster sizes them: ~31k rows
                 # per task; salt buckets 8x that so the hot key can land
                 # on every reducer
@@ -551,9 +561,11 @@ def main() -> int:
                 assert counts["plain"] == counts["salted"], counts
             # the ladder's claim, asserted from the recorded metric:
             # plain's hot task ~10x/decade, salted's max task ~flat
-            p = [out[f"skew_plain_{n}k"]["max_task_shuffle_read_mb"]
-                 for n in (100, 1000, 10000)]
-            assert p[1] > 5 * p[0] and p[2] > 5 * p[1], f"plain hot task not growing: {p}"
+            # (across however many rungs this invocation ran)
+            p = [out[f"skew_plain_{n // 1000}k"]["max_task_shuffle_read_mb"]
+                 for n in sk_rungs]
+            for lo, hi in zip(p, p[1:]):
+                assert hi > 5 * lo, f"plain hot task not growing: {p}"
             assert max(salted_flat) <= 3 * max(salted_flat[0], 0.01), (
                 f"salted max task not flat: {salted_flat}"
             )
