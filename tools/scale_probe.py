@@ -90,6 +90,23 @@ Ladders:
     ladders (100M edges / 100M fact rows; pass together with the base
     name, e.g. `scale_probe skew skew_xl`, so the growth/flatness
     asserts span all four rungs).
+  - skew_aqe (opt-in modifier for skew/skew_xl): runs the SAME plain
+    join a third time per rung with AQE skew-split active (runtime
+    broadcast still off). This measures the production first-defense
+    path AND pins the r12 finding — AQE's skew detection reads map
+    output statistics, and past 2000 reduce partitions
+    (spark.shuffle.minNumPartitionsToHighlyCompress) those are
+    HighlyCompressed: per-block sizes under accurateBlockThreshold
+    (100 MB) are AVERAGED, so when each map contributes ~hot/maps MB
+    (the normal cluster shape: blocks shrink as maps x reducers grow),
+    a multi-GB hot partition is INVISIBLE to AQE and stays unsplit.
+    Below 2000 reducers the sizes are exact and AQE splits once the
+    hot partition passes its 256 MB threshold. Both regimes are
+    asserted; the mitigations (accurateBlockSkewedFactor=5.0 or a
+    lower accurateBlockThreshold — static confs, measured in separate
+    sessions: 722.5 -> 44.6 MB max task at 30M rows x 3200 reducers)
+    are recorded in SCALE.md. Salting is immune — it rewrites the key
+    space BEFORE the shuffle, needing no size statistics at all.
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -131,7 +148,7 @@ def main() -> int:
     pick = set(sys.argv[1:]) or ladders
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
-        "terasort_xl", "clusters_xl", "skew_xl",
+        "terasort_xl", "clusters_xl", "skew_xl", "skew_aqe",
     }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
@@ -521,10 +538,27 @@ def main() -> int:
                     F.md5(F.col("id").cast("string")).alias("payload"),
                 ).localCheckpoint()
                 counts = {}
-                for label, df in (
+                variants = [
                     ("plain", fact.join(dim, "k")),
                     ("salted", skew.salted_join(fact, dim, "k", buckets=buckets)),
-                ):
+                ]
+                if "skew_aqe" in pick:
+                    # the production first-defense path, measured too:
+                    # the SAME plain join with AQE's skew-split active
+                    # (runtime broadcast still off — the dim is
+                    # broadcast-ineligible in the modeled regime).
+                    # Expectation: below the 256 MB
+                    # skewedPartitionThresholdInBytes the hot partition
+                    # is NOT split (the 10M rung's ~238 MB rides just
+                    # under it), above it AQE splits to ~advisory-sized
+                    # chunks — the knob boundary salting does not have.
+                    variants.append(("aqe", fact.join(dim, "k")))
+                for label, df in variants:
+                    if label == "aqe":
+                        spark.conf.set("spark.sql.adaptive.enabled", "true")
+                        spark.conf.set(
+                            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+                        )
                     ids0 = _completed_stage_ids()
                     sw0, _ = bench._stage_bytes(spark)
                     t = time.time()
@@ -558,6 +592,40 @@ def main() -> int:
                     }
                     if label == "salted":
                         salted_flat.append(mx)
+                    if label == "aqe":
+                        spark.conf.set("spark.sql.adaptive.enabled", "false")
+                        plain_mx = out[f"skew_plain_{n // 1000}k"][
+                            "max_task_shuffle_read_mb"
+                        ]
+                        if plain_mx > 300 and n_part <= 2000:
+                            # hot partition exceeds the 256 MB skew
+                            # threshold and map statuses carry exact
+                            # per-block sizes: AQE must have split it
+                            assert mx < plain_mx / 2, (
+                                f"skew_aqe_{n}: AQE did not split "
+                                f"({mx} vs plain {plain_mx})"
+                            )
+                        elif plain_mx > 300:
+                            # the r12 finding, pinned: past 2000 reduce
+                            # partitions (minNumPartitionsToHighlyCompress)
+                            # map statuses are HighlyCompressed — blocks
+                            # under accurateBlockThreshold (100 MB) are
+                            # AVERAGED, so each map's ~hot/maps MB
+                            # contribution is invisible and AQE cannot
+                            # see a multi-GB hot partition. Measured
+                            # fix (separate sessions, static confs):
+                            # accurateBlockSkewedFactor=5.0 OR
+                            # accurateBlockThreshold=8m both restore
+                            # the split (722.5 -> 44.6 MB max task at
+                            # 30M rows x 3200 reducers). If this assert
+                            # ever fails, a Spark upgrade changed the
+                            # map-status regime — update SCALE.md.
+                            assert mx > plain_mx / 2, (
+                                f"skew_aqe_{n}: AQE split under compressed "
+                                f"map statuses ({mx} vs plain {plain_mx}) — "
+                                f"regime changed, update the SCALE.md note"
+                            )
+                        assert counts["aqe"] == counts["plain"], counts
                 assert counts["plain"] == counts["salted"], counts
             # the ladder's claim, asserted from the recorded metric:
             # plain's hot task ~10x/decade, salted's max task ~flat
