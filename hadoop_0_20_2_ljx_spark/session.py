@@ -67,6 +67,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Keep AQE's skew detection SIGHTED at cluster reducer counts:
+        # past 2000 reduce partitions map statuses are HighlyCompressed
+        # and blocks under accurateBlockThreshold (100 MB) are averaged,
+        # so a multi-GB hot partition whose per-map contribution is
+        # small becomes statistically invisible and skewJoin never
+        # fires (measured r12, tools/scale_probe.py skew_aqe: a 2.4 GB
+        # hot task survived AQE at 3200 reducers; this factor restored
+        # the split, 722.5 -> 44.6 MB max task at 30M rows x 3200
+        # reducers). Records blocks >= 5x the median size exactly —
+        # negligible map-status memory, inert below 2000 partitions.
+        .config("spark.shuffle.accurateBlockSkewedFactor", "5.0")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
