@@ -5,7 +5,7 @@ deliberately capped 16 GB driver heap, so the Tungsten operators spill
 because they are OUT OF MEMORY — not because a forced element-count
 threshold told them to.
 
-    python tools/pressure_probe.py              # all three, ~10 min
+    python tools/pressure_probe.py              # all four, ~15 min
     python tools/pressure_probe.py sort agg     # just the named ops
 
 Complements tools/spill_sweep.py from the other side: the sweep proves
@@ -28,6 +28,17 @@ Ops (execution memory on the 16 GB heap is ~9.4 GB unified):
          collapse anything and HashAggregate must fall back to
          sort-based aggregation under pressure. count(groups) == n and
          sum(v) == n are exact (md5 collisions in 2^128 don't happen).
+  window — the real temporal.asof_join (union + ONE keyed window
+         sweep) over 300M rows where a pathological hot user owns 70%
+         of them: a ~210M-row window PARTITION must flow through one
+         task's sorter (~8+ GB against the shared pool). A window
+         cannot be salted — correctness needs the full per-key order —
+         so the honest 100 TB posture for a hot window key is "the
+         sorter spills and the result is exact", which is what this op
+         proves (the skew ladder's per-task metric is the tool that
+         tells you to fix the data model instead). Rows pair 1:1 by
+         construction (left t=2i+1 matches right t=2i in the same
+         user), so count and sum(matched value) are exact integers.
 
 Disk note: tera rows compress ~9:1 in spill files; the join/agg digest
 payloads are high-entropy hex (~2:1), so expect a few GB on disk per op.
@@ -64,7 +75,7 @@ def main() -> int:
 
     import bench
 
-    ops = ["sort", "join", "agg"]
+    ops = ["sort", "join", "agg", "window"]
     pick = sys.argv[1:] or ops
     unknown = set(pick) - set(ops)
     if unknown:
@@ -145,6 +156,49 @@ def main() -> int:
             assert row["total"] == n, f"agg: total {row['total']} != {n}"
 
         run("agg", n, hashagg)
+
+    if "window" in pick:
+        n = 300_000_000
+
+        def hot_window() -> None:
+            from hadoop_0_20_2_ljx_spark.extensions import temporal
+
+            # pair i = rows 2i (right, carries value 2i) and 2i+1 (left);
+            # both share user(i) = 0 for 70% of pairs (the hot window
+            # partition) else i % 100000. The nearest right ts <= 2i+1
+            # within the user is exactly 2i, so every left matches its
+            # pair's value: count == n/2 and sum(pval) == sum of even
+            # ids == (n/2)(n/2 - 1), both exact BIGINTs.
+            pair = F.col("id") / 2
+            user = F.when(
+                F.pmod((pair).cast("long"), F.lit(10)) < 7, F.lit(0)
+            ).otherwise(F.pmod((pair).cast("long"), F.lit(100_000)) + 1)
+            rows = spark.range(n).select(
+                F.col("id").alias("t_us"),
+                user.alias("user_id"),
+                (F.pmod(F.col("id"), F.lit(2)) == 1).alias("is_left"),
+            )
+            left = rows.where("is_left").select(
+                F.col("t_us").alias("event_id"), "user_id", "t_us"
+            )
+            right = rows.where(~F.col("is_left")).select(
+                "user_id", "t_us", F.col("t_us").alias("pval")
+            )
+            res = temporal.asof_join(
+                left, right, on=["user_id"], left_ts="t_us",
+                right_ts="t_us", value_cols=["pval"],
+            )
+            row = res.agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.count("pval").alias("n_matched"),
+                F.sum("pval").alias("vsum"),
+            ).first()
+            half = n // 2
+            assert row["n_out"] == half, f"window: {row['n_out']} != {half}"
+            assert row["n_matched"] == half, f"window: {row['n_matched']} matched"
+            assert row["vsum"] == half * (half - 1), f"window: sum {row['vsum']}"
+
+        run("window", n, hot_window)
 
     print(json.dumps(out))
     return 0
