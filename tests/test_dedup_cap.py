@@ -53,6 +53,23 @@ def test_connected_components_chain_olog_rounds(spark):
     assert stats["rounds"] <= 14, f"expected O(log n) rounds, got {stats['rounds']}"
 
 
+def test_connected_components_rounds_grow_log_not_linear(spark):
+    """The standing form of the r12 clusters decade ladder's claim: a
+    10x longer chain (10x the diameter) must cost only ~log2(10) ≈ +3
+    extra star rounds, never ~10x the rounds. The ladder measured
+    14/17/20/24 rounds at 100k/1M/10M/100M half-chain edges; this pins
+    the same growth law in-suite at unit scale so a regression in the
+    star alternation (e.g. a lost large-star half) fails fast."""
+    rounds = {}
+    for n in (1_000, 10_000):
+        chain = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+        stats: dict = {}
+        dedup.connected_components(chain, max_iter=30, stats=stats).count()
+        rounds[n] = stats["rounds"]
+    grow = rounds[10_000] - rounds[1_000]
+    assert 1 <= grow <= 6, f"rounds must grow ~log2(10)≈3 per decade: {rounds}"
+
+
 def test_connected_components_multi_component_with_singletons(spark):
     """Two separate cliques + isolated nodes: components labeled by min
     member; singletons keep their own id."""
