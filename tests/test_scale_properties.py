@@ -757,3 +757,17 @@ def test_pipeline_training_single_scan_no_feature_joins(spark):
     assert plan.count("Scan parquet") == 1, plan
     # dedup agg + final rollup, each partial+final
     assert plan.count("HashAggregate") <= 4, plan
+
+
+def test_session_keeps_aqe_skew_detection_sighted(spark):
+    """The engine claims AQE skew-join as the first defense
+    (operators/skew.py) — which only works while map statuses carry
+    accurate block sizes. Past 2000 reduce partitions statuses are
+    HighlyCompressed and blocks under accurateBlockThreshold (100 MB)
+    are averaged, so a multi-GB hot partition with small per-map
+    contributions is invisible (measured r12, tools/scale_probe.py
+    skew_aqe: a 2.4 GB hot task survived AQE at 3200 reducers).
+    session.py must keep accurateBlockSkewedFactor set so detection
+    stays sighted at cluster reducer counts."""
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert float(spark.conf.get("spark.shuffle.accurateBlockSkewedFactor")) > 0
