@@ -1113,6 +1113,13 @@ def main() -> int:
         },
         "cpu_steal_pct": steal_pct,
         "cpu_steal_pct_overall": _steal_pct(steal_bench0, _steal_ticks()),
+        # self-describing steal metric (r12 ADVICE): the denominator
+        # definition changed in r12 from all /proc/stat cpu fields to the
+        # first 8 (user..steal; guest fields are already folded into
+        # user/nice). Artifacts without this field (r10/r11) used the
+        # 10-field denominator — cross-round steal comparisons must not
+        # mix versions silently.
+        "steal_denominator": "first8_user_through_steal_v2",
         "pagerank_phases": pagerank_phases,
         "wall_total": round(time.time() - t0, 2),
         "sf": sf,

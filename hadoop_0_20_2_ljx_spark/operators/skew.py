@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _row_salt(df: DataFrame, buckets: int) -> Column:
@@ -46,6 +47,8 @@ def salted_sum(
     exact. Phase-2 input is at most (distinct_keys x buckets) rows, so the
     second shuffle is negligible.
     """
+    if buckets < 1:
+        raise ValueError(f"salted_sum requires buckets >= 1, got {buckets}")
     salt = _row_salt(df, buckets)
     partial = (
         df.withColumn("_salt", salt)
@@ -80,12 +83,90 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
+    if buckets < 1:
+        # A computed buckets (e.g. 8x reducer count) can degenerate to 0:
+        # sequence(0, -1) auto-steps to [0, -1] (doubling every dim row
+        # with salts the fact side can never match, since pmod(x, 0) is
+        # NULL) and the join silently returns empty instead of erroring.
+        raise ValueError(f"salted_join requires buckets >= 1, got {buckets}")
     salted = skewed.withColumn("_salt", _row_salt(skewed, buckets))
     replicated = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     out = salted.join(replicated, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    key: str,
+    order: list,
+    value: str,
+    chunk: Column,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Per-key cumulative sum where a key may be pathologically HOT —
+    the decomposable half of the window hot-key taxonomy (SCALE.md).
+
+    A plain ``sum().over(Window.partitionBy(key).orderBy(order))`` pushes
+    a hot key's entire history through ONE task's sorter (the measured
+    r12 pressure rung: a 70%-hot key = a ~210M-row window partition,
+    4.84 GB spill in one task). That is unavoidable for ORDER-DEPENDENT
+    sweeps (rank/lag/asof: each row needs its true neighbors), but an
+    ALGEBRAIC frame aggregate (sum/count/min/max over
+    unbounded-preceding) decomposes exactly — the same two-pass shape as
+    pipeline_ops.global_running_total, applied per key:
+
+      1. bucket rows into (key, chunk) — ``chunk`` must be a
+         deterministic, monotone-non-decreasing function of the leading
+         ``order`` expression (e.g. a time bucket of the order
+         timestamp), so equal order values share a chunk;
+      2. ONE data exchange on (key, chunk) + pin; the intra-chunk
+         cumulative window AND the per-chunk totals aggregate both reuse
+         that partitioning shuffle-free, and the hot key now spreads
+         over as many tasks as it has chunks;
+      3. an exclusive running offset over the O(keys x chunks)
+         chunk-totals table (tiny exchange) re-enters via a join that is
+         NULL-SAFE on the key — a bare equi-join would silently drop the
+         null-key group that the window/groupBy kept (the r10 class-3
+         null lesson).
+
+    Reference counterpart: the hand-written two-job MapReduce prefix-sum
+    idiom (per-partition partial + offset pass) the reference's users
+    built on top of the secondary-sort machinery
+    (mapred/lib/KeyFieldBasedComparator.java:43); here it is one
+    declarative operator with the skew posture made explicit.
+    """
+    from hadoop_0_20_2_ljx_spark.pinning import pin
+
+    d = df.withColumn("_chunk", chunk).repartition(key, "_chunk").transform(pin)
+    w_intra = (
+        Window.partitionBy(key, "_chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = d.withColumn("_intra", F.sum(value).over(w_intra))
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy(key, "_chunk")
+        .agg(F.sum(value).alias("_ctot"))
+        .withColumn("_off", F.coalesce(F.sum("_ctot").over(w_off), F.lit(0)))
+        .select(F.col(key).alias("_k2"), F.col("_chunk").alias("_c2"), "_off")
+    )
+    out = intra.join(
+        offsets,
+        intra[key].eqNullSafe(offsets["_k2"])
+        & intra["_chunk"].eqNullSafe(offsets["_c2"]),
+        "inner",
+    )
+    return (
+        out.withColumn(out_col, F.col("_intra") + F.col("_off"))
+        .drop("_intra", "_off", "_chunk", "_k2", "_c2")
+    )
 
 
 def top_hot_keys(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:

@@ -20,93 +20,87 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # only signal. Correctness itself is order-independent (each query is
 # self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # Round 12 window = exactly 50 names: 1 changed-this-round query +
-    # all 36 r8-latest + the 13 alphabetically-first r9-latest queries
-    # (recomputed from CORRECTNESS_r01..11 — the ages partition 36 r8 /
-    # 50 r9 / 50 r10 / 50 r11, so this window is the full r8 tail plus
-    # the start of the r9 cohort; executing it raises the registry-wide
-    # external-evidence floor to r9). The aging part is exactly the block
-    # pre-committed at the end of the r11 window minus q_agg_tpch_q2,
-    # displaced by the changed-query head slot.
+    # Round 13 window = exactly 50 names: 1 changed-this-round query +
+    # the entire 37-name r9-latest cohort + the 12 alphabetically-first
+    # r10-latest names (recomputed from CORRECTNESS_r01..12 — ages
+    # partition 37 r9 / 49 r10 / 50 r11 / 50 r12; executing this window
+    # raises the registry-wide external-evidence floor to r10). This is
+    # the block pre-committed at the end of the r12 window, minus
+    # q_agg_stats (the 13th r10 name), displaced by the changed-query
+    # head slot.
     #
-    # Changed-budget accounting: ONE beyond-aging change this round —
-    # q_join_salted (salted_join's dim replica ids now come from
-    # explode(sequence(...)), one expression node, instead of an
-    # explode(array(lit...)) that stamps `buckets` literal nodes and hits
-    # the ~10^3-literal parse cliff when buckets scales; row-identical,
-    # re-proven vs the unchanged oracle) takes the head slot and
-    # q_agg_tpch_q2 moves to the r13 block. Any further r12 change must
-    # also be inserted at the head in the same commit as the change.
+    # Changed-budget accounting: TWO beyond-aging insertions this round —
+    # q_window_hotkey_runsum (NEW query: the decomposable window hot-key
+    # path, chunked_running_sum — unproven claims outrank aging proofs)
+    # and q_join_salted (salted_join/salted_sum now raise ValueError for
+    # buckets < 1 instead of silently returning empty: sequence(0, -1)
+    # auto-steps to [0, -1] on the dim side while pmod(x, 0) NULLs the
+    # fact-side salt — r12 ADVICE item 1; no plan or result change for
+    # any valid buckets). Each displaces one r10 tail name. Any further
+    # r13 change must also be inserted at the head in the same commit.
     #
-    # (head) changed this round:
+    # (head) new / changed this round:
+    "q_window_hotkey_runsum",
     "q_join_salted",
-    # (a) the 36 r8-latest names (the entire r8 cohort):
-    "q_agg_copurchase",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_gapfill",
-    "q_agg_histogram",
-    "q_agg_multi",
-    "q_agg_rollup",
-    "q_agg_tpch_q1",
-    "q_agg_tpch_q18",
-    "q_agg_tpch_q3",
-    "q_agg_tpch_q5",
-    "q_agg_tpch_q6",
-    "q_agg_wau",
-    "q_agg_wordcount",
-    "q_dedup_jaccard",
-    "q_dedup_substring",
-    "q_embed_kmeans",
-    "q_embed_kmeans_ivf_bcast",
-    "q_embed_pq",
-    "q_join_inner",
-    "q_join_override",
-    "q_pipeline_funnel",
-    "q_pipeline_training",
-    "q_sample_token_budget",
-    "q_sink_zorder",
-    "q_sort_total_order",
-    "q_text_bigram_lm",
-    "q_text_boilerplate",
-    "q_text_contamination",
-    "q_text_decontaminate",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_top_tokens",
-    "q_udf_tokenize_udtf",
-    # (b) the 13 alphabetically-first r9-latest names:
-    "q_agg_deciles",
-    "q_agg_interval_merge",
-    "q_agg_minmax",
-    "q_agg_scd2",
-    "q_agg_tpch_q10",
-    "q_agg_tpch_q11",
-    "q_agg_tpch_q12",
-    "q_agg_tpch_q13",
-    "q_agg_tpch_q14",
-    "q_agg_tpch_q15",
-    "q_agg_tpch_q16",
-    "q_agg_tpch_q17",
-    "q_agg_tpch_q19",
+    # (a) the 37 r9-latest names (the entire r9 cohort):
+    "q_agg_tpch_q2",
+    "q_agg_tpch_q20",
+    "q_agg_tpch_q21",
+    "q_agg_tpch_q22",
+    "q_agg_tpch_q4",
+    "q_agg_tpch_q7",
+    "q_agg_tpch_q8",
+    "q_agg_tpch_q9",
+    "q_agg_window_funcs",
+    "q_agg_window_rank",
+    "q_agg_winsorize",
+    "q_corpus_source_sim",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_jaccard_est",
+    "q_dedup_minhash",
+    "q_filter_grep",
+    "q_fn_json",
+    "q_gen_random_writer",
+    "q_gen_terasort",
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_multimodal_decode",
+    "q_multimodal_features",
+    "q_proj_chain",
+    "q_proj_fieldsel",
+    "q_proj_unpivot",
+    "q_scan_bz2_text",
+    "q_scan_kv_split",
+    "q_scan_multi_input",
+    "q_scan_sample_filter",
+    "q_scan_text_count",
+    "q_sort_keyfield_offsets",
+    "q_stream_session",
+    "q_stream_tumbling",
+    "q_udf_histogram",
+    # (b) the 11 alphabetically-first r10-latest names:
+    "q_agg_approx_quantile",
+    "q_agg_daily",
+    "q_agg_drift_js",
+    "q_agg_drift_ks",
+    "q_agg_grouping_sets",
+    "q_agg_hot_keys",
+    "q_agg_item_sim",
+    "q_agg_median_mode",
+    "q_agg_numeric_hist",
+    "q_agg_outliers",
+    "q_agg_pivot",
     # ---- 50-row cut line ----
-    # committed r13 block: after this window lands, the oldest cohort is
-    # the 37 remaining r9-latest names (q_agg_tpch_q2 — displaced from
-    # the r12 window by the q_join_salted change — plus q_agg_tpch_q20,
-    # q_agg_tpch_q21, q_agg_tpch_q22, q_agg_tpch_q4, q_agg_tpch_q7,
-    # q_agg_tpch_q8, q_agg_tpch_q9, q_agg_window_funcs, q_agg_window_rank,
-    # q_agg_winsorize, q_corpus_source_sim, q_dedup_clusters,
-    # q_dedup_exact, q_dedup_incremental, q_dedup_jaccard_est,
-    # q_dedup_minhash, q_filter_grep, q_fn_json, q_gen_random_writer,
-    # q_gen_terasort, q_join_asof, q_join_asof_fwd, q_multimodal_decode,
-    # q_multimodal_features, q_proj_chain, q_proj_fieldsel,
-    # q_proj_unpivot, q_scan_bz2_text, q_scan_kv_split,
-    # q_scan_multi_input, q_scan_sample_filter, q_scan_text_count,
-    # q_sort_keyfield_offsets, q_stream_session, q_stream_tumbling,
-    # q_udf_histogram) + 13 of the 50 r10-latest names to fill 50, plus
-    # whatever r13 adds or changes (changed queries take the head).
+    # committed r14 block: after this window lands, the oldest cohort is
+    # the 39 remaining r10-latest names (q_agg_profile and q_agg_stats —
+    # displaced from the r13 window by the two head slots — plus
+    # q_agg_retention, q_agg_rolling, q_agg_string_agg,
+    # q_audit_constraints_violations, q_dedup_canonical and the rest of
+    # the r10 cohort, recompute from CORRECTNESS_r01..13 at r14 start) +
+    # 11 of the r11-latest names to fill 50, plus whatever r14 adds or
+    # changes (changed queries take the head).
 ]
 
 

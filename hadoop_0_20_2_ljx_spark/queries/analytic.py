@@ -396,3 +396,66 @@ QUERIES["q_agg_interval_merge"] = QueryDef(
     "per-key union of overlapping intervals into maximal spans + "
     "coverage stats (one keyed window pass, prefix-max segmentation)",
 )
+
+
+# --- decomposable window hot-key path: chunked running sum --------------------
+def _window_hotkey_runsum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key cumulative revenue where a key may be pathologically hot,
+    computed via the DECOMPOSED shape (operators/skew.py
+    chunked_running_sum: (key, time-chunk) windows + an O(chunks) offset
+    table — one data exchange, the hot key spread over its chunks)
+    instead of the direct one-task-per-key window. SCALE.md's window
+    hot-key taxonomy row: algebraic frame aggregates decompose this way;
+    rank/lag/asof sweeps cannot and take the spill-and-exact posture
+    (the r12 pressure rung). The oracle computes the DIRECT window — the
+    comparison proves the decomposition exact. Verified per row
+    transitively: the per-group sum/max over all running sums pins every
+    row's value. Integer cents (floor(value*100)) per the cross-engine
+    float contract; event-time rows with null ts/value are excluded
+    (event-time ops contract, r9)."""
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    ev = T(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    chunk = F.expr(f"t_us div {6 * _HOUR_US}")  # 6-hour buckets, monotone in t_us
+    rs = skew.chunked_running_sum(
+        d, "event_type", [F.col("t_us"), F.col("event_id")], "cents", chunk, "rs"
+    )
+    return rs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("rs").cast("long").alias("rs_total"),
+        F.max("rs").cast("long").alias("rs_max"),
+    )
+
+
+_HOTKEY_RUNSUM_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT event_type,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rs) AS BIGINT) AS rs_total,
+       CAST(max(rs) AS BIGINT) AS rs_max
+FROM r GROUP BY 1
+"""
+
+QUERIES["q_window_hotkey_runsum"] = QueryDef(
+    _window_hotkey_runsum,
+    _HOTKEY_RUNSUM_SQL,
+    "per-key running revenue via the chunked (hot-key-decomposed) window "
+    "path; oracle runs the direct window — proves the decomposition exact",
+)

@@ -83,7 +83,8 @@ Cross-engine ground rules used throughout:
     raised before).
   - NON-FINITE floats (measured r9 by replaying the registry against a
     fixture with ~10% NaN/+-Inf salted into every double column):
-    111/186 hash-match unchanged. 73 of the 75 divergent fail LOUDLY
+    111/187 hash-match unchanged (+1 denominator r13:
+    q_window_hotkey_runsum). 74 of the 76 divergent fail LOUDLY
     and identically on both engines — the integer-cents determinism
     contract (round(x*100) -> BIGINT) raises CAST_OVERFLOW /
     CAST_INVALID_INPUT under ANSI on Inf/NaN rather than silently

@@ -49,6 +49,21 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert plain == salted
 
 
+def test_salted_ops_reject_degenerate_buckets(spark):
+    """buckets=0 must raise, not silently return empty: sequence(0, -1)
+    auto-steps to [0, -1] on the dim side while pmod(x, 0) is NULL on the
+    fact side, so the join matches nothing (r12 ADVICE)."""
+    import pytest
+
+    li = catalog.load(spark, SF_SMOKE, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    orders = catalog.load(spark, SF_SMOKE, "orders").withColumnRenamed("o_orderkey", "okey")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="buckets >= 1"):
+            skew.salted_join(li, orders, "okey", buckets=bad)
+        with pytest.raises(ValueError, match="buckets >= 1"):
+            skew.salted_sum(li, "l_returnflag", "l_quantity", buckets=bad)
+
+
 def test_bucketed_join_no_shuffle(spark):
     li = catalog.load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     orders = catalog.load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
@@ -97,3 +112,43 @@ def test_global_row_number_matches_window(spark):
         "o_orderkey", "rn"
     )
     assert sorted(map(tuple, dist.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_chunked_running_sum_matches_direct_window(spark):
+    """The decomposable window hot-key path (SCALE.md taxonomy row): a
+    per-key cumulative sum computed via (key, chunk) windows + an offset
+    table must equal the direct hot-partition window bit-for-bit —
+    including the NULL-key group, which the recombining join must keep
+    (eqNullSafe; a bare equi-join drops it)."""
+    from pyspark.sql.window import Window
+
+    n = 20_000
+    df = spark.range(n).select(
+        # 70%-hot key 0, plus a NULL-key group
+        F.when(F.pmod("id", F.lit(100)) == 99, F.lit(None).cast("long"))
+        .when(F.pmod("id", F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(50)) + 1)
+        .alias("u"),
+        F.col("id").alias("t"),
+        F.pmod("id", F.lit(97)).alias("v"),
+    )
+    direct = df.withColumn(
+        "rs",
+        F.sum("v").over(
+            Window.partitionBy("u")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    chunked = skew.chunked_running_sum(
+        df, "u", [F.col("t")], "v", (F.col("t") / 512).cast("long").alias("c"), "rs"
+    )
+    # repr-sort: tuples containing the NULL-key rows are not orderable
+    assert sorted(repr(tuple(r)) for r in direct.collect()) == sorted(
+        repr(tuple(r)) for r in chunked.collect()
+    )
+    # the scale shape: the big window partitions by (key, chunk) — the hot
+    # key spreads over chunks instead of one task's sorter
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(u#" in plan.replace("L", "") or "_chunk" in plan, plan
+    assert "_chunk" in plan, plan

@@ -698,3 +698,164 @@ def test_streaming_ks_monitor_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and batch
+
+
+def _staged_quarters(spark, df, key, src_dir):
+    """Stage a table as four single-file parquet drops (four micro-batches
+    under maxFilesPerTrigger=1)."""
+    for i in range(4):
+        df.where(F.col(key) % 4 == i).coalesce(1).write.parquet(f"{src_dir}/b{i}")
+
+
+def _run_monitor_stream(spark, schema, src_dir, on_batch, ckpt):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _kill_and_resume(spark, schema, src_dir, stats_fn, out_dir, ckpt):
+    """Run a checkpointed idempotent monitor stream that CRASHES mid-batch
+    1 (after leaving a deliberate partial write), then restart it from the
+    same checkpoint. Returns nothing; raises on any broken invariant."""
+    import pytest
+
+    from hadoop_0_20_2_ljx_spark.streaming.monitors import idempotent_monitor_sink
+
+    sink = idempotent_monitor_sink(stats_fn, out_dir)
+    crashed = {"done": False}
+
+    def crashing(batch_df, batch_id):
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # simulate dying mid-write: a PARTIAL stats file is already on
+            # disk when the query dies — replay must overwrite it
+            stats_fn(batch_df).limit(1).write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            raise RuntimeError("injected mid-batch crash")
+        sink(batch_df, batch_id)
+
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        _run_monitor_stream(spark, schema, src_dir, crashing, ckpt)
+    # vacuity guards: the crash really happened mid-stream, and the
+    # partial write is really on disk (1 stats row where a full batch
+    # writes many)
+    assert crashed["done"]
+    partial = spark.read.parquet(f"{out_dir}/batch_id=1").count()
+    assert partial == 1, f"expected the partial write, saw {partial} rows"
+    # restart from the SAME checkpoint: batch 1 replays under the SAME
+    # batch_id (offset log precedes execution), overwrites its partial
+    # output, and the stream runs to completion
+    _run_monitor_stream(spark, schema, src_dir, crashing, ckpt)
+    assert spark.read.parquet(f"{out_dir}/batch_id=1").count() > 1
+
+
+def test_kill_and_resume_drift_monitor(spark, tmp_path):
+    """JobTracker-restart analog (mapred/JobHistory.java:76) for the
+    streamed JS drift monitor: kill the query mid-batch (partial stats
+    write on disk), restart from the checkpoint, and the final merged
+    state must be bit-equal to BOTH an uninterrupted streaming run and
+    the one-shot batch monitor."""
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+    from hadoop_0_20_2_ljx_spark.streaming.monitors import idempotent_monitor_sink
+
+    ev = catalog.load(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    bin_col = F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9))
+    split = F.col("ts") < F.lit("2024-01-16")
+
+    def stats_fn(batch_df):
+        return audit.drift_counts(batch_df, "event_type", bin_col, split)
+
+    def finalize(out_dir):
+        merged = audit.merge_drift_counts(spark.read.parquet(out_dir))
+        return {
+            r["event_type"]: r["js_nano"]
+            for r in audit.js_from_counts(merged, "event_type").collect()
+        }
+
+    src_dir = str(tmp_path / "src")
+    _staged_quarters(spark, ev, "event_id", src_dir)
+
+    _kill_and_resume(
+        spark, ev.schema, src_dir, stats_fn,
+        str(tmp_path / "killed"), str(tmp_path / "ckpt_killed"),
+    )
+    _run_monitor_stream(
+        spark, ev.schema, src_dir,
+        idempotent_monitor_sink(stats_fn, str(tmp_path / "clean")),
+        str(tmp_path / "ckpt_clean"),
+    )
+    resumed = finalize(str(tmp_path / "killed"))
+    uninterrupted = finalize(str(tmp_path / "clean"))
+    batch = {
+        r["event_type"]: r["js_nano"]
+        for r in audit.distribution_drift_js(
+            ev, "event_type", bin_col, split, n_bins=10
+        ).collect()
+    }
+    assert resumed == uninterrupted == batch and batch
+
+
+def test_kill_and_resume_fingerprint_monitor(spark, tmp_path):
+    """Same kill-and-resume proof for the anti-entropy fingerprint: the
+    mod-2^63 hash-sum is additive, so a replayed (previously partial)
+    batch must leave the merged fingerprint bit-equal to the
+    uninterrupted stream and the one-shot batch fingerprint."""
+    from hadoop_0_20_2_ljx_spark.extensions import audit
+    from hadoop_0_20_2_ljx_spark.streaming.monitors import idempotent_monitor_sink
+
+    orders = catalog.load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+
+    def stats_fn(batch_df):
+        r = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        return audit.bucket_fingerprint(batch_df, F.col("o_orderkey"), r, 16)
+
+    def finalize(out_dir):
+        return {
+            r["bucket"]: (r["n_rows"], r["fingerprint"])
+            for r in audit.merge_fingerprints(spark.read.parquet(out_dir)).collect()
+        }
+
+    src_dir = str(tmp_path / "src")
+    _staged_quarters(spark, orders, "o_orderkey", src_dir)
+
+    _kill_and_resume(
+        spark, orders.schema, src_dir, stats_fn,
+        str(tmp_path / "killed"), str(tmp_path / "ckpt_killed"),
+    )
+    _run_monitor_stream(
+        spark, orders.schema, src_dir,
+        idempotent_monitor_sink(stats_fn, str(tmp_path / "clean")),
+        str(tmp_path / "ckpt_clean"),
+    )
+    resumed = finalize(str(tmp_path / "killed"))
+    uninterrupted = finalize(str(tmp_path / "clean"))
+    batch = {
+        r["bucket"]: (r["n_rows"], r["fingerprint"])
+        for r in audit.bucket_fingerprint(orders, F.col("o_orderkey"), row, 16).collect()
+    }
+    assert resumed == uninterrupted == batch and len(batch) == 16

@@ -90,6 +90,7 @@ def main() -> int:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4953")
         .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,6 +102,15 @@ def main() -> int:
         fn()
         wall = time.time() - t
         d1, m1, s1 = _stage_spill(spark)
+        # the per-op accounting is a delta of sums over ALL retained
+        # stages; if the UI store evicted baseline stages mid-battery the
+        # delta goes wrong (possibly negative) and a no-spill guard would
+        # fire spuriously — refuse the measurement instead
+        assert d1 >= d0 and m1 >= m0 and s1 >= s0, (
+            f"{name}: spill-sum delta went NEGATIVE ({d0}->{d1} MB disk, "
+            f"{m0}->{m1} MB mem, {s0}->{s1} stages) — UI store evicted "
+            f"baseline stages; raise spark.ui.retainedStages"
+        )
         out[name] = {
             "rows": n_rows,
             "wall_s": round(wall, 1),

@@ -107,6 +107,16 @@ Ladders:
     sessions: 722.5 -> 44.6 MB max task at 30M rows x 3200 reducers)
     are recorded in SCALE.md. Salting is immune — it rewrites the key
     space BEFORE the shuffle, needing no size statistics at all.
+  - skew_aqe_engine (standalone; run it ALONE — it builds the ENGINE
+    session via hadoop_0_20_2_ljx_spark.session.get_spark instead of
+    this probe's bare builder, and accurateBlockSkewedFactor is a
+    static core conf that must land at context creation):
+    re-runs the r12 blindness scenario (30M rows, 3200 reducers —
+    HighlyCompressed map statuses) and asserts the engine session's
+    accurateBlockSkewedFactor=5.0 default actually restores the AQE
+    skew split. This closes the conf-boundary loop: a future
+    session.py refactor that drops the mitigation fails THIS assert,
+    not just a grep. `python tools/scale_probe.py skew_aqe_engine`
 
 The claim under test: one decade of growth costs ~one decade of wall
 and ~one decade of shuffle (no superlinear knee hiding just past the
@@ -129,14 +139,30 @@ def main() -> int:
     import bench
     from hadoop_0_20_2_ljx_spark.extensions import dedup
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("scale-probe")
-        .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.retainedStages", "100000")
-        .getOrCreate()
-    )
+    if "skew_aqe_engine" in sys.argv[1:]:
+        # the conf-boundary variant runs in the ENGINE session — the whole
+        # point is asserting get_spark's own static-conf defaults
+        # (accurateBlockSkewedFactor lands at context creation, so this
+        # must be the process's first/only session)
+        from hadoop_0_20_2_ljx_spark.session import get_spark
+
+        spark = get_spark(
+            "scale-probe-engine",
+            extra_conf={
+                "spark.ui.enabled": "true",  # the probe reads REST metrics
+                "spark.ui.retainedStages": "100000",
+                "spark.driver.memory": "48g",
+            },
+        )
+    else:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("scale-probe")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.retainedStages", "100000")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, float]] = {}
     # optional argv selector: name the ladders to run (default: all six;
@@ -148,7 +174,7 @@ def main() -> int:
     pick = set(sys.argv[1:]) or ladders
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
-        "terasort_xl", "clusters_xl", "skew_xl", "skew_aqe",
+        "terasort_xl", "clusters_xl", "skew_xl", "skew_aqe", "skew_aqe_engine",
     }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
@@ -484,6 +510,7 @@ def main() -> int:
         with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=10) as r:
             stages = json.load(r)
         mx = 0.0
+        skipped: list[int] = []
         for s in stages:
             sid = s["stageId"]
             if sid in prev_stage_ids or s.get("shuffleReadBytes", 0) == 0:
@@ -493,8 +520,19 @@ def main() -> int:
                 with urllib.request.urlopen(url, timeout=10) as r:
                     summ = json.load(r)
             except Exception:
-                continue  # stage evicted from the UI store between calls
+                # stage evicted from the UI store between calls — if the
+                # HOT stage is the one skipped, the returned max silently
+                # reads low and the downstream growth/AQE asserts fire
+                # with misleading messages; refuse to measure instead
+                skipped.append(sid)
+                continue
             mx = max(mx, summ["shuffleReadMetrics"]["readBytes"][0])
+        if skipped:
+            raise RuntimeError(
+                f"max-task measurement gap: {len(skipped)} shuffle-read "
+                f"stage(s) {skipped} could not be summarized (evicted from "
+                f"the UI store) — raise spark.ui.retainedStages"
+            )
         return round(mx / 1e6, 2)
 
     def _completed_stage_ids() -> set[int]:
@@ -641,6 +679,76 @@ def main() -> int:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
             spark.conf.set("spark.sql.shuffle.partitions", old_part)
+
+    if "skew_aqe_engine" in pick:
+        # The r12 AQE-blindness mitigation, asserted at the CONF BOUNDARY:
+        # this run's session came from session.get_spark (see the builder
+        # branch above), so the assert fails if a session.py refactor ever
+        # drops the accurateBlockSkewedFactor default — the exact regime
+        # where skew_aqe pins the bare session as BLIND (3200 reducers >
+        # minNumPartitionsToHighlyCompress=2000, per-map hot contribution
+        # under accurateBlockThreshold) must now SPLIT.
+        factor = spark.sparkContext.getConf().get(
+            "spark.shuffle.accurateBlockSkewedFactor", ""
+        )
+        assert factor == "5.0", (
+            f"engine session does not carry accurateBlockSkewedFactor=5.0 "
+            f"(got {factor!r}) — session.py lost the r12 mitigation"
+        )
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        old_part = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "3200")
+        try:
+            n = 30_000_000
+            dim = spark.range(1001).select(
+                F.col("id").alias("k"),
+                F.md5(F.col("id").cast("string")).alias("attr"),
+            ).localCheckpoint()
+            fact = spark.range(n).select(
+                F.when(F.pmod(F.col("id"), F.lit(10)) < 7, F.lit(0))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+                .alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            ).localCheckpoint()
+            counts = {}
+            for label, aqe in (("plain", "false"), ("engine_aqe", "true")):
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                ids0 = _completed_stage_ids()
+                t = time.time()
+                # consume every column (a bare count() lets Catalyst prune
+                # the payload out of the exchanges — the r12 probe lesson)
+                counts[label] = tuple(
+                    fact.join(dim, "k").agg(
+                        F.count(F.lit(1)),
+                        F.sum(F.length("payload")),
+                        F.sum(F.xxhash64("k", "payload", "attr").cast("decimal(38,0)")),
+                    ).first()
+                )
+                mx = _max_task_shuffle_read_mb(ids0)
+                out[f"skew_aqe_engine_{label}"] = {
+                    "wall_s": round(time.time() - t, 2),
+                    "max_task_shuffle_read_mb": mx,
+                    "n_reducers": 3200,
+                }
+            assert counts["plain"] == counts["engine_aqe"], counts
+            plain_mx = out["skew_aqe_engine_plain"]["max_task_shuffle_read_mb"]
+            aqe_mx = out["skew_aqe_engine_engine_aqe"]["max_task_shuffle_read_mb"]
+            assert plain_mx > 300, (
+                f"vacuous: hot partition only {plain_mx} MB — below AQE's "
+                f"256 MB skew threshold, the split assert proves nothing"
+            )
+            assert aqe_mx < plain_mx / 2, (
+                f"engine session did NOT split the hot partition at 3200 "
+                f"reducers ({aqe_mx} vs plain {plain_mx} MB) — the "
+                f"accurateBlockSkewedFactor mitigation is not effective"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", old_part)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
     print(json.dumps(out))
     return 0
