@@ -117,10 +117,12 @@ def get_spark(
         # TaskInProgress.hasSpeculativeTask model (progress gap 0.2,
         # 60 s lag, mapred/TaskInProgress.java:866-874). Safe here
         # BECAUSE every operator is retry-deterministic (hash salts not
-        # rand(), integer sums, tie-broken windows — see SCALE.md and
-        # tools/partition_sweep.py): a speculative duplicate always
-        # produces the same partition bytes. Pointless (and a timing
-        # perturbation) inside a single local JVM, so gated on master.
+        # rand(), integer sums, tie-broken windows — see SCALE.md), a
+        # claim gated mechanically by tools/retry_sweep.py: the whole
+        # registry replayed with every scan/result task's first attempt
+        # force-failed is bit-identical to the clean run (r13: 187/187,
+        # 758 real retries). Pointless (and a timing perturbation)
+        # inside a single local JVM, so gated on master.
         builder = builder.config("spark.speculation", "true")
     if extra_conf:
         for k, v in extra_conf.items():
