@@ -838,6 +838,59 @@ def bench_source_sim_cap(spark, timings, shuffle_b, input_b) -> None:
     assert bad == 0 and n_pairs == 499_500, f"cap contract violated: {bad}/{n_pairs}"
 
 
+def bench_window_hotkey(spark, timings, shuffle_b, input_b) -> None:
+    """Window hot-key taxonomy pair (r13, SCALE.md row): per-key running
+    sum where one key owns 70% of 2M rows. The DIRECT keyed window pushes
+    the hot key's 1.4M rows through ONE task's window sorter; the
+    decomposed form (skew.chunked_running_sum) spreads them over 256
+    (key, chunk) windows + an O(keys x chunks) offset table. The claim is
+    value equality + the per-plan byte shape, tracked every round; walls
+    are single-shot like the other stress pairs (ratio claims). The
+    consuming aggregate touches u/t/rs so Catalyst cannot prune the
+    payload out of the exchanges (the r12 probe lesson)."""
+    from pyspark.sql.window import Window
+
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    n = 2_000_000
+    fact = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+        .alias("u"),
+        F.col("id").alias("t"),
+        F.pmod("id", F.lit(97)).alias("v"),
+    ).localCheckpoint()
+    direct = fact.withColumn(
+        "rs",
+        F.sum("v").over(
+            Window.partitionBy("u")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    chunked = skew.chunked_running_sum(
+        fact, "u", [F.col("t")], "v", F.expr(f"t div {n // 256}"), "rs"
+    )
+    results = {}
+    for label, df in (
+        ("window_hotkey_direct", direct),
+        ("window_hotkey_chunked", chunked),
+    ):
+        sw0, ib0 = _stage_bytes(spark)
+        t0 = time.time()
+        results[label] = tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum("rs"),
+                F.sum(F.xxhash64("u", "t", "rs").cast("decimal(38,0)")),
+            ).first()
+        )
+        timings[label] = time.time() - t0
+        sw1, ib1 = _stage_bytes(spark)
+        shuffle_b[label], input_b[label] = sw1 - sw0, ib1 - ib0
+    assert results["window_hotkey_direct"] == results["window_hotkey_chunked"], results
+
+
 def bench_pagerank_phases(spark) -> dict:
     """r5 watch-item #1: pagerank wall drifted up to 40% between runs
     with bit-identical shuffle bytes. Run the registry workload once
@@ -1066,6 +1119,7 @@ def main() -> int:
         bench_graph_10x,
         bench_temporal_10x,
         bench_source_sim_cap,
+        bench_window_hotkey,
     ):
         st0 = _steal_ticks()
         stress_fn(spark, timings, shuffle_b, input_b)
