@@ -107,6 +107,17 @@ Ladders:
     sessions: 722.5 -> 44.6 MB max task at 30M rows x 3200 reducers)
     are recorded in SCALE.md. Salting is immune — it rewrites the key
     space BEFORE the shuffle, needing no size statistics at all.
+  - winsum / winsum_xl (opt-in; r13): the WINDOW analog of the skew
+    ladder — 70%-hot-key running sum, direct keyed window vs the
+    decomposed skew.chunked_running_sum, same per-MAX-TASK shuffle-read
+    metric. Direct's hot key is ONE window partition (grows
+    10x/decade; AQE skew split is join-only and cannot reach it);
+    chunked's max task tracks rows/partitions (~flat). AQE off for the
+    ladder (its coalescing packs the chunked plan's small partitions
+    toward the 64 MB advisory target, masking the layout curve — same
+    rationale as the skew ladder). Value parity per rung. winsum_xl
+    adds the 100M rung (direct = a 70M-row one-task window sort —
+    minutes + natural spill).
   - skew_aqe_engine (standalone; run it ALONE — it builds the ENGINE
     session via hadoop_0_20_2_ljx_spark.session.get_spark instead of
     this probe's bare builder, and accurateBlockSkewedFactor is a
@@ -175,6 +186,7 @@ def main() -> int:
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
         "terasort_xl", "clusters_xl", "skew_xl", "skew_aqe", "skew_aqe_engine",
+        "winsum", "winsum_xl",
     }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
@@ -677,6 +689,95 @@ def main() -> int:
             )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", old_part)
+
+    if pick & {"winsum", "winsum_xl"}:
+        # The WINDOW analog of the skew ladder (opt-in; r13): per-key
+        # running sum with a 70%-hot key, DIRECT keyed window vs the
+        # decomposed skew.chunked_running_sum. Same per-MAX-TASK metric:
+        # the direct plan's hot key is ONE window partition no matter how
+        # many reducers exist (its task's shuffle-read grows 10x/decade,
+        # and past executor memory it becomes the pressure-probe window
+        # rung's spill-and-exact posture), while the chunked plan's max
+        # task tracks rows/partitions (~flat). Value parity asserted per
+        # rung via count + sum + decimal hash-sum. AQE is OFF for the
+        # ladder, same reason as the skew ladder: its partition
+        # COALESCING deliberately packs the chunked plan's many small
+        # partitions toward the 64 MB advisory size (measured: a 49 MB
+        # packed task at the 100M rung — healthy behavior that is not a
+        # hot partition), which masks the per-task layout curve under
+        # test; AQE's skew split could not help the DIRECT variant
+        # anyway (it is join-only — a window partition is unsplittable).
+        # winsum_xl adds the 100M rung (the direct variant sorts a
+        # 70M-row partition in one task — minutes + GB of natural
+        # spill).
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        old_part = spark.conf.get("spark.sql.shuffle.partitions")
+        ws_rungs = [1_000_000, 10_000_000] if "winsum" in pick else []
+        if "winsum_xl" in pick:
+            ws_rungs = ws_rungs + [100_000_000]
+        from pyspark.sql.window import Window
+
+        direct_tasks: list[float] = []
+        chunked_tasks: list[float] = []
+        try:
+            for n in ws_rungs:
+                n_part = max(4, n // 31_250)
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+                fact = spark.range(n).select(
+                    F.when(F.pmod(F.col("id"), F.lit(10)) < 7, F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+                    .alias("u"),
+                    F.col("id").alias("t"),
+                    F.pmod(F.col("id"), F.lit(97)).alias("v"),
+                ).localCheckpoint()
+                width = max(1, n // (8 * n_part))  # ~8 chunks per reducer
+                direct = fact.withColumn(
+                    "rs",
+                    F.sum("v").over(
+                        Window.partitionBy("u")
+                        .orderBy("t")
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                )
+                chunked = skew.chunked_running_sum(
+                    fact, "u", [F.col("t")], "v", F.expr(f"t div {width}"), "rs"
+                )
+                vals = {}
+                for label, df in (("direct", direct), ("chunked", chunked)):
+                    ids0 = _completed_stage_ids()
+                    sw0, _ = bench._stage_bytes(spark)
+                    t0 = time.time()
+                    vals[label] = tuple(
+                        df.agg(
+                            F.count(F.lit(1)),
+                            F.sum("rs"),
+                            F.sum(
+                                F.xxhash64("u", "t", "rs").cast("decimal(38,0)")
+                            ),
+                        ).first()
+                    )
+                    wall = time.time() - t0
+                    sw1, _ = bench._stage_bytes(spark)
+                    mx = _max_task_shuffle_read_mb(ids0)
+                    out[f"winsum_{label}_{n // 1000}k"] = {
+                        "wall_s": round(wall, 2),
+                        "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+                        "max_task_shuffle_read_mb": mx,
+                        "n_reducers": n_part,
+                    }
+                    (direct_tasks if label == "direct" else chunked_tasks).append(mx)
+                assert vals["direct"] == vals["chunked"], vals
+            for lo, hi in zip(direct_tasks, direct_tasks[1:]):
+                assert hi > 5 * lo, (
+                    f"direct hot window task not growing: {direct_tasks}"
+                )
+            assert max(chunked_tasks) <= 3 * max(chunked_tasks[0], 0.01), (
+                f"chunked max task not flat: {chunked_tasks}"
+            )
+        finally:
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
             spark.conf.set("spark.sql.shuffle.partitions", old_part)
 
