@@ -97,24 +97,27 @@ def salted_join(
     return out.drop("_salt")
 
 
-def chunked_running_sum(
+def chunked_running_agg(
     df: DataFrame,
     key: str,
     order: list,
     value: str,
     chunk: Column,
-    out_col: str = "running_sum",
+    agg: str = "sum",
+    out_col: str = "running_agg",
 ) -> DataFrame:
-    """Per-key cumulative sum where a key may be pathologically HOT —
-    the decomposable half of the window hot-key taxonomy (SCALE.md).
+    """Per-key cumulative ALGEBRAIC aggregate (sum/count/min/max over
+    unbounded-preceding) where a key may be pathologically HOT — the
+    decomposable half of the window hot-key taxonomy (SCALE.md).
 
-    A plain ``sum().over(Window.partitionBy(key).orderBy(order))`` pushes
+    A plain ``agg().over(Window.partitionBy(key).orderBy(order))`` pushes
     a hot key's entire history through ONE task's sorter (the measured
     r12 pressure rung: a 70%-hot key = a ~210M-row window partition,
-    4.84 GB spill in one task). That is unavoidable for ORDER-DEPENDENT
-    sweeps (rank/lag/asof: each row needs its true neighbors), but an
-    ALGEBRAIC frame aggregate (sum/count/min/max over
-    unbounded-preceding) decomposes exactly — the same two-pass shape as
+    4.84 GB spill in one task; the r13 winsum ladder: that task's
+    shuffle-read grows 10x/decade and nothing can split a window
+    partition). That is unavoidable for ORDER-DEPENDENT sweeps
+    (rank/lag/asof: each row needs its true neighbors), but an algebraic
+    frame aggregate decomposes exactly — the same two-pass shape as
     pipeline_ops.global_running_total, applied per key:
 
       1. bucket rows into (key, chunk) — ``chunk`` must be a
@@ -131,6 +134,14 @@ def chunked_running_sum(
          null-key group that the window/groupBy kept (the r10 class-3
          null lesson).
 
+    Null-value contract (matches the direct window exactly): the result
+    is NULL iff the whole per-key prefix holds no non-null value. For
+    min/max the combine is least/greatest, whose null-IGNORING semantics
+    (the r10 lesson — usually a trap) are exactly the identity-element
+    behavior wanted here; for sum the NULL-vs-0 distinction is carried
+    explicitly (an all-null prefix must stay NULL, not become 0); count
+    never yields NULL.
+
     Reference counterpart: the hand-written two-job MapReduce prefix-sum
     idiom (per-partition partial + offset pass) the reference's users
     built on top of the secondary-sort machinery
@@ -139,13 +150,35 @@ def chunked_running_sum(
     """
     from hadoop_0_20_2_ljx_spark.pinning import pin
 
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(
+            f"chunked_running_agg supports algebraic aggs sum/count/min/max, "
+            f"got {agg!r} (order-dependent sweeps don't decompose — see the "
+            f"SCALE.md window hot-key taxonomy)"
+        )
+    intra_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[agg]
+    # how per-chunk totals fold into a running offset, and how that
+    # offset combines with the intra-chunk running value
+    off_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[agg]
+
+    def combine(i: Column, o: Column) -> Column:
+        if agg == "min":
+            return F.least(i, o)  # null-ignoring = identity element
+        if agg == "max":
+            return F.greatest(i, o)
+        if agg == "count":
+            return i + F.coalesce(o, F.lit(0))  # count is never NULL
+        return F.when(i.isNull() & o.isNull(), F.lit(None)).otherwise(
+            F.coalesce(i, F.lit(0)) + F.coalesce(o, F.lit(0))
+        )
+
     d = df.withColumn("_chunk", chunk).repartition(key, "_chunk").transform(pin)
     w_intra = (
         Window.partitionBy(key, "_chunk")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    intra = d.withColumn("_intra", F.sum(value).over(w_intra))
+    intra = d.withColumn("_intra", intra_fn(value).over(w_intra))
     w_off = (
         Window.partitionBy(key)
         .orderBy("_chunk")
@@ -153,8 +186,8 @@ def chunked_running_sum(
     )
     offsets = (
         d.groupBy(key, "_chunk")
-        .agg(F.sum(value).alias("_ctot"))
-        .withColumn("_off", F.coalesce(F.sum("_ctot").over(w_off), F.lit(0)))
+        .agg(intra_fn(value).alias("_ctot"))
+        .withColumn("_off", off_fn("_ctot").over(w_off))
         .select(F.col(key).alias("_k2"), F.col("_chunk").alias("_c2"), "_off")
     )
     out = intra.join(
@@ -164,9 +197,23 @@ def chunked_running_sum(
         "inner",
     )
     return (
-        out.withColumn(out_col, F.col("_intra") + F.col("_off"))
+        out.withColumn(out_col, combine(F.col("_intra"), F.col("_off")))
         .drop("_intra", "_off", "_chunk", "_k2", "_c2")
     )
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    key: str,
+    order: list,
+    value: str,
+    chunk: Column,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Cumulative sum via the decomposed hot-key window — see
+    chunked_running_agg (this is its agg="sum" form, the oracle-proven
+    q_window_hotkey_runsum template and the winsum-ladder subject)."""
+    return chunked_running_agg(df, key, order, value, chunk, "sum", out_col)
 
 
 def top_hot_keys(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:

@@ -31,7 +31,12 @@ _NEEDS_FRESH_EVIDENCE = [
     #
     # Changed-budget accounting: TWO beyond-aging insertions this round —
     # q_window_hotkey_runsum (NEW query: the decomposable window hot-key
-    # path, chunked_running_sum — unproven claims outrank aging proofs)
+    # path, chunked_running_sum — unproven claims outrank aging proofs;
+    # later in r13 the operator generalized to chunked_running_agg
+    # [sum/count/min/max with identity-correct offset combines], which
+    # also FIXED the sum path's null-value contract — an all-null chunk
+    # no longer poisons a non-null prefix — so the head slot covers that
+    # change too)
     # and q_join_salted (salted_join/salted_sum now raise ValueError for
     # buckets < 1 instead of silently returning empty: sequence(0, -1)
     # auto-steps to [0, -1] on the dim side while pmod(x, 0) NULLs the

@@ -152,3 +152,42 @@ def test_chunked_running_sum_matches_direct_window(spark):
     plan = chunked._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(u#" in plan.replace("L", "") or "_chunk" in plan, plan
     assert "_chunk" in plan, plan
+
+
+def test_chunked_running_agg_all_aggs_match_direct(spark):
+    """chunked_running_agg must equal the direct hot-key window for every
+    algebraic agg (sum/count/min/max) — including NULL values (the result
+    is NULL iff the whole per-key prefix is null-valued: sum must not
+    turn an all-null prefix into 0, min/max ride least/greatest's
+    null-ignoring identity, count never NULLs) and the NULL-key group."""
+    from pyspark.sql.window import Window
+
+    n = 8_000
+    df = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(100)) == 99, F.lit(None).cast("long"))
+        .when(F.pmod("id", F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20)) + 1)
+        .alias("u"),
+        F.col("id").alias("t"),
+        # ~20% NULL values, incl. long all-null runs at the head of some
+        # (key, chunk) buckets
+        F.when(F.pmod("id", F.lit(5)) == 0, F.lit(None).cast("long"))
+        .otherwise(F.pmod(F.xxhash64("id", "id"), F.lit(997)) - 300)
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunk = (F.col("t") / 256).cast("long")
+    for agg, fn in (("sum", F.sum), ("count", F.count), ("min", F.min), ("max", F.max)):
+        direct = df.withColumn("r", fn("v").over(w))
+        decomposed = skew.chunked_running_agg(df, "u", [F.col("t")], "v", chunk, agg, "r")
+        assert sorted(repr(tuple(r)) for r in direct.collect()) == sorted(
+            repr(tuple(r)) for r in decomposed.collect()
+        ), f"agg={agg} diverged from the direct window"
+    import pytest
+
+    with pytest.raises(ValueError, match="algebraic"):
+        skew.chunked_running_agg(df, "u", [F.col("t")], "v", chunk, "rank")
