@@ -29,15 +29,18 @@ _NEEDS_FRESH_EVIDENCE = [
     # q_agg_stats (the 13th r10 name), displaced by the changed-query
     # head slot.
     #
-    # Changed-budget accounting: TWO beyond-aging insertions this round —
-    # q_window_hotkey_runsum (NEW query: the decomposable window hot-key
-    # path, chunked_running_sum — unproven claims outrank aging proofs;
-    # later in r13 the operator generalized to chunked_running_agg
-    # [sum/count/min/max with identity-correct offset combines], which
-    # also FIXED the sum path's null-value contract — an all-null chunk
-    # no longer poisons a non-null prefix — so the head slot covers that
-    # change too)
-    # and q_join_salted (salted_join/salted_sum now raise ValueError for
+    # Changed-budget accounting: THREE beyond-aging insertions this
+    # round — q_window_hotkey_runsum (NEW query: the decomposable window
+    # hot-key path, chunked_running_sum — unproven claims outrank aging
+    # proofs; later in r13 the operator generalized to
+    # chunked_running_agg [sum/count/min/max with identity-correct
+    # offset combines], which also FIXED the sum path's null-value
+    # contract — an all-null chunk no longer poisons a non-null prefix —
+    # so the head slot covers that change too), q_window_hotkey_runmax
+    # (NEW query, same commit as the generalization: the agg="max"
+    # least/greatest combine path proven against the direct-window
+    # oracle with null values kept in-stream), and q_join_salted
+    # (salted_join/salted_sum now raise ValueError for
     # buckets < 1 instead of silently returning empty: sequence(0, -1)
     # auto-steps to [0, -1] on the dim side while pmod(x, 0) NULLs the
     # fact-side salt — r12 ADVICE item 1; no plan or result change for
@@ -46,6 +49,7 @@ _NEEDS_FRESH_EVIDENCE = [
     #
     # (head) new / changed this round:
     "q_window_hotkey_runsum",
+    "q_window_hotkey_runmax",
     "q_join_salted",
     # (a) the 37 r9-latest names (the entire r9 cohort):
     "q_agg_tpch_q2",
@@ -85,7 +89,8 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_session",
     "q_stream_tumbling",
     "q_udf_histogram",
-    # (b) the 11 alphabetically-first r10-latest names:
+    # (b) the 10 alphabetically-first r10-latest names (q_agg_pivot
+    # displaced to r14 by the runmax head slot):
     "q_agg_approx_quantile",
     "q_agg_daily",
     "q_agg_drift_js",
@@ -96,11 +101,11 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_agg_median_mode",
     "q_agg_numeric_hist",
     "q_agg_outliers",
-    "q_agg_pivot",
     # ---- 50-row cut line ----
     # committed r14 block: after this window lands, the oldest cohort is
-    # the 39 remaining r10-latest names (q_agg_profile and q_agg_stats —
-    # displaced from the r13 window by the two head slots — plus
+    # the 40 remaining r10-latest names (q_agg_pivot, q_agg_profile and
+    # q_agg_stats — displaced from the r13 window by the three head
+    # slots — plus
     # q_agg_retention, q_agg_rolling, q_agg_string_agg,
     # q_audit_constraints_violations, q_dedup_canonical and the rest of
     # the r10 cohort, recompute from CORRECTNESS_r01..13 at r14 start) +

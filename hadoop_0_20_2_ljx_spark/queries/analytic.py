@@ -459,3 +459,72 @@ QUERIES["q_window_hotkey_runsum"] = QueryDef(
     "per-key running revenue via the chunked (hot-key-decomposed) window "
     "path; oracle runs the direct window — proves the decomposition exact",
 )
+
+
+# --- decomposable window hot-key path: chunked running max -------------------
+def _window_hotkey_runmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key running record-high (cumulative MAX) via the DECOMPOSED
+    hot-key window (operators/skew.py chunked_running_agg, agg="max") —
+    the least/greatest offset-combine path of the r13 generalization,
+    proven externally against DuckDB computing the DIRECT window. Unlike
+    q_window_hotkey_runsum this query KEEPS null values in the stream
+    (only null event times are excluded, per the event-time contract):
+    window MAX ignores nulls in both engines, so the running max is NULL
+    exactly until a key's first non-null value — the least/greatest
+    null-IGNORING combine must reproduce that boundary across chunk
+    seams, which is the subtle half of the operator's null contract
+    (queries/base.py: least/greatest ignoring nulls is usually a trap;
+    here it is exactly the min/max identity element). n_defined pins the
+    NULL-prefix boundary per key; rm_total transitively pins every
+    row's running max. Integer cents (floor(value*100)) per the
+    cross-engine float contract. Reference counterpart: the same
+    hand-built two-job prefix-aggregate idiom as runsum
+    (mapred/lib/LongValueMax.java semantics composed over the
+    secondary-sort pattern, reduce/Task.java partial-then-final)."""
+    from hadoop_0_20_2_ljx_spark.operators import skew
+
+    ev = T(spark, sf, "events").where(F.col("ts").isNotNull())
+    d = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    chunk = F.expr(f"t_us div {6 * _HOUR_US}")  # 6-hour buckets, monotone in t_us
+    rm = skew.chunked_running_agg(
+        d, "event_type", [F.col("t_us"), F.col("event_id")], "cents", chunk, "max", "rm"
+    )
+    return rm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("rm").cast("long").alias("n_defined"),
+        F.sum("rm").cast("long").alias("rm_total"),
+        F.max("rm").cast("long").alias("rm_max"),
+    )
+
+
+_HOTKEY_RUNMAX_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+), r AS (
+  SELECT event_type,
+         MAX(cents) OVER (PARTITION BY event_type ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(rm) AS BIGINT) AS n_defined,
+       CAST(sum(rm) AS BIGINT) AS rm_total,
+       CAST(max(rm) AS BIGINT) AS rm_max
+FROM r GROUP BY 1
+"""
+
+QUERIES["q_window_hotkey_runmax"] = QueryDef(
+    _window_hotkey_runmax,
+    _HOTKEY_RUNMAX_SQL,
+    "per-key running record-high via the chunked (hot-key-decomposed) "
+    "window, nulls kept in-stream; oracle runs the direct window — proves "
+    "the least/greatest offset combine and its null boundary exact",
+)

@@ -191,3 +191,37 @@ def test_chunked_running_agg_all_aggs_match_direct(spark):
 
     with pytest.raises(ValueError, match="algebraic"):
         skew.chunked_running_agg(df, "u", [F.col("t")], "v", chunk, "rank")
+
+
+def test_chunked_running_agg_chunk_granularity_invariance(spark):
+    """The decomposition must be invariant to the chunking function: the
+    chunk column is a free performance knob (pick ~8x reducers at scale),
+    never a correctness parameter. Pin the two degenerate extremes —
+    width 1 (every row its own chunk: the offset table IS the data, the
+    intra window is trivial) and one-giant-chunk (the offset table is
+    one row per key, the intra window IS the direct window) — plus a
+    coprime width, all bit-equal to the direct window."""
+    from pyspark.sql.window import Window
+
+    n = 3_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(7)).alias("u"),
+        F.col("id").alias("t"),
+        F.when(F.pmod("id", F.lit(4)) == 0, F.lit(None).cast("long"))
+        .otherwise(F.pmod(F.xxhash64("id", "id"), F.lit(997)) - 300)
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = sorted(
+        repr(tuple(r)) for r in df.withColumn("r", F.sum("v").over(w)).collect()
+    )
+    for width in (1, 37, 10**9):
+        chunk = (F.col("t") / width).cast("long")
+        got = skew.chunked_running_agg(df, "u", [F.col("t")], "v", chunk, "sum", "r")
+        assert sorted(repr(tuple(r)) for r in got.collect()) == expected, (
+            f"chunk width {width} changed the result"
+        )

@@ -63,9 +63,13 @@ EXPECTED_DIVERGENT = {
     "q_sink_sorted_lookup", "q_sink_zorder", "q_udf_cogroup",
     # two more loud-error rows observed in the r9 run
     "q_dedup_semantic", "q_join_bloom",
-    # r13: new query, same integer-cents contract — floor(value*100)
-    # -> BIGINT raises CAST/overflow loudly on both engines
+    # r13: new queries, same integer-cents contract — floor(value*100)
+    # -> BIGINT raises CAST/overflow loudly on both engines (runmax
+    # keeps null values in-stream but rejects non-finite ones the same
+    # way; its null-boundary contract is proven by the NULL sweep, where
+    # it must PASS)
     "q_window_hotkey_runsum",
+    "q_window_hotkey_runmax",
     # The r9-era "genuine cross-engine semantics" pair was PINNED in r10
     # and is gone: q_agg_profile renders non-finite min/max as explicit
     # 'NaN'/'Infinity'/'-Infinity' tokens on both sides (printf is
