@@ -186,7 +186,7 @@ def main() -> int:
     unknown = pick - ladders - {
         "minhash_xl", "asof_xl", "triangles_xl", "kcore_xl", "pagerank_xl",
         "terasort_xl", "clusters_xl", "skew_xl", "skew_aqe", "skew_aqe_engine",
-        "winsum", "winsum_xl",
+        "winsum", "winsum_xl", "winsum_width",
     }
     if unknown:
         print(f"unknown ladder(s): {sorted(unknown)}", file=sys.stderr)
@@ -777,6 +777,89 @@ def main() -> int:
             assert max(chunked_tasks) <= 3 * max(chunked_tasks[0], 0.01), (
                 f"chunked max task not flat: {chunked_tasks}"
             )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", old_part)
+
+    if "winsum_width" in pick:
+        # Chunk-WIDTH tuning law for the decomposed hot-key window
+        # (r13): correctness is width-invariant (pinned in
+        # tests/test_skew.py at widths 1/37/1e9), but the max-task curve
+        # is U-shaped. Too-WIDE chunks under-spread the hot key (the
+        # intra-chunk window re-concentrates: max task ~ 0.7*width *
+        # row_bytes); too-NARROW chunks turn the OFFSET window into the
+        # hot partition (partitionBy(key) orderBy(chunk) puts all of a
+        # key's ~n/width offset rows in ONE task). The ~8-chunks-per-
+        # reducer default sits on the wide plateau between the cliffs:
+        # max_task ~ max(0.7*width*row_B, (n/width)*offset_B), minimized
+        # near width* = sqrt(n*offset_B/(0.7*row_B)) — but the flat
+        # bottom spans ~3 decades, which is why the knob is safe to set
+        # by rule of thumb. Value parity vs the DIRECT window asserted
+        # at every width. Same AQE-off rationale as winsum.
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        old_part = spark.conf.get("spark.sql.shuffle.partitions")
+        from pyspark.sql.window import Window
+
+        n = 10_000_000
+        n_part = max(4, n // 31_250)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        try:
+            fact = spark.range(n).select(
+                F.when(F.pmod(F.col("id"), F.lit(10)) < 7, F.lit(0))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+                .alias("u"),
+                F.col("id").alias("t"),
+                F.pmod(F.col("id"), F.lit(97)).alias("v"),
+            ).localCheckpoint()
+            expected = tuple(
+                fact.withColumn(
+                    "rs",
+                    F.sum("v").over(
+                        Window.partitionBy("u")
+                        .orderBy("t")
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                )
+                .agg(
+                    F.count(F.lit(1)),
+                    F.sum("rs"),
+                    F.sum(F.xxhash64("u", "t", "rs").cast("decimal(38,0)")),
+                )
+                .first()
+            )
+            default_w = max(1, n // (8 * n_part))
+            widths = [n // 4, n // 64, default_w, 64, 4]
+            curve: dict[int, float] = {}
+            for w in widths:
+                chunked = skew.chunked_running_sum(
+                    fact, "u", [F.col("t")], "v", F.expr(f"t div {w}"), "rs"
+                )
+                ids0 = _completed_stage_ids()
+                sw0, _ = bench._stage_bytes(spark)
+                t0 = time.time()
+                got = tuple(
+                    chunked.agg(
+                        F.count(F.lit(1)),
+                        F.sum("rs"),
+                        F.sum(F.xxhash64("u", "t", "rs").cast("decimal(38,0)")),
+                    ).first()
+                )
+                wall = time.time() - t0
+                sw1, _ = bench._stage_bytes(spark)
+                mx = _max_task_shuffle_read_mb(ids0)
+                assert got == expected, (w, got, expected)
+                curve[w] = mx
+                out[f"winsum_width_{w}"] = {
+                    "wall_s": round(wall, 2),
+                    "shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+                    "max_task_shuffle_read_mb": mx,
+                    "chunks_per_key": n // w,
+                    "n_reducers": n_part,
+                }
+            # the U shape: both extremes concentrate >3x over the default
+            assert curve[widths[0]] > 3 * curve[default_w], curve
+            assert curve[4] > 3 * curve[default_w], curve
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
             spark.conf.set("spark.sql.shuffle.partitions", old_part)
