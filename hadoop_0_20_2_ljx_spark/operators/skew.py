@@ -37,6 +37,20 @@ def _row_salt(df: DataFrame, buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)).cast("int")
 
 
+def _guard_working_cols(df: DataFrame, names: tuple, op: str) -> None:
+    """Working columns are created with withColumn and dropped at the end,
+    so a same-named USER column would be silently overwritten and then
+    destroyed — data loss, not an error. Refuse loudly instead (the
+    salted_join buckets<1 lesson: degenerate inputs must never silently
+    change results)."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with internal working "
+            f"columns {list(names)} — rename them before calling"
+        )
+
+
 def salted_sum(
     df: DataFrame, key: str, value: str, buckets: int = 16, alias: str = "sum_value"
 ) -> DataFrame:
@@ -49,6 +63,7 @@ def salted_sum(
     """
     if buckets < 1:
         raise ValueError(f"salted_sum requires buckets >= 1, got {buckets}")
+    _guard_working_cols(df, ("_salt", "_psum"), "salted_sum")
     salt = _row_salt(df, buckets)
     partial = (
         df.withColumn("_salt", salt)
@@ -89,6 +104,8 @@ def salted_join(
         # with salts the fact side can never match, since pmod(x, 0) is
         # NULL) and the join silently returns empty instead of erroring.
         raise ValueError(f"salted_join requires buckets >= 1, got {buckets}")
+    _guard_working_cols(skewed, ("_salt",), "salted_join")
+    _guard_working_cols(dim, ("_salt",), "salted_join")
     salted = skewed.withColumn("_salt", _row_salt(skewed, buckets))
     replicated = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
@@ -155,6 +172,14 @@ def chunked_running_agg(
             f"chunked_running_agg supports algebraic aggs sum/count/min/max, "
             f"got {agg!r} (order-dependent sweeps don't decompose — see the "
             f"SCALE.md window hot-key taxonomy)"
+        )
+    _guard_working_cols(
+        df, ("_chunk", "_intra", "_off", "_k2", "_c2"), "chunked_running_agg"
+    )
+    if out_col in df.columns:
+        raise ValueError(
+            f"chunked_running_agg: out_col {out_col!r} already exists in the "
+            f"input — it would be silently replaced"
         )
     intra_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[agg]
     # how per-chunk totals fold into a running offset, and how that

@@ -44,7 +44,11 @@ _NEEDS_FRESH_EVIDENCE = [
     # buckets < 1 instead of silently returning empty: sequence(0, -1)
     # auto-steps to [0, -1] on the dim side while pmod(x, 0) NULLs the
     # fact-side salt — r12 ADVICE item 1; no plan or result change for
-    # any valid buckets). Each displaces one r10 tail name. Any further
+    # any valid buckets; later in r13 all three skew operators also
+    # gained working-column collision guards — a user column named
+    # _salt/_chunk/... was silently overwritten then dropped — again
+    # driver-side validation only, no plan change). Each displaces one
+    # r10 tail name. Any further
     # r13 change must also be inserted at the head in the same commit.
     #
     # (head) new / changed this round:

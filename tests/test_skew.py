@@ -225,3 +225,29 @@ def test_chunked_running_agg_chunk_granularity_invariance(spark):
         assert sorted(repr(tuple(r)) for r in got.collect()) == expected, (
             f"chunk width {width} changed the result"
         )
+
+
+def test_working_column_collisions_refused(spark):
+    """Internal working columns (_salt/_psum/_chunk/...) are created with
+    withColumn and dropped on exit — a same-named user column would be
+    silently overwritten then destroyed. All three operators must refuse
+    loudly; out_col collisions likewise."""
+    import pytest
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("t"), F.col("id").alias("v")
+    )
+    chunk = (F.col("t") / 4).cast("long")
+
+    with pytest.raises(ValueError, match="_salt"):
+        skew.salted_sum(base.withColumn("_salt", F.lit(1)), "k", "v")
+    with pytest.raises(ValueError, match="_salt"):
+        skew.salted_join(base.withColumn("_salt", F.lit(1)), base, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        skew.salted_join(base, base.withColumn("_salt", F.lit(1)), "k")
+    with pytest.raises(ValueError, match="_chunk"):
+        skew.chunked_running_agg(
+            base.withColumn("_chunk", F.lit(1)), "k", [F.col("t")], "v", chunk
+        )
+    with pytest.raises(ValueError, match="out_col"):
+        skew.chunked_running_agg(base, "k", [F.col("t")], "v", chunk, "sum", "v")
