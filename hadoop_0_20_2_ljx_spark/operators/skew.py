@@ -151,6 +151,14 @@ def chunked_running_agg(
          null-key group that the window/groupBy kept (the r10 class-3
          null lesson).
 
+    The monotonicity requirement on ``chunk`` (a non-decreasing function
+    of the first order column) is VERIFIED at run time, not trusted:
+    per-chunk order-key ranges ride the offsets groupBy for free and an
+    adjacent-range overlap raises through the _off expression itself
+    (r13 — a violating chunk used to return silently wrong prefixes).
+    Chunk GRANULARITY remains a pure performance knob (see the SCALE.md
+    width law: ~8 chunks per reducer sits on a ~3-decade plateau).
+
     Null-value contract (matches the direct window exactly): the result
     is NULL iff the whole per-key prefix holds no non-null value. For
     min/max the combine is least/greatest, whose null-IGNORING semantics
@@ -209,10 +217,38 @@ def chunked_running_agg(
         .orderBy("_chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Monotonicity is VERIFIED, not trusted: the decomposition is only
+    # exact when chunk is a non-decreasing function of the first order
+    # column (an interleaving chunk would silently corrupt every prefix
+    # downstream of the seam). The check is free at the offsets pass —
+    # per-chunk min/max of the order key ride the groupBy that already
+    # exists, and a lag over the SAME (key, chunk-order) window spec
+    # compares adjacent ranges. The violation gates the _off expression
+    # itself (not a dropped side column), so Catalyst cannot prune it.
+    order0 = order[0]
+    w_lag = Window.partitionBy(key).orderBy("_chunk")
     offsets = (
         d.groupBy(key, "_chunk")
-        .agg(intra_fn(value).alias("_ctot"))
-        .withColumn("_off", off_fn("_ctot").over(w_off))
+        .agg(
+            intra_fn(value).alias("_ctot"),
+            F.min(order0).alias("_omin"),
+            F.max(order0).alias("_omax"),
+        )
+        .withColumn(
+            "_off",
+            F.when(
+                F.lag("_omax").over(w_lag) >= F.col("_omin"),
+                F.raise_error(
+                    F.lit(
+                        "chunked_running_agg: chunk column is not monotone "
+                        "in the order — a chunk's order-key range overlaps "
+                        "the previous chunk's, which would silently corrupt "
+                        "the running prefix; the chunk expression must be a "
+                        "non-decreasing function of the first order column"
+                    )
+                ),
+            ).otherwise(off_fn("_ctot").over(w_off)),
+        )
         .select(F.col(key).alias("_k2"), F.col("_chunk").alias("_c2"), "_off")
     )
     out = intra.join(

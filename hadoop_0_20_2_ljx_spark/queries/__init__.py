@@ -39,7 +39,12 @@ _NEEDS_FRESH_EVIDENCE = [
     # so the head slot covers that change too), q_window_hotkey_runmax
     # (NEW query, same commit as the generalization: the agg="max"
     # least/greatest combine path proven against the direct-window
-    # oracle with null values kept in-stream), and q_join_salted
+    # oracle with null values kept in-stream; still later the chunk
+    # monotonicity contract became VERIFIED — per-chunk order-key ranges
+    # ride the offsets groupBy and an adjacent-range overlap raises
+    # through the _off expression instead of silently corrupting
+    # prefixes — same plan shapes, offsets exchange +16B/chunk-row),
+    # and q_join_salted
     # (salted_join/salted_sum now raise ValueError for
     # buckets < 1 instead of silently returning empty: sequence(0, -1)
     # auto-steps to [0, -1] on the dim side while pmod(x, 0) NULLs the

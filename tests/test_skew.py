@@ -251,3 +251,23 @@ def test_working_column_collisions_refused(spark):
         )
     with pytest.raises(ValueError, match="out_col"):
         skew.chunked_running_agg(base, "k", [F.col("t")], "v", chunk, "sum", "v")
+
+
+def test_chunked_running_agg_non_monotone_chunk_raises(spark):
+    """A chunk column that interleaves order values across chunks would
+    silently corrupt every prefix downstream of the seam — the offsets
+    pass must detect the overlapping order-key ranges and raise, not
+    return wrong numbers. Monotone chunks (all other tests) must be
+    unaffected."""
+    import pytest
+
+    df = spark.range(1_000).select(
+        F.pmod("id", F.lit(3)).alias("u"),
+        F.col("id").alias("t"),
+        F.col("id").alias("v"),
+    )
+    bad_chunk = F.pmod("t", F.lit(7))  # interleaves t ranges across chunks
+    with pytest.raises(Exception, match="not monotone"):
+        skew.chunked_running_agg(
+            df, "u", [F.col("t")], "v", bad_chunk, "sum", "r"
+        ).collect()
