@@ -103,15 +103,27 @@ def kmeans_lloyd(
     dim = len(next(iter(init.values())))
     vec = F.col(vec_col).cast("array<double>")
     cents = {int(j): [float(x) for x in c] for j, c in init.items()}
-    assigned = assign_clusters(df, vec_col, cents)
+    if iters == 0:
+        return assign_clusters(df, vec_col, cents), cents
+    # per-dim means as ONE parsed struct expression: dim separate
+    # F.avg(F.element_at(...)) Column builds cost a py4j round-trip each
+    # (2·dim per round — the r6 literal-tree lesson applies to agg lists
+    # too); the parsed aggregates are IDENTICAL, struct() only wraps the
+    # result projection so partial aggregation is untouched.
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    means_sql = (
+        "struct("
+        + ", ".join(f"avg(element_at({vec_sql}, {i + 1})) AS d{i}" for i in range(dim))
+        + ")"
+    )
+    assigned = df
     for _ in range(iters):
         assigned = assign_clusters(df, vec_col, cents)
-        rows = (
-            assigned.groupBy("cluster")
-            .agg(*[F.avg(F.element_at(vec, i + 1)).alias(f"d{i}") for i in range(dim)])
-            .collect()
-        )
-        cents = {int(r["cluster"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
+        rows = assigned.groupBy("cluster").agg(F.expr(means_sql).alias("_m")).collect()
+        cents = {
+            int(r["cluster"]): [float(r["_m"][f"d{i}"]) for i in range(dim)]
+            for r in rows
+        }
     return assigned, cents
 
 
@@ -157,14 +169,21 @@ def pq_train(
         exploded = df.select(
             F.expr("explode(array(" + ", ".join(structs) + "))").alias("s")
         ).select("s.j", "s.code", "s.sv")
+        # one parsed struct of per-dim avgs (see kmeans_lloyd: an agg
+        # list built per-Column costs a py4j round-trip per dim)
+        means_sql = (
+            "struct("
+            + ", ".join(f"avg(sv[{i}]) AS d{i}" for i in range(sub))
+            + ")"
+        )
         rows = (
-            exploded.groupBy("j", "code")
-            .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(sub)])
-            .collect()
+            exploded.groupBy("j", "code").agg(F.expr(means_sql).alias("_m")).collect()
         )
         books = [{} for _ in range(m)]
         for r in rows:
-            books[int(r["j"])][int(r["code"])] = [float(r[f"d{i}"]) for i in range(sub)]
+            books[int(r["j"])][int(r["code"])] = [
+                float(r["_m"][f"d{i}"]) for i in range(sub)
+            ]
     return books
 
 

@@ -345,14 +345,29 @@ def group_similarity_matrix(
     ``max_shingle_freq`` is the exact side's tunable when sources share
     boilerplate (the ngram_jaccard_pairs guard applied at group
     granularity): shingles present in MORE than that many GROUPS are
-    excluded from the intersection JOIN — the quadratic driver, since a
-    shingle shared by all G groups contributes G^2 join rows while
+    excluded from the intersection count — the quadratic driver, since a
+    shingle shared by all G groups contributes G^2 pair rows while
     carrying no discrimination signal. Per-group set sizes (na/nb) and
     est_bp stay exact; the Jaccard denominator na+nb-ni uses the CAPPED
     ni, which only reinforces the bound — a capped jaccard_bp is a LOWER
     BOUND of the uncapped one (the cap removes intersection evidence,
     never invents it; jaccard_bp is monotone in ni since ni <= min(na,nb)
     — property-pinned in tests/test_dedup_cap.py). None = exact.
+
+    The exact side dedups identical MEMBERSHIP SETS before enumerating
+    pairs (r13 optimization): shingles are grouped into their sorted
+    group-membership array, identical arrays collapse to one weighted
+    row, and pairs are emitted once per DISTINCT set (weight = number of
+    shingles carrying that set) instead of once per shingle. ni is
+    unchanged — sum over sets of weight x [pair within set] = number of
+    shared shingles — but the pair-enumeration work drops from
+    sum_shingle c^2 to sum_distinct-set c^2; template boilerplate (many
+    shingles, one shared membership set) collapses to a single set, and
+    single-group shingles (the bulk of a real corpus) are filtered before
+    the enumeration entirely. Enumeration is posexplode + tail-slice
+    explode on the sorted array — partition-local, no self-join shuffle,
+    ga < gb by construction. The weighted groupBy(ga, gb) partial-aggs
+    map-side exactly as the join form did.
     """
     sh = word_shingles(F.col(text_col), shingle_k)
     padded = _pad_empty(sh)
@@ -361,51 +376,63 @@ def group_similarity_matrix(
         .distinct()
         .transform(pin)
     )
-    sigs = (
+    # signature AND set size in ONE agg over the pinned vocabulary, the
+    # k-row result pinned: the per-group table has four downstream
+    # consumers (both sides of the pair enumeration, which also carry
+    # na/nb), and Catalyst never dedupes common subplans — un-merged and
+    # un-pinned, sigs/sizes re-aggregated the full vocabulary four times
+    # (2x sa/sb + 2x na/nb); now the vocabulary is aggregated once and
+    # the O(groups)-row result replays from the pin (r13 optimization).
+    stats = pin(
         gs.select("grp", _mh_base(F.col("g")).alias("v"))
         .groupBy("grp")
         .agg(
-            *[F.min(_mh_hash(F.col("v"), s)).alias(f"h{s}") for s in range(num_hashes)]
+            *[F.min(_mh_hash(F.col("v"), s)).alias(f"h{s}") for s in range(num_hashes)],
+            F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
-    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    gj = gs
+    # one row per shingle: the sorted array of groups containing it (gs is
+    # distinct, so collect_list builds a duplicate-free set; sort_array
+    # makes it deterministic under any partitioning/retry)
+    msets = gs.groupBy("g").agg(F.sort_array(F.collect_list("grp")).alias("_grps"))
+    # group-frequency == membership-set size; the cap and the
+    # nothing-to-pair filter both prune BEFORE the set-dedup shuffle
+    freq_ok = F.size("_grps") >= 2
     if max_shingle_freq is not None:
-        # group-frequency, not doc-frequency: gs is already the distinct
-        # (group, shingle) vocabulary, so count(*) per shingle = number
-        # of groups containing it
-        keep = (
-            gs.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_gf"))
-            .filter(F.col("_gf") <= max_shingle_freq)
-            .select("g")
-        )
-        gj = gs.join(keep, "g")
+        freq_ok = freq_ok & (F.size("_grps") <= max_shingle_freq)
+    wsets = (
+        msets.filter(freq_ok)
+        .groupBy("_grps")
+        .agg(F.count(F.lit(1)).cast("long").alias("_w"))
+    )
     inter = (
-        gj.alias("ia")
-        .join(gj.alias("ib"), "g")
-        .where(F.col("ia.grp") < F.col("ib.grp"))
-        .groupBy(F.col("ia.grp").alias("ga"), F.col("ib.grp").alias("gb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+        wsets.select("_w", "_grps", F.posexplode("_grps").alias("_i", "ga"))
+        .select(
+            "_w",
+            "ga",
+            F.explode(
+                F.slice("_grps", F.col("_i") + 2, F.size("_grps"))
+            ).alias("gb"),
+        )
+        .groupBy("ga", "gb")
+        .agg(F.sum("_w").cast("long").alias("ni"))
     )
-    sa = sigs.select(
-        F.col("grp").alias("ga"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)]
+    sa = stats.select(
+        F.col("grp").alias("ga"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)],
+        F.col("n").alias("na"),
     )
-    sb = sigs.select(
-        F.col("grp").alias("gb"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)]
+    sb = stats.select(
+        F.col("grp").alias("gb"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)],
+        F.col("n").alias("nb"),
     )
     pairs = F.broadcast(sa).join(sb, F.col("ga") < F.col("gb"))
     matches = sum(
         (F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(num_hashes)),
         F.lit(0),
     )
-    na = sizes.select(F.col("grp").alias("ga"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("grp").alias("gb"), F.col("n").alias("nb"))
-    j = (
-        pairs.join(F.broadcast(inter), ["ga", "gb"], "left")
-        .join(F.broadcast(na), "ga")
-        .join(F.broadcast(nb), "gb")
-    )
+    j = pairs.join(F.broadcast(inter), ["ga", "gb"], "left")
     ni = F.coalesce(F.col("ni"), F.lit(0))
     return j.select(
         F.col("ga").alias("source_a"),
