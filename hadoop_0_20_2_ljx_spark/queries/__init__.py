@@ -56,7 +56,27 @@ _NEEDS_FRESH_EVIDENCE = [
     # r10 tail name. Any further
     # r13 change must also be inserted at the head in the same commit.
     #
+    # r13 OPTIMIZATION-round head slots (each displaces one r10 tail
+    # name; results oracle-identical by design, but changed plans are
+    # unproven claims until externally re-proven): q_join_bloom (bloom
+    # probe rewritten pandas-UDF -> JVM getbit over a single-literal
+    # word bitmap, positions md5 -> xxhash64 — engine-internal bits),
+    # q_agg_copurchase (distinct + equi-self-join -> per-order sorted
+    # membership sets, pairs enumerated partition-locally),
+    # q_audit_diff_incremental (internal fingerprint/bucket hashes
+    # md5 -> xxhash64; the declared oracle is the plain full-diff SQL),
+    # q_embed_kmeans and q_embed_pq (Lloyd/PQ per-dim agg lists built as
+    # one parsed SQL struct per round instead of O(dim) py4j Column
+    # calls — plan diff is expression-ids only, results bit-identical;
+    # q_corpus_source_sim, the round's other reshape, already sits in
+    # the r9 cohort below).
+    #
     # (head) new / changed this round:
+    "q_join_bloom",
+    "q_agg_copurchase",
+    "q_audit_diff_incremental",
+    "q_embed_kmeans",
+    "q_embed_pq",
     "q_window_hotkey_runsum",
     "q_window_hotkey_runmax",
     "q_join_salted",
@@ -98,27 +118,24 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_stream_session",
     "q_stream_tumbling",
     "q_udf_histogram",
-    # (b) the 10 alphabetically-first r10-latest names (q_agg_pivot
-    # displaced to r14 by the runmax head slot):
+    # (b) the 5 alphabetically-first r10-latest names (q_agg_pivot etc.
+    # displaced to r14 by the head slots — 3 build-phase + 5
+    # optimization-phase):
     "q_agg_approx_quantile",
     "q_agg_daily",
     "q_agg_drift_js",
     "q_agg_drift_ks",
     "q_agg_grouping_sets",
-    "q_agg_hot_keys",
-    "q_agg_item_sim",
-    "q_agg_median_mode",
-    "q_agg_numeric_hist",
-    "q_agg_outliers",
     # ---- 50-row cut line ----
     # committed r14 block: after this window lands, the oldest cohort is
-    # the 40 remaining r10-latest names (q_agg_pivot, q_agg_profile and
-    # q_agg_stats — displaced from the r13 window by the three head
-    # slots — plus
+    # the 45 remaining r10-latest names (q_agg_hot_keys, q_agg_item_sim,
+    # q_agg_median_mode, q_agg_numeric_hist, q_agg_outliers — displaced
+    # from the r13 window by the optimization-phase head slots — plus
+    # q_agg_pivot, q_agg_profile, q_agg_stats,
     # q_agg_retention, q_agg_rolling, q_agg_string_agg,
     # q_audit_constraints_violations, q_dedup_canonical and the rest of
     # the r10 cohort, recompute from CORRECTNESS_r01..13 at r14 start) +
-    # 11 of the r11-latest names to fill 50, plus whatever r14 adds or
+    # 5 of the r11-latest names to fill 50, plus whatever r14 adds or
     # changes (changed queries take the head).
 ]
 

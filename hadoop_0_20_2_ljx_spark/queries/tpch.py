@@ -278,14 +278,31 @@ def _agg_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     the order key, partial-agg count, TakeOrderedAndProject top-k with
     full tie-break. Item ids folded mod 1000 so pairs actually repeat at
     fixture scale."""
-    items = (
-        T(spark, sf, "lineitem")
-        .select("l_orderkey", (F.col("l_partkey") % 1000).alias("p"))
-        .distinct()
+    items = T(spark, sf, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 1000).alias("p")
     )
-    a = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("o"), F.col("p").alias("pb"))
-    pairs = a.join(b, "o").where(F.col("pa") < F.col("pb"))
+    # r13: per-order pair enumeration via sorted item sets instead of the
+    # distinct + equi-self-join — the membership-set idiom from
+    # group_similarity_matrix. ONE shuffle of (orderkey, p) with map-side
+    # collect_set dedup replaces two distinct-side exchanges + the join
+    # (the self-join also re-scanned lineitem per side: Catalyst never
+    # dedupes common subplans). Pairs are emitted partition-locally via
+    # posexplode + tail-slice over the sorted set, so pa < pb holds by
+    # construction and each order contributes each pair exactly once —
+    # identical support counts. NULL handling pins the join semantics the
+    # rewrite replaces: the bare equi-join dropped NULL order keys (NULL
+    # never matches), so the explicit not-null filter keeps that contract
+    # where groupBy would keep a NULL group (the r10 null-join class);
+    # NULL p never paired under pa < pb, and collect_set drops it — same.
+    sets_ = (
+        items.where(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
+    pairs = sets_.select("ps", F.posexplode("ps").alias("_i", "pa")).select(
+        "pa",
+        F.explode(F.slice(F.col("ps"), F.col("_i") + 2, F.size("ps"))).alias("pb"),
+    )
     return (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))

@@ -522,3 +522,42 @@ def test_winsorize_and_deciles_randomized_vs_python_reference(spark):
         n = len(s)
         for k in range(1, 10):
             assert dout[g][k] == s[max(1, math.ceil(n * k / 10)) - 1], (g, k)
+
+
+def test_bucket_fingerprint_xxhash_negative_values_fold_additively(spark):
+    """The r13 internal-hash swap (incremental_snapshot_diff passes
+    F.xxhash64 to bucket_fingerprint): xxhash64 is full-range SIGNED, so
+    the decimal sum sees negative addends — the mod-2^63 fold must stay
+    commutative/partition-invariant and merge-additive exactly as with
+    the non-negative portable hash."""
+    df = spark.createDataFrame(
+        [(i, f"row-{i}") for i in range(300)], "k long, payload string"
+    )
+    row = F.concat_ws("|", F.col("k").cast("string"), F.col("payload"))
+    # at least one row hash must be negative for this test to bite
+    neg = df.select(F.min(F.xxhash64(row)).alias("m")).collect()[0].m
+    assert neg < 0
+
+    def fp(d):
+        return {
+            r["bucket"]: (r["n_rows"], r["fingerprint"])
+            for r in audit.bucket_fingerprint(
+                d, F.col("k"), row, 8, F.xxhash64
+            ).collect()
+        }
+
+    a = fp(df.repartition(11))
+    assert a == fp(df.repartition(3))  # partition/order invariant
+    assert all(v[1] >= 0 for v in a.values())  # folded into [0, 2^63)
+    # merge additivity: fingerprint(whole) == merge(fingerprint(halves))
+    lo = audit.bucket_fingerprint(
+        df.where("k < 150"), F.col("k"), row, 8, F.xxhash64
+    )
+    hi = audit.bucket_fingerprint(
+        df.where("k >= 150"), F.col("k"), row, 8, F.xxhash64
+    )
+    merged = {
+        r["bucket"]: (r["n_rows"], r["fingerprint"])
+        for r in audit.merge_fingerprints(lo.unionAll(hi)).collect()
+    }
+    assert merged == a
