@@ -1192,21 +1192,34 @@ def main() -> int:
         print(f"bench-local dump skipped: {e}", file=sys.stderr)
     # The driver records only the LAST ~2000 chars of output; the full
     # JSON above has outgrown that (r3's artifact lost headline_total and
-    # the first workloads' timings). Emit a <=1 KB summary as the FINAL
+    # the first workloads' timings). Emit a compact summary as the FINAL
     # line so the tail capture always holds the graded numbers; the full
     # JSON stays above for local use.
-    anchors = ("terasort_1m", "tpch_q1", "join_3way", "wordcount")
+    #
+    # r13 VERDICT task 2: the driver's per-query PERF table reads THIS
+    # line's `queries` dict — while it named only the four sub-second
+    # anchor rows, no optimized path was ever visible to PERF. Emit
+    # EVERY per-workload median (additions only: the four anchor entries
+    # keep their exact names and values; headline metric unchanged).
+    # Compact separators keep the line inside the ~2000-char tail
+    # capture (89 workloads ~= 1910 chars); if a future workload pushes
+    # past the guard, the 1-decimal fallback shaves ~1 char per entry
+    # before the hard assert fails the bench LOUDLY rather than letting
+    # the driver tail-truncate the line into unparseable JSON.
     summary = {
         "metric": "headline_total",
         "value": round(total, 2),
         "unit": "sec",
-        "queries": {k: round(timings[k], 2) for k in anchors if k in timings},
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "n_workloads": len(timings),
         "wall_total": round(time.time() - t0, 2),
         "sf": sf,
     }
-    line = json.dumps(summary)
-    assert len(line) <= 1000, f"summary line too long ({len(line)} chars)"
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1950:
+        summary["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 1950, f"summary line too long ({len(line)} chars)"
     print(line)
     return 0
 

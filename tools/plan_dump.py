@@ -1,8 +1,11 @@
-"""Dump .explain("formatted") for every registry query to plans/r13/.
+"""Dump .explain("formatted") for every registry query to plans/<round>/.
 
 Usage: python tools/plan_dump.py [sf_dir] [suffix] [only ...]
 
-Writes plans/r13/<query>_<suffix>.txt (suffix default "before") and prints
+The round directory defaults to r13 and is overridden with
+SPARK_GRAFT_PLAN_ROUND (e.g. SPARK_GRAFT_PLAN_ROUND=r14).
+
+Writes plans/<round>/<query>_<suffix>.txt (suffix default "before") and prints
 a one-line-per-query triage summary: #Exchange, join operators, Python-eval
 nodes (BatchEvalPython / ArrowEvalPython / MapInArrow / FlatMapGroupsInPandas),
 and whether the scan shows PushedFilters. Plan construction only — queries
@@ -27,7 +30,9 @@ def main() -> int:
     suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
     only = set(sys.argv[3:])
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-dump")
