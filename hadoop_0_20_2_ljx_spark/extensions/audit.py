@@ -368,17 +368,24 @@ def bucket_fingerprint(
     mismatched bucket re-fingerprints with a finer modulus to localize
     divergence (Merkle-style drill-down without the tree).
 
-    Shape: ONE scan, all work row-local (md5 -> 60-bit int), one
+    Shape: ONE scan, all work row-local (the per-row hash), one
     partial aggregate into n_buckets groups — no shuffle of data rows,
     nothing driver-side. The fingerprint is the SUM of per-row hashes
     (commutative), so it is partition-order- and retry-invariant by
-    construction; sums accumulate in DECIMAL(38,0) (2^60 per row
-    overflows int64 after ~8k rows) and are emitted folded mod 2^63 as
-    BIGINT — modular addition keeps the fold ADDITIVE ((a%m + b%m)%m =
-    (a+b)%m, so partial fingerprints still merge by sum-then-fold) and
-    the emitted type survives every downstream convention, including
-    pandas float64 conversion, which silently truncates a DECIMAL past
-    2^53. The reference's integrity check is the per-block CRC sidecar
+    construction. Addends depend on the hash choice — the portable md5
+    default yields non-negative 60-bit values (a raw int64 sum would
+    overflow after ~8k rows), while xxhash64 yields full-range SIGNED
+    64-bit values (positives alone would overflow int64 after ~2 rows,
+    and the sum must stay exact through arbitrary cancellation) — so
+    BOTH paths accumulate in DECIMAL(38,0) (exact to 10^38, far beyond
+    any real row count times 2^63) and are emitted folded by pmod 2^63
+    as BIGINT. pmod's non-negative result makes the fold ADDITIVE over
+    either sign ((a%m + b%m)%m = (a+b)%m, so partial fingerprints still
+    merge by sum-then-fold; the signed-addend case is pinned in
+    test_audit.py::test_bucket_fingerprint_xxhash_negative_values_fold_additively),
+    and the emitted type survives every downstream
+    convention, including pandas float64 conversion, which silently
+    truncates a DECIMAL past 2^53. The reference's integrity check is the per-block CRC sidecar
     (fs/ChecksumFileSystem.java:56) — a byte-order-dependent stream
     checksum that cannot be compared across differently-partitioned
     copies; a commutative hash-sum can.

@@ -64,7 +64,14 @@ def _position_parts(
     cast allocates a UTF8String per eval, and the Filter conjunction
     re-evaluates it k x 2 times) — callers must guarantee build and
     probe columns share a dtype (bloom_prefilter checks and falls back
-    to normalize=True on mismatch)."""
+    to normalize=True on mismatch).
+
+    Forcing h2 odd prevents stride degeneration only for the power-of-2
+    divisors of m; m from optimal_params is an arbitrary integer, so h2
+    can still share an odd factor with m and shorten the position cycle
+    — a marginal FP-quality effect, never a correctness one (the
+    downstream exact join owns correctness), accepted over a gcd-aware
+    reduction that would cost another op per evaluation."""
     s = key.cast("string") if normalize else key
     h1 = F.pmod(F.xxhash64(s), F.lit(m_bits))
     h2 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m_bits)) * 2 + 1
@@ -111,8 +118,14 @@ def _bitmap_literal(words: np.ndarray) -> Column:
 def _bitmap_member_cond(words_lit: Column, positions: list[Column]) -> Column:
     """'Every position's bit is set in the packed-word bitmap' as a pure
     JVM expression: element_at + getbit per position (k small), fully
-    codegen-able — no HOF, no Python. NULL keys yield NULL positions and
-    the filter drops them, exactly as the join they pre-filter would."""
+    codegen-able — no HOF, no Python.
+
+    NULL keys: xxhash64 is NON-nullable (a NULL input is skipped and the
+    seed-derived constant comes back), so unlike the old md5 path a NULL
+    key hashes to FIXED positions and would pass whenever the build side
+    contained any NULL key. Callers that want join-prefilter semantics
+    (a NULL key can never equi-join) must AND an explicit
+    ``key.isNotNull()`` — all three prefilter entry points here do."""
     cond = F.lit(True)
     for p in positions:
         w = F.element_at(words_lit, (F.shiftright(p, 6) + 1).cast("int"))
@@ -192,6 +205,11 @@ def bloom_prefilter(
     Superset of the exact semi-join (no false negatives); follow with the
     real join for exactness. Typical use: cut the big side's shuffle volume
     before a selective join, the DistributedCache-bloom pattern.
+
+    NULL keys are dropped explicitly (isNotNull conjunct): they can never
+    match the equi-join this prefilters for, and without the guard the
+    non-nullable xxhash64 would let a NULL probe key pass whenever the
+    build side contained any NULL key (r13 ADVICE).
     """
     # Plain count, not distinct().count(): duplicates only overestimate n,
     # which sizes the bitmap up — safe — and skips a whole distinct shuffle.
@@ -213,7 +231,7 @@ def bloom_prefilter(
         _bitmap_literal(_bitmap_words(bits)),
         _position_parts(F.col(key), k, m_bits, normalize),
     )
-    return big.filter(cond)
+    return big.filter(F.col(key).isNotNull() & cond)
 
 
 class DynamicBloom:
@@ -270,7 +288,8 @@ class DynamicBloom:
 
     def prefilter(self, big: DataFrame, key: str) -> DataFrame:
         """Keep rows whose key matches ANY matrix row (no false negatives
-        across every add_frame ever made)."""
+        across every add_frame ever made). NULL keys are dropped (explicit
+        isNotNull — see _bitmap_member_cond's NULL note)."""
         if not self._rows:
             return big.filter(F.lit(False))
         # matrix-row count is data-dependent (ceil(n/nr) rows), but each
@@ -285,7 +304,7 @@ class DynamicBloom:
             cond = cond | _bitmap_member_cond(
                 bm, _position_parts(F.col(key), self.k, self.m_bits)
             )
-        return big.filter(cond)
+        return big.filter(F.col(key).isNotNull() & cond)
 
 
 class CountingBloom:
@@ -346,12 +365,14 @@ class CountingBloom:
         return self
 
     def prefilter(self, big: DataFrame, key: str) -> DataFrame:
-        """Keep rows whose every position has counter > 0."""
+        """Keep rows whose every position has counter > 0. NULL keys are
+        dropped (explicit isNotNull — see _bitmap_member_cond's NULL
+        note)."""
         cond = _bitmap_member_cond(
             _bitmap_literal(_bitmap_words(self.counters > 0)),
             _position_parts(F.col(key), self.k, self.m_bits),
         )
-        return big.filter(cond)
+        return big.filter(F.col(key).isNotNull() & cond)
 
 
 def write_parquet_with_bloom(
