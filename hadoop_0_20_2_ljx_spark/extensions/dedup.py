@@ -492,7 +492,11 @@ def simhash_signatures(
     the same restructuring that made minhash_lsh_candidates 72x faster
     versus per-row higher-order-function loops. Each token hash is computed
     once (not once per bit), the shuffle carries (doc, h) pairs, and the
-    vote aggregation is pure whole-stage-codegen sums.
+    vote aggregation is pure whole-stage-codegen sums — bit-sliced into
+    20-bit lanes (3 bit-counts per 64-bit SUM buffer, r14) so a token
+    updates 20 buffers instead of 60; per-doc token counts are bounded at
+    2^20 - 1 by a loud lane-overflow guard (plenty for any real document;
+    the HOF `simhash64` has no such bound if one ever appears).
 
     Docs with no tokens vote the sentinel empty token (signature =
     md5('')'s 60-bit value, same as simhash64) — no join-back needed.
@@ -527,21 +531,58 @@ def simhash_signatures(
             F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
         )
     )
-    # Per-bit +1/-1 vote sum v_j = 2*s_j - n where s_j = count of set bits:
-    # computing s_j (a sum of plain bit extracts) instead of a conditional
-    # sum halves the generated aggregate code (60 buffers compile in Janino
-    # once per plan — expression size is the codegen-latency driver here).
+    # Per-bit +1/-1 vote sum v_j = 2*s_j - n where s_j = count of set bits.
+    # Bit-sliced lane packing (r14): the previous form kept one SUM buffer
+    # per bit — 60 shift+AND+add buffer updates per (doc, token) row, and a
+    # 61-buffer Janino aggregate whose codegen latency was the bench row's
+    # residual cost. Three bit-counts now ride ONE 64-bit accumulator in
+    # 20-bit lanes: for word i in 0..19 each token contributes
+    # (h >> i) & (1 | 1<<20 | 1<<40) — bit i of h lands in lane 0, bit
+    # i+20 in lane 1, bit i+40 in lane 2 — so SUM(p_i)'s lanes hold
+    # exactly s_i, s_{i+20}, s_{i+40}: 20 buffer updates (one shift+AND
+    # each) instead of 60, a third of the per-token agg work and of the
+    # generated aggregate code. Exactness bounds (both enforced by the
+    # n_tok lane guard below):
+    #   - lane carry: a lane counts <= n_tok set bits, so n_tok < 2^20
+    #     keeps every lane inside its 20 bits (no cross-lane carry);
+    #   - sum overflow (ANSI-safe): the accumulator's max value is
+    #     (2^20 - 1) * (2^40 + 2^20 + 1) = 2^60 - 1, far inside int64.
+    # The extracted s_j are integer-IDENTICAL to the per-bit-sum form
+    # (pinned bitwise vs the independent HOF simhash64 in
+    # tests/test_hof_binding.py and by the unchanged DuckDB oracle
+    # mirrors, which still spell the per-bit formulation).
+    lane_mask = F.lit((1 << 40) | (1 << 20) | 1).cast("long")
     votes = tok.groupBy(id_col).agg(
         F.count("*").alias("n_tok"),
         *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))).alias(f"s{j}")
-            for j in range(bits)
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(lane_mask)).alias(f"p{i}")
+            for i in range(20)
         ],
     )
+    # The lane bound must fail LOUDLY, not wrap a lane into its neighbor:
+    # the guard rides the majority comparison of every bit (a REQUIRED
+    # expression — the r13 raise_error-on-consumed-value lesson, so
+    # Catalyst cannot prune the check away).
+    n_guarded = F.when(
+        F.col("n_tok") > F.lit((1 << 20) - 1).cast("long"),
+        F.raise_error(
+            F.lit(
+                "simhash_signatures: document exceeds 1048575 tokens — the "
+                "bit-sliced 20-bit count lanes would overflow; split the "
+                "document (or chunk it) before signing"
+            )
+        ),
+    ).otherwise(F.col("n_tok"))
+
+    def _s(j: int) -> Column:
+        return F.shiftright(F.col(f"p{j % 20}"), 20 * (j // 20)).bitwiseAND(
+            F.lit((1 << 20) - 1).cast("long")
+        )
+
     sig = functools.reduce(
         operator.add,
         [
-            F.when(F.col(f"s{j}") * 2 > F.col("n_tok"), F.lit(1 << j).cast("long")).otherwise(
+            F.when(_s(j) * 2 > n_guarded, F.lit(1 << j).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
             for j in range(bits)
