@@ -20,123 +20,93 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 # only signal. Correctness itself is order-independent (each query is
 # self-contained).
 _NEEDS_FRESH_EVIDENCE = [
-    # Round 13 window = exactly 50 names: 1 changed-this-round query +
-    # the entire 37-name r9-latest cohort + the 12 alphabetically-first
-    # r10-latest names (recomputed from CORRECTNESS_r01..12 — ages
-    # partition 37 r9 / 49 r10 / 50 r11 / 50 r12; executing this window
-    # raises the registry-wide external-evidence floor to r10). This is
-    # the block pre-committed at the end of the r12 window, minus
-    # q_agg_stats (the 13th r10 name), displaced by the changed-query
-    # head slot.
+    # Round 14 window = exactly 50 names (optimization round 2 of 2):
     #
-    # Changed-budget accounting: THREE beyond-aging insertions this
-    # round — q_window_hotkey_runsum (NEW query: the decomposable window
-    # hot-key path, chunked_running_sum — unproven claims outrank aging
-    # proofs; later in r13 the operator generalized to
-    # chunked_running_agg [sum/count/min/max with identity-correct
-    # offset combines], which also FIXED the sum path's null-value
-    # contract — an all-null chunk no longer poisons a non-null prefix —
-    # so the head slot covers that change too), q_window_hotkey_runmax
-    # (NEW query, same commit as the generalization: the agg="max"
-    # least/greatest combine path proven against the direct-window
-    # oracle with null values kept in-stream; still later the chunk
-    # monotonicity contract became VERIFIED — per-chunk order-key ranges
-    # ride the offsets groupBy and an adjacent-range overlap raises
-    # through the _off expression instead of silently corrupting
-    # prefixes — same plan shapes, offsets exchange +16B/chunk-row),
-    # and q_join_salted
-    # (salted_join/salted_sum now raise ValueError for
-    # buckets < 1 instead of silently returning empty: sequence(0, -1)
-    # auto-steps to [0, -1] on the dim side while pmod(x, 0) NULLs the
-    # fact-side salt — r12 ADVICE item 1; no plan or result change for
-    # any valid buckets; later in r13 all three skew operators also
-    # gained working-column collision guards — a user column named
-    # _salt/_chunk/... was silently overwritten then dropped — again
-    # driver-side validation only, no plan change). Each displaces one
-    # r10 tail name. Any further
-    # r13 change must also be inserted at the head in the same commit.
+    # (head, 3) changed THIS round — results oracle-identical by design
+    # but changed plans are unproven claims until externally re-proven:
+    # q_dedup_simhash + q_dedup_simhash_pairs (the vote aggregation is
+    # bit-sliced into 20-bit lanes: 20 packed SUM buffers instead of 60,
+    # per-bit counts integer-identical, oracles untouched — r13 VERDICT
+    # item 3) and q_join_bloom (explicit isNotNull probe conjunct: the
+    # xxhash64 move made NULL keys hash to fixed positions, so the guard
+    # restores the md5-era join-prefilter semantics — r13 ADVICE item 1).
     #
-    # r13 OPTIMIZATION-round head slots (each displaces one r10 tail
-    # name; results oracle-identical by design, but changed plans are
-    # unproven claims until externally re-proven): q_join_bloom (bloom
-    # probe rewritten pandas-UDF -> JVM getbit over a single-literal
-    # word bitmap, positions md5 -> xxhash64 — engine-internal bits),
-    # q_agg_copurchase (distinct + equi-self-join -> per-order sorted
-    # membership sets, pairs enumerated partition-locally),
-    # q_audit_diff_incremental (internal fingerprint/bucket hashes
-    # md5 -> xxhash64; the declared oracle is the plain full-diff SQL),
-    # q_embed_kmeans and q_embed_pq (Lloyd/PQ per-dim agg lists built as
-    # one parsed SQL struct per round instead of O(dim) py4j Column
-    # calls — plan diff is expression-ids only, results bit-identical;
-    # q_corpus_source_sim, the round's other reshape, already sits in
-    # the r9 cohort below).
+    # (item 6, 12) the r13 VERDICT's front-load list: the 11 q_embed_*
+    # queries whose shared Lloyd/PQ build path changed in r13 (change 2)
+    # without landing in the r13 external window (their newest proof
+    # predates the change), plus q_audit_fingerprint (bucket_fingerprint
+    # gained the hash64 parameter in r13 change 4; the declared md5 path
+    # must be re-proven too).
     #
-    # (head) new / changed this round:
+    # (fill, 35) the oldest-evidence cohort: 35 alphabetically-first of
+    # the 39 remaining r10-latest names (ages recomputed from
+    # CORRECTNESS_r01..13 at r14 start: 43 r10 / 49 r11 / 46 r12 /
+    # 50 r13; 4 of the r10 cohort already sit in the head/item-6 blocks).
+    # q_text_entropy, q_udf_cogroup, q_udf_pipes, q_udf_scalar spill to
+    # the r15 window head (committed block below).
+    #
+    # (head) changed this round:
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
     "q_join_bloom",
-    "q_agg_copurchase",
-    "q_audit_diff_incremental",
-    "q_embed_kmeans",
-    "q_embed_pq",
-    "q_window_hotkey_runsum",
-    "q_window_hotkey_runmax",
-    "q_join_salted",
-    # (a) the 37 r9-latest names (the entire r9 cohort):
-    "q_agg_tpch_q2",
-    "q_agg_tpch_q20",
-    "q_agg_tpch_q21",
-    "q_agg_tpch_q22",
-    "q_agg_tpch_q4",
-    "q_agg_tpch_q7",
-    "q_agg_tpch_q8",
-    "q_agg_tpch_q9",
-    "q_agg_window_funcs",
-    "q_agg_window_rank",
-    "q_agg_winsorize",
-    "q_corpus_source_sim",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_jaccard_est",
-    "q_dedup_minhash",
-    "q_filter_grep",
-    "q_fn_json",
-    "q_gen_random_writer",
-    "q_gen_terasort",
-    "q_join_asof",
-    "q_join_asof_fwd",
-    "q_multimodal_decode",
-    "q_multimodal_features",
-    "q_proj_chain",
-    "q_proj_fieldsel",
-    "q_proj_unpivot",
-    "q_scan_bz2_text",
-    "q_scan_kv_split",
-    "q_scan_multi_input",
-    "q_scan_sample_filter",
-    "q_scan_text_count",
-    "q_sort_keyfield_offsets",
-    "q_stream_session",
-    "q_stream_tumbling",
-    "q_udf_histogram",
-    # (b) the 5 alphabetically-first r10-latest names (q_agg_pivot etc.
-    # displaced to r14 by the head slots — 3 build-phase + 5
-    # optimization-phase):
-    "q_agg_approx_quantile",
-    "q_agg_daily",
-    "q_agg_drift_js",
-    "q_agg_drift_ks",
-    "q_agg_grouping_sets",
+    # (item 6) r13-changed build path, external proof predates it:
+    "q_embed_kmeans_ivf_bcast",
+    "q_embed_ann",
+    "q_embed_ivf",
+    "q_embed_ivf_bcast",
+    "q_embed_ivf_nprobe",
+    "q_embed_ivfpq",
+    "q_embed_ivfpq_nprobe",
+    "q_embed_ivfpq_rerank",
+    "q_embed_kmeans_ivf",
+    "q_embed_knn",
+    "q_embed_quantize",
+    "q_audit_fingerprint",
+    # (fill) r10-latest cohort, alphabetical:
+    "q_agg_hot_keys",
+    "q_agg_item_sim",
+    "q_agg_median_mode",
+    "q_agg_numeric_hist",
+    "q_agg_outliers",
+    "q_agg_pivot",
+    "q_agg_profile",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_audit_table_diff",
+    "q_corpus_dataset_card",
+    "q_dedup_canonical",
+    "q_dedup_embed",
+    "q_dedup_fuzzy",
+    "q_dedup_keep_latest",
+    "q_fn_pentomino",
+    "q_graph_kcore",
+    "q_graph_pagerank",
+    "q_join_3way",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_semi_anti",
+    "q_num_pi",
+    "q_sample_group_split",
+    "q_sample_weighted",
+    "q_set_distinct",
+    "q_set_intersect_except",
+    "q_set_union",
+    "q_sink_parquet_roundtrip",
+    "q_sink_partitioned",
+    "q_sink_sorted_lookup",
+    "q_sink_text_roundtrip",
+    "q_sort_keyfield",
+    "q_sort_secondary",
+    "q_text_classifier",
     # ---- 50-row cut line ----
-    # committed r14 block: after this window lands, the oldest cohort is
-    # the 45 remaining r10-latest names (q_agg_hot_keys, q_agg_item_sim,
-    # q_agg_median_mode, q_agg_numeric_hist, q_agg_outliers — displaced
-    # from the r13 window by the optimization-phase head slots — plus
-    # q_agg_pivot, q_agg_profile, q_agg_stats,
-    # q_agg_retention, q_agg_rolling, q_agg_string_agg,
-    # q_audit_constraints_violations, q_dedup_canonical and the rest of
-    # the r10 cohort, recompute from CORRECTNESS_r01..13 at r14 start) +
-    # 5 of the r11-latest names to fill 50, plus whatever r14 adds or
-    # changes (changed queries take the head).
+    # committed r15 block: after this window lands, the oldest cohort is
+    # the 4 r10 spill names (q_text_entropy, q_udf_cogroup, q_udf_pipes,
+    # q_udf_scalar) + the 49 r11-latest names (q_agg_approx_distinct,
+    # q_agg_cms, q_agg_conversion, q_agg_domain_mix, q_agg_retention,
+    # q_agg_rolling, q_audit_constraints, ... recompute from
+    # CORRECTNESS_r01..14 at r15 start) — take the 4 + 46 oldest to fill
+    # 50, plus whatever r15 adds or changes (changed queries take the
+    # head).
 ]
 
 
