@@ -108,6 +108,20 @@ def _mh_hash(v: Column, s: int) -> Column:
     )
 
 
+def _mh_hash_sql(v_sql: str, s: int) -> str:
+    """_mh_hash as SQL text — parses to the IDENTICAL expression tree
+    (shiftright/&/%/int literals), so plans and results are unchanged;
+    what changes is the build cost: every Column operator is a py4j
+    round-trip, and the seed fan-out stamped ~12 of them per seed — the
+    r6 literal-tree lesson, measured again in r14 at 5,388 py4j
+    send_commands = 1.36 s of q_dedup_incremental's 1.8 s driver build
+    (two minhash_band_buckets calls). One F.expr parse per aggregate
+    column is milliseconds."""
+    return (
+        f"((shiftright({v_sql}, 30) + {s} * ({v_sql} & {_MH_MOD - 1})) % {_MH_MOD})"
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
     """MinHash signature: for each of num_hashes seeded hash functions,
     the min hash over the shingle set. array<long> of length num_hashes.
@@ -187,8 +201,13 @@ def minhash_signatures_relational(
     hashed = spread.select("doc", F.explode(padded).alias("g")).select(
         "doc", _mh_base(F.col("g")).alias("v")
     )
+    # One F.expr parse per seed column instead of ~12 py4j Column calls
+    # (see _mh_hash_sql): parsed trees identical, build cost collapses.
     return hashed.groupBy("doc").agg(
-        *[F.min(_mh_hash(F.col("v"), s)).alias(f"h{s}") for s in range(num_hashes)]
+        *[
+            F.expr(f"min({_mh_hash_sql('v', s)}) AS h{s}")
+            for s in range(num_hashes)
+        ]
     )
 
 
@@ -200,27 +219,25 @@ def band_buckets_from_signatures(
     something else (e.g. the Jaccard-estimate diagnostic) materialize
     them once instead of re-deriving from raw text per consumer."""
     rows_per_band = num_hashes // bands
+    # The whole banded-struct array as ONE parsed expression: the Column
+    # form stamped ~25 py4j round-trips per band (struct/lit/concat_ws/
+    # md5/conv/casts — 0.37 s of driver build per call site at bands=4;
+    # the r6 lesson, same fix as the seed aggregates above). The parsed
+    # tree is identical: CAST(conv(substring(md5(concat_ws(',',
+    # CAST(hN AS STRING)...)), 1, 8), 16, 10) AS BIGINT) is exactly _h32.
+    structs = ", ".join(
+        "struct({b} AS band, CAST(conv(substring(md5(concat_ws(',', {cols})), 1, 8),"
+        " 16, 10) AS BIGINT) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(h{b * rows_per_band + i} AS STRING)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigd.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _h32(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + i}").cast("string")
-                                    for i in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     return banded
 
