@@ -603,6 +603,20 @@ def bench_graph_10x(spark, timings, shuffle_b, input_b) -> None:
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # Warm the triangle/k-core plans on a tiny graph first — the same
+        # warm pass bench_text_longdoc/bench_simhash_longdoc already run,
+        # adopted here in r14 as a measurement fix (disclosed in
+        # OPTIMIZATION_r14.md with the old numbers): the 1x rung
+        # otherwise pays the section's whole-plan Janino compile inside
+        # its timed window — measured 6.05 s at 1x vs 4.56 s at 10x in an
+        # isolated session (the 1x wall EXCEEDED the 10x wall, a
+        # plan-compile artifact, not graph work; the r14 full-bench
+        # baseline recorded 9.04 s for the 1x rung at 0.1% steal). The
+        # pair's scaling claim stays anchored on shuffle bytes either
+        # way; the walls now measure the graphs.
+        warm_edges = gen(10_000).localCheckpoint()
+        triangle_counts(warm_edges).count()
+        kcore_peel(warm_edges, k=12, rounds=6).count()
         for label, n in (("triangles_gen_1x", 100_000), ("triangles_10x", 1_000_000)):
             edges = gen(n).localCheckpoint()
             sw0, ib0 = _stage_bytes(spark)
