@@ -22,14 +22,19 @@ from hadoop_0_20_2_ljx_spark.queries.base import QueryDef  # noqa: F401
 _NEEDS_FRESH_EVIDENCE = [
     # Round 14 window = exactly 50 names (optimization round 2 of 2):
     #
-    # (head, 3) changed THIS round — results oracle-identical by design
-    # but changed plans are unproven claims until externally re-proven:
-    # q_dedup_simhash + q_dedup_simhash_pairs (the vote aggregation is
-    # bit-sliced into 20-bit lanes: 20 packed SUM buffers instead of 60,
-    # per-bit counts integer-identical, oracles untouched — r13 VERDICT
-    # item 3) and q_join_bloom (explicit isNotNull probe conjunct: the
-    # xxhash64 move made NULL keys hash to fixed positions, so the guard
-    # restores the md5-era join-prefilter semantics — r13 ADVICE item 1).
+    # (head, 7) changed THIS round — results oracle-identical by design
+    # but changed plans/builders are unproven claims until externally
+    # re-proven: q_dedup_simhash + q_dedup_simhash_pairs (the vote
+    # aggregation is bit-sliced into 20-bit lanes: 20 packed SUM buffers
+    # instead of 60, per-bit counts integer-identical, oracles untouched
+    # — r13 VERDICT item 3), q_join_bloom (explicit isNotNull probe
+    # conjunct: the xxhash64 move made NULL keys hash to fixed
+    # positions, so the guard restores the md5-era join-prefilter
+    # semantics — r13 ADVICE item 1), and the four minhash-family
+    # queries (q_dedup_minhash/incremental/clusters/jaccard_est: the
+    # seed aggregates + band structs are now built as parsed SQL text —
+    # optimized plans identical modulo id counters, pinned in
+    # tests/test_minhash_build.py, but the builder changed).
     #
     # (item 6, 12) the r13 VERDICT's front-load list: the 11 q_embed_*
     # queries whose shared Lloyd/PQ build path changed in r13 (change 2)
@@ -38,17 +43,22 @@ _NEEDS_FRESH_EVIDENCE = [
     # gained the hash64 parameter in r13 change 4; the declared md5 path
     # must be re-proven too).
     #
-    # (fill, 35) the oldest-evidence cohort: 35 alphabetically-first of
+    # (fill, 31) the oldest-evidence cohort: 31 alphabetically-first of
     # the 39 remaining r10-latest names (ages recomputed from
     # CORRECTNESS_r01..13 at r14 start: 43 r10 / 49 r11 / 46 r12 /
     # 50 r13; 4 of the r10 cohort already sit in the head/item-6 blocks).
-    # q_text_entropy, q_udf_cogroup, q_udf_pipes, q_udf_scalar spill to
-    # the r15 window head (committed block below).
+    # q_sink_text_roundtrip, q_sort_keyfield, q_sort_secondary,
+    # q_text_classifier, q_text_entropy, q_udf_cogroup, q_udf_pipes,
+    # q_udf_scalar spill to the r15 window head (committed block below).
     #
     # (head) changed this round:
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_join_bloom",
+    "q_dedup_minhash",
+    "q_dedup_incremental",
+    "q_dedup_clusters",
+    "q_dedup_jaccard_est",
     # (item 6) r13-changed build path, external proof predates it:
     "q_embed_kmeans_ivf_bcast",
     "q_embed_ann",
@@ -94,19 +104,16 @@ _NEEDS_FRESH_EVIDENCE = [
     "q_sink_parquet_roundtrip",
     "q_sink_partitioned",
     "q_sink_sorted_lookup",
-    "q_sink_text_roundtrip",
-    "q_sort_keyfield",
-    "q_sort_secondary",
-    "q_text_classifier",
     # ---- 50-row cut line ----
     # committed r15 block: after this window lands, the oldest cohort is
-    # the 4 r10 spill names (q_text_entropy, q_udf_cogroup, q_udf_pipes,
-    # q_udf_scalar) + the 49 r11-latest names (q_agg_approx_distinct,
-    # q_agg_cms, q_agg_conversion, q_agg_domain_mix, q_agg_retention,
-    # q_agg_rolling, q_audit_constraints, ... recompute from
-    # CORRECTNESS_r01..14 at r15 start) — take the 4 + 46 oldest to fill
-    # 50, plus whatever r15 adds or changes (changed queries take the
-    # head).
+    # the 8 r10 spill names (q_sink_text_roundtrip, q_sort_keyfield,
+    # q_sort_secondary, q_text_classifier, q_text_entropy, q_udf_cogroup,
+    # q_udf_pipes, q_udf_scalar) + the 49 r11-latest names
+    # (q_agg_approx_distinct, q_agg_cms, q_agg_conversion,
+    # q_agg_domain_mix, q_agg_retention, q_agg_rolling,
+    # q_audit_constraints, ... recompute from CORRECTNESS_r01..14 at r15
+    # start) — take the 8 + 42 oldest to fill 50, plus whatever r15 adds
+    # or changes (changed queries take the head).
 ]
 
 
