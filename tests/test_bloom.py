@@ -183,3 +183,29 @@ def test_bitmap_literal_is_one_expression_node(spark):
     df = spark.range(3).select(F.element_at(lit, 5).alias("x"))
     assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
     assert [r.x for r in df.collect()] == [4, 4, 4]
+
+
+def test_null_probe_keys_are_dropped_by_all_prefilters(spark):
+    """r14 (r13 ADVICE item 1): xxhash64 is non-nullable, so without the
+    explicit isNotNull conjunct a NULL probe key hashes to fixed
+    positions and passes whenever the build side contained any NULL key.
+    All three prefilter entry points must drop NULL probe keys — the
+    join-prefilter semantics the md5-era hash gave for free."""
+    build = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k long"
+    )  # NULL on the build side sets the seed positions
+    probe = spark.createDataFrame([(1,), (99,), (None,), (None,)], "k long")
+
+    filtered = bloom.bloom_prefilter(probe, build, "k")
+    assert filtered.filter(F.col("k").isNull()).count() == 0
+    assert filtered.filter(F.col("k") == 1).count() == 1  # no false negatives
+
+    dyn = bloom.DynamicBloom(nr=10).add_frame(build, "k")
+    dfiltered = dyn.prefilter(probe, "k")
+    assert dfiltered.filter(F.col("k").isNull()).count() == 0
+    assert dfiltered.filter(F.col("k") == 1).count() == 1
+
+    cb = bloom.CountingBloom(expected_items=10).add_frame(build, "k")
+    cfiltered = cb.prefilter(probe, "k")
+    assert cfiltered.filter(F.col("k").isNull()).count() == 0
+    assert cfiltered.filter(F.col("k") == 1).count() == 1
