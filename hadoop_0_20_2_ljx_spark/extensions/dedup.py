@@ -21,8 +21,6 @@ Design for scale:
 
 from __future__ import annotations
 
-import functools
-import operator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -105,6 +103,38 @@ def _mh_hash(v: Column, s: int) -> Column:
     """Seed-s member of the family, from the shared base value."""
     return (F.shiftright(v, 30) + F.lit(s) * v.bitwiseAND(F.lit(_MH_MOD - 1))) % F.lit(
         _MH_MOD
+    )
+
+
+def _tokens_sql(text_sql: str) -> str:
+    """textstats.tokens as SQL text (whitespace tokens, empties dropped)
+    — parses to the identical filter(split(...)) tree; see _mh_hash_sql
+    for why the SQL-text twins exist."""
+    return f"filter(split({text_sql}, '\\\\s+'), w -> w != '')"
+
+
+def _word_shingles_sql(text_sql: str, k: int) -> str:
+    """word_shingles as SQL text: the same bind-once element_at(
+    transform(array(tokens), ws -> grams)) tree (r8: no CSE inside HOF
+    lambdas, so the token array must be a lambda variable), with the
+    identical gram build (sequence + slice + array_join, array_distinct
+    behind the size >= k guard)."""
+    grams = (
+        f"array_distinct(transform(sequence(0, greatest((size(ws) - {k}), 0)), "
+        f"i -> array_join(slice(ws, (i + 1), {k}), ' ')))"
+    )
+    body = (
+        f"CASE WHEN (size(ws) >= {k}) THEN {grams} "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return f"element_at(transform(array({_tokens_sql(text_sql)}), ws -> {body}), 1)"
+
+
+def _pad_empty_sql(arr_sql: str) -> str:
+    """_pad_empty as SQL text (same bind-once sentinel padding)."""
+    return (
+        f"element_at(transform(array({arr_sql}), "
+        "a -> CASE WHEN (size(a) > 0) THEN a ELSE array('') END), 1)"
     )
 
 
@@ -193,13 +223,16 @@ def minhash_signatures_relational(
     # scale, a full extra shuffle at 100 TB). All short docs share the
     # sentinel signature and pair with each other, exactly as the all--1
     # signature did.
-    sh = word_shingles(F.col("_text"), shingle_k)
-    padded = _pad_empty(sh)
     # One md5 per (doc, shingle) row (double-hash family), materialized
     # BEFORE the seed fan-out so the num_hashes partial-agg expressions
-    # share it.
-    hashed = spread.select("doc", F.explode(padded).alias("g")).select(
-        "doc", _mh_base(F.col("g")).alias("v")
+    # share it. The shingle/pad/hash projection is built as SQL text
+    # (one selectExpr parse each) instead of the Column/HOF-lambda
+    # builders — identical parsed trees (pinned, with the Column forms
+    # kept verbatim, in tests/test_minhash_build.py), ~0.2 s less py4j
+    # chatter per call site (see _mh_hash_sql).
+    padded_sql = _pad_empty_sql(_word_shingles_sql("_text", shingle_k))
+    hashed = spread.selectExpr("doc", f"explode({padded_sql}) AS g").selectExpr(
+        "doc", "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) AS v"
     )
     # One F.expr parse per seed column instead of ~12 py4j Column calls
     # (see _mh_hash_sql): parsed trees identical, build cost collapses.
@@ -521,7 +554,6 @@ def simhash_signatures(
     Output: (doc, simhash) with doc named after `id_col`.
     """
     ids = df.select(F.col(id_col).alias(id_col), F.col(text_col).alias("_text"))
-    words = F.filter(F.split(F.col("_text"), r"\s+"), lambda w: w != "")
     sc = df.sparkSession.sparkContext
     # Repartition the DOCS, not the exploded tokens: the one exchange
     # carries raw text, explode+md5 run partition-local on every core, and
@@ -534,18 +566,25 @@ def simhash_signatures(
     # build side was the whole signature table — a full extra shuffle at
     # scale). A one-token doc's signature is its token's hash, so the
     # sentinel doc signature is md5('')'s 60-bit value.
-    # The padding binds `words` ONCE (_pad_empty): the naive
-    # F.when(F.size(words) > 0, ...) form referenced the filter(split(
-    # text)) tree twice, re-tokenizing every document (no CSE through
-    # HOF trees; fixed r10, bitwise-pinned in tests/test_hof_binding.py,
-    # doc-length stress pair simhash_longdoc_1x/10x in bench.py).
-    padded = _pad_empty(words)
+    # The padding binds the token array ONCE (_pad_empty_sql — the same
+    # bind-once tree as _pad_empty): the naive F.when(F.size(words) > 0,
+    # ...) form referenced the filter(split(text)) tree twice,
+    # re-tokenizing every document (no CSE through HOF trees; fixed r10,
+    # bitwise-pinned in tests/test_hof_binding.py, doc-length stress
+    # pair simhash_longdoc_1x/10x in bench.py).
+    # Built as SQL text (one selectExpr parse each) — identical parsed
+    # trees to the Column/HOF-lambda builders, without their py4j
+    # round-trip cost (see _mh_hash_sql; the whole simhash builder was
+    # 8,815 py4j sends = ~1.5 s of driver build per query, r14). The
+    # Column forms are kept verbatim in tests/test_simhash_lanes.py's
+    # plan- and row-parity pins.
+    padded_sql = _pad_empty_sql(_tokens_sql("_text"))
     tok = (
         ids.repartition(sc.defaultParallelism, id_col)
-        .select(id_col, F.explode(padded).alias("w"))
-        .select(
-            id_col,
-            F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
+        .selectExpr(f"`{id_col}`", f"explode({padded_sql}) AS w")
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h",
         )
     )
     # Per-bit +1/-1 vote sum v_j = 2*s_j - n where s_j = count of set bits.
@@ -568,11 +607,11 @@ def simhash_signatures(
     # (pinned bitwise vs the independent HOF simhash64 in
     # tests/test_hof_binding.py and by the unchanged DuckDB oracle
     # mirrors, which still spell the per-bit formulation).
-    lane_mask = F.lit((1 << 40) | (1 << 20) | 1).cast("long")
+    lane_mask = (1 << 40) | (1 << 20) | 1
     votes = tok.groupBy(id_col).agg(
         F.count("*").alias("n_tok"),
         *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(lane_mask)).alias(f"p{i}")
+            F.expr(f"sum((shiftright(h, {i}) & {lane_mask})) AS p{i}")
             for i in range(20)
         ],
     )
@@ -580,32 +619,26 @@ def simhash_signatures(
     # the guard rides the majority comparison of every bit (a REQUIRED
     # expression — the r13 raise_error-on-consumed-value lesson, so
     # Catalyst cannot prune the check away).
-    n_guarded = F.when(
-        F.col("n_tok") > F.lit((1 << 20) - 1).cast("long"),
-        F.raise_error(
-            F.lit(
-                "simhash_signatures: document exceeds 1048575 tokens — the "
-                "bit-sliced 20-bit count lanes would overflow; split the "
-                "document (or chunk it) before signing"
-            )
-        ),
-    ).otherwise(F.col("n_tok"))
+    guard_sql = (
+        "CASE WHEN (n_tok > CAST(1048575 AS BIGINT)) THEN raise_error("
+        "'simhash_signatures: document exceeds 1048575 tokens — the "
+        "bit-sliced 20-bit count lanes would overflow; split the "
+        "document (or chunk it) before signing') ELSE n_tok END"
+    )
 
-    def _s(j: int) -> Column:
-        return F.shiftright(F.col(f"p{j % 20}"), 20 * (j // 20)).bitwiseAND(
-            F.lit((1 << 20) - 1).cast("long")
+    def _s_sql(j: int) -> str:
+        return (
+            f"(shiftright(p{j % 20}, {20 * (j // 20)}) & CAST(1048575 AS BIGINT))"
         )
 
-    sig = functools.reduce(
-        operator.add,
-        [
-            F.when(_s(j) * 2 > n_guarded, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for j in range(bits)
-        ],
+    sig_sql = " + ".join(
+        f"CASE WHEN (({_s_sql(j)} * 2) > {guard_sql}) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
     )
-    return votes.select(id_col, sig.cast("long").alias("simhash"))
+    return votes.selectExpr(
+        f"`{id_col}`", f"CAST(({sig_sql}) AS BIGINT) AS simhash"
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

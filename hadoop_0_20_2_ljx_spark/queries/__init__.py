@@ -27,7 +27,8 @@ _NEEDS_FRESH_EVIDENCE = [
     # re-proven: q_dedup_simhash + q_dedup_simhash_pairs (the vote
     # aggregation is bit-sliced into 20-bit lanes: 20 packed SUM buffers
     # instead of 60, per-bit counts integer-identical, oracles untouched
-    # — r13 VERDICT item 3), q_join_bloom (explicit isNotNull probe
+    # — r13 VERDICT item 3 — and the whole builder is SQL-text parsed,
+    # trees identical modulo id counters), q_join_bloom (explicit isNotNull probe
     # conjunct: the xxhash64 move made NULL keys hash to fixed
     # positions, so the guard restores the md5-era join-prefilter
     # semantics — r13 ADVICE item 1), and the four minhash-family

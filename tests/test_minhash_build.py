@@ -69,7 +69,11 @@ def _old_band_buckets(sigd, num_hashes=16, bands=4):
 def _norm_plan(df) -> str:
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+L?", "#X", s)  # expression ids
-    s = re.sub(r"x_\d+", "x_N", s)  # lambda variable counters
+    # lambda variable NAMES are arbitrary (Column API mints x_<counter>,
+    # SQL text uses the source names ws/i/a/w); semantics ride the
+    # row-equality tests, this normalization compares tree SHAPE
+    s = re.sub(r"lambda [A-Za-z_]\w*#X", "lambda VAR#X", s)
+    s = re.sub(r"x_\d+", "x_N", s)
     return s
 
 
